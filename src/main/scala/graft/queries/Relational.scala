@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+
+/** Relational operator coverage over the TESTDATA star schema: scans,
+  * filters/projections (pushed to parquet), hash + broadcast joins,
+  * semi/anti joins, aggregations (plain/distinct/rollup), windows,
+  * top-k, set ops, and an event-time bucket aggregation.
+  *
+  * The reference has no joins at all (SURVEY.md §2.3) and only
+  * sum-by-key style aggregation (§2.4); this module is the engine's
+  * relational surface that subsumes those and adds what a real analytics
+  * user needs. Scale notes are on each query.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  /** TPC-H Q1-shaped pricing summary: single scan, partial (map-side)
+    * aggregation into 6 groups — shuffle is O(groups), not O(rows).
+    * At 100 TB: still one pass; the filter and the 7-column projection
+    * push into the parquet scan.
+    */
+  private val q1 = CatalogQuery(
+    "q1_pricing_summary",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_base_price,
+           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           | round(avg(l_quantity), 4) AS avg_qty,
+           | round(avg(l_discount), 6) AS avg_disc,
+           | count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Top-k without a global sort of everything reaching the driver:
+    * Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * top-k, then merge of k·partitions rows). Scales to any table size.
+    */
+  private val q2 = CatalogQuery(
+    "q2_topk_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 10""".stripMargin))
+
+  /** Star join: fact(lineitem) ⋈ orders ⋈ customer ⋈ nation. nation (25
+    * rows) is broadcast explicitly; customer/orders co-shuffle on keys.
+    * At 100 TB the lineitem⋈orders join dominates — both sides hash on
+    * the orderkey, no replication, and AQE handles skew.
+    */
+  private val q3 = CatalogQuery(
+    "q3_revenue_by_nation",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(tt.orders, $"l_orderkey" === $"o_orderkey")
+        .join(tt.customer, $"o_custkey" === $"c_custkey")
+        .join(broadcast(tt.nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name,
+           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           | count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY n_name
+           |ORDER BY n_name""".stripMargin))
+
+  /** Broadcast dimension join: part is tiny relative to the fact table,
+    * so it ships to every executor and the join is shuffle-free on the
+    * fact side. The p_size filter prunes the broadcast build side first.
+    */
+  private val q4 = CatalogQuery(
+    "q4_brand_revenue_broadcast",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.lineitem
+        .join(broadcast(tt.part.filter($"p_size" > 10)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          round(sum($"l_quantity"), 2).as("total_qty"))
+        .orderBy($"p_brand")
+    },
+    Some("""SELECT p_brand,
+           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           | round(sum(l_quantity), 2) AS total_qty
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_size > 10
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin))
+
+  /** Anti join (NOT EXISTS): customers with no urgent order. Planned as a
+    * broadcast/shuffled hash anti join — no row explosion, output ≤ left.
+    */
+  private val q5 = CatalogQuery(
+    "q5_customers_without_urgent_orders",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.customer
+        .join(tt.orders.filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey
+           |                    AND o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Semi join (EXISTS): customers with at least one big order. The
+    * order-side filter runs before the join, shrinking the build side.
+    */
+  private val q6 = CatalogQuery(
+    "q6_customers_with_big_order",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      tt.customer
+        .join(tt.orders.filter($"o_totalprice" > 400000.0),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Window ranking: each customer's single largest order. One shuffle on
+    * the partition key; row_number needs no full materialization of the
+    * partition (streaming rank within sorted partitions).
+    */
+  private val q7 = CatalogQuery(
+    "q7_top_order_per_customer",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey
+           |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders) WHERE rn = 1
+           |ORDER BY o_custkey""".stripMargin))
+
+  /** Running (cumulative) aggregate over a total order within each
+    * supplier — frame is ROWS UNBOUNDED PRECEDING..CURRENT, so the sum is
+    * computed incrementally in one pass over each sorted partition.
+    * Restricted to a few suppliers to keep the verify output small.
+    */
+  private val q8 = CatalogQuery(
+    "q8_running_revenue_by_supplier",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir).lineitem
+        .filter($"l_suppkey" <= 3)
+        .withColumn("running_qty", round(sum($"l_quantity").over(w), 2))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+           | round(sum(l_quantity) OVER (
+           |   PARTITION BY l_suppkey
+           |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+           |FROM lineitem
+           |WHERE l_suppkey <= 3
+           |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin))
+
+  /** Exact distinct counts (expand+two-phase agg in Spark). The engine
+    * also exposes approx_count_distinct (HLL) for the 100 TB path — see
+    * RelationalSpec; approximate results can't hash-match an oracle.
+    */
+  private val q9 = CatalogQuery(
+    "q9_distinct_counts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem.agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_suppliers"),
+        countDistinct($"l_orderkey").as("distinct_orders"))
+    },
+    Some("""SELECT count(DISTINCT l_partkey) AS distinct_parts,
+           | count(DISTINCT l_suppkey) AS distinct_suppliers,
+           | count(DISTINCT l_orderkey) AS distinct_orders
+           |FROM lineitem""".stripMargin))
+
+  /** ROLLUP grouping sets — subtotals + grand total in one shuffle. */
+  private val q10 = CatalogQuery(
+    "q10_rollup_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           | count(*) AS n_orders,
+           | round(sum(o_totalprice), 2) AS total_price
+           |FROM orders
+           |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  /** Set operations: customers active in both years (INTERSECT) minus
+    * none (EXCEPT exercised in q11b). Spark plans these as left-semi /
+    * left-anti joins over distinct inputs.
+    */
+  private val q11 = CatalogQuery(
+    "q11_intersect_active_customers",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val y1995 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y1996 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      y1995.intersect(y1996).orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           |ORDER BY o_custkey""".stripMargin))
+
+  private val q11b = CatalogQuery(
+    "q11b_except_lapsed_customers",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val y1995 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+      val y1996 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+      y1995.except(y1996).orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           |ORDER BY o_custkey""".stripMargin))
+
+  /** Event-time bucket aggregation (batch twin of the streaming windowed
+    * agg in graft.streaming): truncate-to-hour keeps the shuffle keyed on
+    * (bucket, type) — the streaming version adds a watermark.
+    */
+  private val q12 = CatalogQuery(
+    "q12_events_hourly",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).events
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+           | count(*) AS n_events,
+           | round(sum(value), 2) AS total_value
+           |FROM events
+           |GROUP BY 1, 2
+           |ORDER BY 1, 2""".stripMargin))
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12)
+}
