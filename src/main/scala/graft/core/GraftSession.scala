@@ -28,6 +28,9 @@ object GraftSession {
       // graft results feed a hash-compare oracle: never silently promote
       // to ANSI error behavior differences.
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as raw int64 so
+      // Tables.events can truncate to micros deterministically.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),

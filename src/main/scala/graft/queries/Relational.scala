@@ -30,7 +30,9 @@ object Relational extends QueryModule {
     (s, dir) => {
       import s.implicits._
       t(s, dir).lineitem
-        .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        // lit+cast parses under spark.sql.session.timeZone (UTC), unlike
+        // java.sql.Timestamp.valueOf which uses the JVM default TZ.
+        .filter($"l_shipdate" <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
