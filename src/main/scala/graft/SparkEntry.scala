@@ -12,7 +12,8 @@ import graft.core.{CatalogQuery, QueryModule}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    graft.queries.Relational
+    graft.queries.Relational,
+    graft.queries.Parity
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {
