@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
-    graft.queries.Parity
+    graft.queries.Parity,
+    graft.queries.DedupQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

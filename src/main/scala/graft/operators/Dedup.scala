@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for LLM-training-data pipelines:
+  * exact (content-hash), n-gram-Jaccard (shingle inverted-index join),
+  * MinHash+LSH (banded signature buckets), and SimHash (bit-block
+  * buckets). All are expressed with codegen'd built-in functions — no
+  * UDFs — and every pair-finding path goes through a key-equality join
+  * (shuffle co-located on the bucket key), NEVER an all-pairs cross
+  * join, so each scales as O(collisions), not O(n²).
+  *
+  * The reference engine has no dedup operator; these extend its
+  * sum-by-key aggregation surface (SURVEY.md §2.4 A1, §2.5 G1 tokenize)
+  * to the document-pipeline capabilities the builder brief requires.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint (md5 — stable across
+    * engines for the oracle), keep the smallest id as the canonical
+    * representative. One shuffle keyed on the 128-bit hash: uniformly
+    * distributed, no skew, O(distinct docs) output.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set per document: (id, shingle) rows, distinct.
+    * Guarded so a doc shorter than n words yields no shingles (Spark's
+    * `sequence(1, k)` would count DOWN for k < 1 and corrupt indices).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // The words array MUST be materialized in its own projection before
+    // the transform lambda touches it: a lambda referencing the raw
+    // `split(...)` EXPRESSION re-evaluates the regex split per array
+    // element — O(words²) per doc, measured 25x slower at sf0.1.
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val shingle = (i: Column) =>
+      concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*)
+    df.select(col(idCol).as("doc"), words.as("ws"))
+      .select(col("doc"), explode(transform(idx, shingle)).as("shingle"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard, found via an inverted-index
+    * self-join on the shingle (each shingle co-locates the docs that
+    * contain it). `maxDf` drops shingles appearing in more than that
+    * many docs before the join — the standard stop-shingle guard against
+    * hot keys: a shingle shared by d docs contributes d² join rows, so
+    * unbounded df is the one thing that would break this plan at 100 TB.
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from the co-occurrence counts —
+    * the intersection never needs materialized sets.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Annotate each (doc, shingle) row with the doc's set size and the
+    // shingle's document frequency via two window passes over the SAME
+    // relation — the naive groupBy+join formulation recomputes the
+    // exploded shingle set once per branch (5x). The second window
+    // leaves the data hash-partitioned on `shingle`, exactly what the
+    // self-join needs. `sz` counts ALL of a doc's shingles (true set
+    // size); the df filter only prunes which shingles can produce
+    // candidate pairs.
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.sz").as("szi"), col("b.sz").as("szj"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("i"), col("j"),
+        round(col("c").cast("double") / (col("szi") + col("szj") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash permutation parameters: fixed seed so signatures (and the
+    * catalog query output) are deterministic across runs and executors.
+    * Hash family h_i(x) = (a_i·x + b_i) mod p over x = shingle hash mod
+    * p, with p = 2^31−1 (Mersenne prime); a_i·x < 2^62 stays in a long.
+    */
+  private val MinhashP = 2147483647L
+  private def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+      rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** MinHash signatures: one row per doc with a `numHashes`-element
+    * signature array. One explode + one groupBy(doc) with `numHashes`
+    * min-aggregates — all codegen'd expression work, shuffle O(docs).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 128): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinhashP)))
+    val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashP))).as(s"m$i")
+    }
+    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures banded into `bands` slices
+    * of `rows` hashes; docs colliding on any (band, band-hash) bucket
+    * are candidates; candidates are then verified with EXACT n-gram
+    * Jaccard, so the output contains no LSH false positives. Detection
+    * probability for a pair at similarity s is 1−(1−s^rows)^bands —
+    * 16×8 puts the S-curve threshold at ≈0.71 with >0.9999 recall above
+    * s=0.95. The candidate join keys on the bucket, never cross-joins.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rows: Int = 8,
+                      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("i"), col("y.doc").as("j"))
+      .distinct()
+    // Exact verification of the candidate set only: materialize shingle
+    // sets for just the docs that appear in a candidate pair (a tiny
+    // semi-join-reduced subset), not the whole corpus.
+    val candDocs = cand
+      .select(explode(array(col("i"), col("j"))).as("doc")).distinct()
+    val sets = shingles(df, idCol, textCol, n)
+      .join(candDocs, "doc", "left_semi")
+      .groupBy("doc").agg(collect_set(col("shingle")).as("s"))
+    cand
+      .join(sets.select(col("doc").as("i"), col("s").as("si")), "i")
+      .join(sets.select(col("doc").as("j"), col("s").as("sj")), "j")
+      .select(col("i"), col("j"),
+        round(size(array_intersect(col("si"), col("sj"))).cast("double") /
+          size(array_union(col("si"), col("sj"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprint per doc: per token-occurrence hash, each
+    * bit position votes +1/−1, fingerprint bit = sign of the vote sum.
+    * 64 conditional-sum aggregates in one groupBy — expression-only.
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+      .select(col("doc"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16).
+    * Fingerprints are cut into 4 16-bit blocks; by pigeonhole any pair
+    * within Hamming ≤ 3 shares at least one block verbatim, so a join
+    * on (block index, block value) finds all of them — then the exact
+    * popcount(xor) check removes block-collision false positives.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block banding only guarantees Hamming <= 3")
+    val fps = simhashFingerprints(df, idCol, textCol)
+    val blocks = fps.select(col("doc"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("bk"))
+      .select(col("doc"), col("fp"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("i"), col("y.doc").as("j"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.operators.Dedup
+
+/** Catalog entries for the dedup operator family over `documents`.
+  * d1/d2 are exactly replayable in DuckDB SQL and hash-checked; the
+  * LSH-based d3/d4 use engine-specific hash functions (xxhash64 +
+  * seeded permutations) no SQL oracle can reproduce, so they get the
+  * driver's rows-only check here and full cross-validation against the
+  * exact-Jaccard result in DedupSpec.
+  */
+object DedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir).documents
+
+  private val exact = CatalogQuery(
+    "d1_exact_dedup",
+    (s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text").orderBy(col("fp")),
+    Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+           | count(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin),
+    doc = "Exact content-hash dedup; canonical doc = min id per fingerprint")
+
+  private val ngram = CatalogQuery(
+    "d2_ngram_jaccard_dedup",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100)
+        .orderBy(col("i"), col("j")),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+           |           FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT i, j,
+           |       round(c*1.0/(sa.sz + sb.sz - c), 6) AS jaccard
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = i
+           |JOIN sizes sb ON sb.doc_id = j
+           |WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
+           |ORDER BY i, j""".stripMargin),
+    doc = "Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via " +
+      "shingle inverted-index join (no cross join)")
+
+  private val minhash = CatalogQuery(
+    "d3_minhash_lsh_dedup",
+    (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, bands = 16, rows = 8, threshold = 0.8)
+        .orderBy(col("i"), col("j")),
+    None, // xxhash64+seeded permutations aren't SQL-reproducible;
+          // cross-checked against d2's exact answer in DedupSpec.
+    doc = "MinHash(128)+LSH(16x8) near-dup candidates, exact-verified")
+
+  private val simhash = CatalogQuery(
+    "d4_simhash_dedup",
+    (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("i"), col("j")),
+    None, // same: engine-hash-dependent; invariants tested in DedupSpec.
+    doc = "SimHash-64 near-dup pairs, Hamming <= 3 via 16-bit block LSH")
+
+  override def queries: Seq[CatalogQuery] = Seq(exact, ngram, minhash, simhash)
+}
