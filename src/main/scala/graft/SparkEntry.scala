@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
     graft.queries.Parity,
-    graft.queries.DedupQueries
+    graft.queries.DedupQueries,
+    graft.queries.SimilarityQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

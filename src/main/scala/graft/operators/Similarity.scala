@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH (multi-table signature buckets) as the approximate scale path,
+  * plus LSH-bucketed cosine near-dup pairs for the dedup pipeline.
+  *
+  * All vector math is codegen'd expression work (`zip_with` +
+  * `aggregate` folds) — no UDFs — and the LSH paths find candidates via
+  * joins on (table, bucket) keys, never an all-pairs cross join.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns as a codegen'd fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; inputs need not be normalized. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors of each query vector by brute force:
+    * the small query set broadcasts to every executor, the corpus
+    * streams through once (O(Q·N·d) flops, one pass over N) — the right
+    * plan when Q is small, and the oracle for the LSH path. Ranking
+    * ties break on neighbor id for determinism.
+    */
+  def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = vecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+    val qs = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Fixed-seed random hyperplanes: `tables` independent signatures of
+    * `bits` sign-bits each. Deterministic across runs and executors.
+    */
+  private def hyperplanes(dim: Int, tables: Int, bits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** (id, table, bucket) rows: bucket = the `bits`-bit sign signature of
+    * the vector against that table's hyperplanes, packed into a long.
+    * One projection per row — the sign bits come from `tables·bits`
+    * expression-level dot products against a literal plane matrix.
+    */
+  def lshBuckets(vecs: DataFrame, dim: Int, tables: Int, bits: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = typedLit(hyperplanes(dim, tables, bits))
+    val sig = transform(planes, p => dot(col("v"), p) > 0)
+    val buckets = (0 until tables).map { t =>
+      val packed = (0 until bits).map { i =>
+        when(element_at(col("sig"), t * bits + i + 1), lit(1L << i)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      struct(lit(t).as("tbl"), packed.as("bucket"))
+    }
+    vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", sig)
+      .select(col("id"), col("v"), explode(array(buckets: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k via multi-table LSH: candidates are corpus
+    * vectors sharing any (table, bucket) with the query — a key-equality
+    * join, shuffle co-located on the bucket — then exact cosine re-rank
+    * of the candidate set only. Recall rises with `tables`; cost is
+    * O(collisions), not O(Q·N).
+    */
+  def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, tables: Int = 8, bits: Int = 12,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = lshBuckets(vecs, dim, tables, bits, idCol, vecCol)
+    val qs = lshBuckets(queries, dim, tables, bits, idCol, vecCol)
+      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+    val cand = corpus.join(qs,
+        corpus("tbl") === qs("tbl") && corpus("bucket") === qs("bucket") &&
+          col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("qid"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs: vectors colliding in any LSH
+    * bucket whose exact cosine clears the threshold. The bucket
+    * self-join bounds the candidate set; no cross join at any scale.
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
+                         dim: Int = 64, tables: Int = 8, bits: Int = 12,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(vecs, dim, tables, bits, idCol, vecCol)
+    b.as("x")
+      .join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("i"), col("y.id").as("j"))
+      .agg(first(col("x.v")).as("vi"), first(col("y.v")).as("vj"))
+      .select(col("i"), col("j"), round(cosine(col("vi"), col("vj")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
