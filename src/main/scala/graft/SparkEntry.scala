@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.Parity,
     graft.queries.DedupQueries,
-    graft.queries.SimilarityQueries
+    graft.queries.SimilarityQueries,
+    graft.queries.TextQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

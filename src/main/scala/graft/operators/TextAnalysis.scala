@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring (length/punctuation/
+  * stopword ratios), n-gram-free language ID (marker-word scoring), and
+  * document fingerprinting (md5 + Karp-Rabin rolling hash).
+  *
+  * Everything is a single-pass projection — no shuffle, no UDF — so at
+  * 100 TB each of these runs at parquet-scan speed. All arithmetic is
+  * integer or rational so the DuckDB oracle reproduces it exactly.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or single
+    * non-space symbols — the shape of a byte-pair pre-tokenizer's
+    * word-split stage.
+    */
+  val BpeTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Marker stopwords per language for the language-ID heuristic. The
+    * testdata vocabulary is English-ish, so `en` wins where markers
+    * appear and `und` (undetermined) is emitted when nothing matches.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "es" -> Seq("el", "los", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def words(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), w => w =!= "")
+
+  /** Per-document token statistics: whitespace tokens, BPE-ish regex
+    * tokens, characters, and the chars/4 token estimate LLM pipelines
+    * use for budgeting.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("ws", words(col("t")))
+      .select(
+        col("doc"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("t"), lit(BpeTokenRegex), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("t")).cast("long").as("n_chars"),
+        ceil(length(col("t")) / lit(4.0)).cast("long").as("est_tokens_char4"))
+
+  /** Quality-scoring features + a composite score in [0,1]: rewards
+    * length (saturating at 50 tokens), penalizes punctuation density,
+    * rewards stopword presence — the standard cheap heuristics for
+    * filtering web-scraped training text. Pure rational arithmetic.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = typedLit(LangMarkers.toMap.apply("en"))
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("ws", words(col("t")))
+      .select(col("doc"), col("t"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("t"), "[^.,!?;:]", "")).cast("double") /
+          length(col("t"))).as("punct_ratio"),
+        (size(filter(col("ws"), w => array_contains(stop, w))).cast("double") /
+          size(col("ws"))).as("stop_ratio"),
+        (aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).cast("double") /
+          size(col("ws"))).as("mean_tok_len"))
+      .select(col("doc"), col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stop_ratio"), 6).as("stopword_ratio"),
+        round(col("mean_tok_len"), 4).as("mean_token_len"),
+        round(
+          lit(0.5) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
+            lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.25) * least(lit(1.0), lit(4.0) * col("stop_ratio")),
+          6).as("quality"))
+  }
+
+  /** Marker-word language ID: score each candidate language by marker
+    * hits, pick the argmax (ties to the alphabetically first language),
+    * or `und` when no marker matches. The argmax is a sort of a 4-slot
+    * in-row array — no shuffle, unlike the equivalent window query.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = array(LangMarkers.map { case (lang, markers) =>
+      struct(
+        (-size(filter(col("ws"), w => array_contains(typedLit(markers), w))))
+          .cast("long").as("neg"),
+        lit(lang).as("lang"))
+    }: _*)
+    df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+      .withColumn("best", element_at(sort_array(scored), 1))
+      .select(col("doc"),
+        when(col("best.neg") === 0, "und").otherwise(col("best.lang"))
+          .as("lang_guess"),
+        (-col("best.neg")).as("score"))
+  }
+
+  /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
+    * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
+    * character codepoints — the incremental-update-friendly fingerprint
+    * used for shingling/streaming dedup.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("chars", filter(split(col("t"), ""), c => c =!= ""))
+      .select(col("doc"),
+        md5(col("t")).as("md5_fp"),
+        aggregate(col("chars"), lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("rolling_fp"))
+}

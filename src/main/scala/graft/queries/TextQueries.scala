@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.operators.TextAnalysis
+
+/** Catalog entries for the text-analysis operators over `documents`.
+  * All four are pure projections with exact integer/rational arithmetic,
+  * so every one is DuckDB-oracled (including the rolling hash, replayed
+  * with list_reduce over codepoints).
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir).documents
+
+  private val stats = CatalogQuery(
+    "t1_token_stats",
+    (s, dir) => TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""SELECT doc_id AS doc,
+           | CAST(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))
+           |      AS BIGINT) AS n_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+           |      AS BIGINT) AS n_bpe_tokens,
+           | CAST(len(text) AS BIGINT) AS n_chars,
+           | CAST(ceil(len(text)/4.0) AS BIGINT) AS est_tokens_char4
+           |FROM documents ORDER BY doc""".stripMargin),
+    doc = "Whitespace + BPE-ish-regex token counts per document")
+
+  private val quality = CatalogQuery(
+    "t2_quality_score",
+    (s, dir) => TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""WITH f AS (
+           |  SELECT doc_id AS doc,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws,
+           |    len(regexp_replace(text, '[^.,!?;:]', '', 'g'))*1.0/len(text)
+           |      AS punct_ratio,
+           |    text AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc, CAST(len(ws) AS BIGINT) AS n_tokens, punct_ratio,
+           |    len(list_filter(ws, w -> list_contains(['the','a','of','to','and'], w)))
+           |      *1.0/len(ws) AS stop_ratio,
+           |    list_sum(list_transform(ws, w -> len(w)))*1.0/len(ws) AS mtl
+           |  FROM f)
+           |SELECT doc, n_tokens,
+           |  round(punct_ratio, 6) AS punct_ratio,
+           |  round(stop_ratio, 6) AS stopword_ratio,
+           |  round(mtl, 4) AS mean_token_len,
+           |  round(0.5*least(1.0, n_tokens/50.0) + 0.25*(1.0-punct_ratio)
+           |        + 0.25*least(1.0, 4.0*stop_ratio), 6) AS quality
+           |FROM g ORDER BY doc""".stripMargin),
+    doc = "Length/punctuation/stopword quality heuristics + composite score")
+
+  private val langid = CatalogQuery(
+    "t3_language_id",
+    (s, dir) => TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id AS doc,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |scores AS (
+           |  SELECT doc, l.lang,
+           |    CAST(len(list_filter(ws, w -> list_contains(l.markers, w)))
+           |         AS BIGINT) AS score
+           |  FROM toks, (VALUES
+           |    ('de', ['der','die','das','und','nicht']),
+           |    ('en', ['the','a','of','to','and']),
+           |    ('es', ['el','los','que','y','en']),
+           |    ('fr', ['le','la','les','et','est'])) AS l(lang, markers)),
+           |best AS (
+           |  SELECT doc, lang, score,
+           |    row_number() OVER (PARTITION BY doc ORDER BY score DESC, lang) AS rn
+           |  FROM scores)
+           |SELECT doc, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_guess,
+           |       score
+           |FROM best WHERE rn = 1 ORDER BY doc""".stripMargin),
+    doc = "Marker-word language ID with deterministic argmax")
+
+  private val fingerprint = CatalogQuery(
+    "t4_fingerprints",
+    (s, dir) => TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""SELECT doc_id AS doc, md5(text) AS md5_fp,
+           | list_reduce(
+           |   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+           |                  c -> CAST(unicode(c) AS BIGINT)),
+           |   (a, b) -> (a*31 + b) % 1000000007) AS rolling_fp
+           |FROM documents ORDER BY doc""".stripMargin),
+    doc = "md5 + Karp-Rabin rolling-hash content fingerprints")
+
+  override def queries: Seq[CatalogQuery] = Seq(stats, quality, langid, fingerprint)
+}
