@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Parity,
     graft.queries.DedupQueries,
     graft.queries.SimilarityQueries,
-    graft.queries.TextQueries
+    graft.queries.TextQueries,
+    graft.queries.MapReduceQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

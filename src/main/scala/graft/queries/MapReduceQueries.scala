@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.mapreduce.{HashPartition, MapleJuiceJob, RangePartition, Workloads}
+
+/** Wordcount run through the Maple/Juice API with both partition
+  * strategies, checked against the SAME DuckDB oracle as the pure
+  * DataFrame wordcount (p1) — a three-way differential: DataFrame vs
+  * hash-MapleJuice vs range-MapleJuice vs DuckDB.
+  */
+object MapReduceQueries extends QueryModule {
+
+  private val wordcountOracle =
+    """SELECT word, count(*) AS n_occurrences
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+      |      FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  private def run(s: SparkSession, dir: String,
+                  strategy: graft.mapreduce.PartitionStrategy): DataFrame = {
+    import s.implicits._
+    val lines = Tables(s, dir).documents.select($"text").as[String]
+    MapleJuiceJob
+      .run(lines, Workloads.WordCountMaple, Workloads.WordCountJuice,
+        numPartitions = s.sparkContext.defaultParallelism, strategy)
+      .select($"_1".as("word"), $"_2".cast("long").as("n_occurrences"))
+      .orderBy($"word")
+  }
+
+  override def queries: Seq[CatalogQuery] = Seq(
+    CatalogQuery(
+      "mj1_wordcount_hash",
+      (s, dir) => run(s, dir, HashPartition),
+      Some(wordcountOracle),
+      doc = "Wordcount via the Maple/Juice API, hash partitioner " +
+        "(mp3/src/partition.go:29-38 semantics)"),
+    CatalogQuery(
+      "mj2_wordcount_range",
+      (s, dir) => run(s, dir, RangePartition),
+      Some(wordcountOracle),
+      doc = "Wordcount via the Maple/Juice API, range partitioner + " +
+        "sorted-run reduce (mp3/src/partition.go:12-19, SURVEY §2.6 P5)"))
+}
