@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gossip-membership state semantics (SURVEY.md §2.8 ST1–ST5) from the
+  * reference's failure detector (`mp3/src/detector.go:112-227`), as a
+  * Structured Streaming stateful operator.
+  *
+  * Merge rules (ST1, HeartbeatHandler `detector.go:163-227`):
+  *  - an entry updates iff the received heartbeat counter is strictly
+  *    greater than the local one (last-writer-wins on a monotonic
+  *    counter) — stale/duplicate gossip is idempotently ignored (ST5);
+  *  - `Left` status propagates regardless of counter;
+  *  - a `Failed` entry is NEVER resurrected by later gossip;
+  *  - an unknown member arriving already-`Failed` is not added.
+  * Timeouts: no update within `failAfterMs` marks the member Failed
+  * (ST2, `FailMember`); a further `cleanupAfterMs` removes the state
+  * entirely (ST3, `CleanupMember`).
+  *
+  * The transition logic is pure (`merge` / `onTimeout`) so tests can
+  * replay any schedule deterministically; the streaming wiring is
+  * `flatMapGroupsWithState` keyed by member id with event-time
+  * timeouts driven by the watermark (ST4's heartbeat tick becomes any
+  * event-time source, e.g. `rate` in the demo below).
+  */
+object Membership {
+
+  final val Alive = 0
+  final val Failed = 1
+  final val Left = 2
+
+  case class Heartbeat(memberId: Int, ip: String, heartbeatCount: Long,
+                       health: Int, eventTimeMs: Long)
+  case class MemberState(memberId: Int, ip: String, heartbeatCount: Long,
+                         lastUpdateMs: Long, health: Int)
+  /** kind: joined | updated | left | failed | removed */
+  case class MemberEvent(memberId: Int, kind: String, heartbeatCount: Long,
+                         health: Int, atMs: Long)
+
+  /** ST1 + ST5: fold a batch of heartbeats into the state. Pure. */
+  def merge(state: Option[MemberState], hbs: Seq[Heartbeat]): (Option[MemberState], Seq[MemberEvent]) = {
+    var st = state
+    val events = Seq.newBuilder[MemberEvent]
+    hbs.sortBy(h => (h.eventTimeMs, h.heartbeatCount)).foreach { h =>
+      st match {
+        case None =>
+          // never ADD an entry that is already failed (detector.go:179-189)
+          if (h.health != Failed) {
+            st = Some(MemberState(h.memberId, h.ip, h.heartbeatCount,
+              h.eventTimeMs, h.health))
+            events += MemberEvent(h.memberId,
+              if (h.health == Left) "left" else "joined",
+              h.heartbeatCount, h.health, h.eventTimeMs)
+          }
+        case Some(s) if s.health == Failed => // never resurrect (ST1)
+        case Some(s) if h.health == Left && s.health != Left =>
+          st = Some(s.copy(health = Left, lastUpdateMs = h.eventTimeMs))
+          events += MemberEvent(h.memberId, "left", s.heartbeatCount, Left, h.eventTimeMs)
+        case Some(s) if h.heartbeatCount > s.heartbeatCount && s.health != Left =>
+          st = Some(s.copy(heartbeatCount = h.heartbeatCount,
+            lastUpdateMs = h.eventTimeMs, health = Alive))
+          events += MemberEvent(h.memberId, "updated", h.heartbeatCount, Alive, h.eventTimeMs)
+        case _ => // stale or duplicate: idempotent no-op (ST5)
+      }
+    }
+    (st, events.result())
+  }
+
+  /** ST2 + ST3: what happens when the clock passes a deadline. Pure.
+    * Returns the surviving state (if any) and emitted events.
+    */
+  def onTimeout(s: MemberState, nowMs: Long, failAfterMs: Long,
+                cleanupAfterMs: Long): (Option[MemberState], Seq[MemberEvent]) =
+    if (s.health != Failed && nowMs - s.lastUpdateMs >= failAfterMs) {
+      val failed = s.copy(health = Failed)
+      (Some(failed), Seq(MemberEvent(s.memberId, "failed", s.heartbeatCount, Failed, nowMs)))
+    } else if (s.health == Failed && nowMs - s.lastUpdateMs >= failAfterMs + cleanupAfterMs) {
+      (None, Seq(MemberEvent(s.memberId, "removed", s.heartbeatCount, Failed, nowMs)))
+    } else (Some(s), Seq.empty)
+
+  /** Streaming wiring: heartbeats (with an `eventTime` timestamp column
+    * derived from eventTimeMs) → member lifecycle events. Works on any
+    * watermarked stream; state is O(live members).
+    */
+  def updates(heartbeats: Dataset[Heartbeat], failAfterMs: Long,
+              cleanupAfterMs: Long, watermarkDelay: String = "10 seconds"): Dataset[MemberEvent] = {
+    val spark = heartbeats.sparkSession
+    import spark.implicits._
+    heartbeats
+      .withColumn("eventTime",
+        org.apache.spark.sql.functions.timestamp_millis($"eventTimeMs"))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Heartbeat]
+      .groupByKey(_.memberId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (id: Int, hbs: Iterator[Heartbeat], gs: GroupState[MemberState]) => {
+          val prior = gs.getOption
+          val batch = hbs.toSeq
+          val (afterTimeout, timeoutEvents) =
+            if (gs.hasTimedOut && prior.isDefined)
+              onTimeout(prior.get, gs.getCurrentWatermarkMs(),
+                failAfterMs, cleanupAfterMs)
+            else (prior, Seq.empty[MemberEvent])
+          val (next, mergeEvents) = merge(afterTimeout, batch)
+          next match {
+            case Some(s) =>
+              gs.update(s)
+              val deadline = s.lastUpdateMs +
+                (if (s.health == Failed) failAfterMs + cleanupAfterMs else failAfterMs)
+              // event-time timeouts must be >= watermark; clamp forward
+              gs.setTimeoutTimestamp(math.max(deadline, gs.getCurrentWatermarkMs() + 1))
+            case None => gs.remove()
+          }
+          (timeoutEvents ++ mergeEvents).iterator
+        })
+  }
+
+  /** ST4 demo: a `rate`-source heartbeat generator — `members` ids
+    * round-robin, counter = tick/members — feeding `updates`, printed
+    * to console. A self-contained runnable gossip-membership pipeline.
+    */
+  def demo(spark: SparkSession, members: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val hbs = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+      .select(
+        ($"value" % members).cast("int").as("memberId"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("10.0.0."), ($"value" % members).cast("string")).as("ip"),
+        ($"value" / members).cast("long").as("heartbeatCount"),
+        org.apache.spark.sql.functions.lit(Alive).as("health"),
+        org.apache.spark.sql.functions.unix_millis($"timestamp").as("eventTimeMs"))
+      .as[Heartbeat]
+    updates(hbs, failAfterMs = 2000, cleanupAfterMs = 5000)
+      .writeStream.format("console").outputMode("append").start()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + spot checks over the whole declared catalog at sf0.001:
+  * every query the driver will grade must at least build, run, and
+  * return rows with its declared column names; a few have hand-checked
+  * values (ground truth computed independently in DuckDB).
+  */
+class CatalogSpec extends SparkSpecBase {
+
+  test("every catalog query runs and returns rows at sf0.001") {
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val df = fn(spark, sf("sf0.001"))
+      name -> df.count()
+    }
+    val empty = results.filter(_._2 == 0).keys.toSeq.sorted
+    // d2/d3/d4 near-dup pair sets may legitimately be empty at the
+    // smallest scale factor; everything else must produce rows
+    val allowedEmpty = Set("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
+      "d4_simhash_dedup", "s3_cosine_neardup", "p4_grep")
+    assert(empty.forall(allowedEmpty), s"unexpected empty queries: $empty")
+  }
+
+  test("entry (flagship) query returns rows, per the driver smoke check") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q9 distinct counts match independently computed ground truth") {
+    val row = SparkEntry.queries("q9_distinct_counts")(spark, sf("sf0.001")).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 10L, 1473L)))
+  }
+
+  test("q1 pricing summary partitions all 6000 lineitems minus the cutoff") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf("sf0.001"))
+    assert(df.count() == 6)
+    val total = df.agg(sum($"count_order")).head.getLong(0)
+    assert(total == 4965L) // DuckDB: COUNT(*) under the shipdate cutoff
+  }
+
+  test("p3 condorcet emits one row per candidate with a unique winner") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("p3_condorcet")(spark, sf("sf0.001")).collect()
+    assert(rows.length == 5)
+    assert(rows.count(_.getBoolean(3)) <= 1) // at most one Condorcet winner
+    val wins = rows.map(_.getLong(1)).sum
+    assert(wins == 10, s"total pairwise wins must be C(5,2)=10, got $wins")
+  }
+}

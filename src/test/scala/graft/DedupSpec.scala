@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpecBase {
+
+  private def docs = graft.core.Tables(spark, sf("sf0.001")).documents
+
+  test("exact dedup collapses planted duplicate texts") {
+    val s = spark
+    import s.implicits._
+    val dup = docs.limit(3).select(($"doc_id" + 10000).as("doc_id"),
+      $"text", $"lang", $"source", $"n_chars")
+    val result = Dedup.exact(docs.union(dup), "doc_id", "text")
+    assert(result.filter($"n_copies" === 2).count() == 3)
+    // canonical representative is the smallest id
+    val keep = result.filter($"n_copies" === 2)
+      .agg(max($"keep_id")).head.getLong(0)
+    assert(keep < 10000)
+  }
+
+  test("MinHash+LSH finds exactly the exact-Jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not produce false positives (exact-verified)")
+    assert(lsh == exact,
+      s"LSH missed ${exact.diff(lsh).size} of ${exact.size} true pairs")
+  }
+
+  test("SimHash finds the very-high-similarity pairs and reports true Hamming") {
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sim.nonEmpty, "testdata plants near-dups; SimHash should find some")
+    assert(sim.forall(_._3 <= 3))
+    // SimHash measures token-multiset similarity, so it can legitimately
+    // pair tiny-vocab docs that are not SHINGLE-similar — but pairs that
+    // are nearly identical under 3-gram Jaccard must also collide here
+    val nearIdentical = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.97)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = sim.map(t => (t._1, t._2)).toSet
+    assert(nearIdentical.nonEmpty)
+    val found = nearIdentical.count(simPairs.contains)
+    assert(found >= (nearIdentical.size * 0.7).toInt,
+      s"SimHash found only $found of ${nearIdentical.size} near-identical pairs")
+  }
+
+  test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(one, "doc_id", "text", 3).as[(Long, String)].collect()
+    assert(sh.map(_._2).sorted.toSeq == Seq("a b c", "b c d", "c d e"))
+    // shorter than n: no shingles (the sequence() guard)
+    val short = Seq((2L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, "doc_id", "text", 3).count() == 0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.Membership
+import graft.streaming.Membership._
+
+/** Deterministic replay of the ST1–ST5 state transitions
+  * (SURVEY.md §2.8; `mp3/src/detector.go:112-227`).
+  */
+class MembershipSpec extends SparkSpecBase {
+
+  private def hb(id: Int, count: Long, t: Long, health: Int = Alive) =
+    Heartbeat(id, s"10.0.0.$id", count, health, t)
+
+  test("ST1: higher heartbeat counter wins, stale is ignored (ST5)") {
+    val (s1, e1) = merge(None, Seq(hb(1, 5, 100)))
+    assert(s1.exists(_.heartbeatCount == 5) && e1.map(_.kind) == Seq("joined"))
+    val (s2, e2) = merge(s1, Seq(hb(1, 7, 200)))
+    assert(s2.exists(_.heartbeatCount == 7) && e2.map(_.kind) == Seq("updated"))
+    // duplicate and stale counters: idempotent no-ops
+    val (s3, e3) = merge(s2, Seq(hb(1, 7, 300), hb(1, 3, 400)))
+    assert(s3 == s2 && e3.isEmpty)
+  }
+
+  test("ST1: Left propagates regardless of counter; Failed never resurrects") {
+    val (alive, _) = merge(None, Seq(hb(1, 10, 100)))
+    val (left, eLeft) = merge(alive, Seq(hb(1, 2, 200, health = Left)))
+    assert(left.exists(_.health == Left) && eLeft.map(_.kind) == Seq("left"))
+    // a Left entry does not go back to Alive on new heartbeats
+    val (stillLeft, _) = merge(left, Seq(hb(1, 99, 300)))
+    assert(stillLeft.exists(_.health == Left))
+
+    val failed = Some(MemberState(2, "10.0.0.2", 5, 100, Failed))
+    val (afterGossip, events) = merge(failed, Seq(hb(2, 100, 500)))
+    assert(afterGossip == failed && events.isEmpty)
+  }
+
+  test("ST1: an unknown member arriving already-Failed is not added") {
+    val (st, events) = merge(None, Seq(hb(3, 5, 100, health = Failed)))
+    assert(st.isEmpty && events.isEmpty)
+  }
+
+  test("ST2/ST3: fail after timeout, remove after cleanup timeout") {
+    val (st, _) = merge(None, Seq(hb(1, 1, 1000)))
+    // before the deadline: no change
+    val (same, none) = onTimeout(st.get, 1500, failAfterMs = 1000, cleanupAfterMs = 2000)
+    assert(same == st && none.isEmpty)
+    // past fail deadline: Failed
+    val (failed, eFail) = onTimeout(st.get, 2000, 1000, 2000)
+    assert(failed.exists(_.health == Failed) && eFail.map(_.kind) == Seq("failed"))
+    // past fail+cleanup deadline: removed
+    val (gone, eGone) = onTimeout(failed.get, 4000, 1000, 2000)
+    assert(gone.isEmpty && eGone.map(_.kind) == Seq("removed"))
+  }
+
+  test("streaming wiring replays a two-batch schedule deterministically") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Heartbeat]
+    val events = Membership.updates(input.toDS(), failAfterMs = 1000,
+      cleanupAfterMs = 2000, watermarkDelay = "0 seconds")
+    val q = events.writeStream.format("memory")
+      .queryName("member_events").outputMode("append").start()
+    try {
+      input.addData(hb(1, 1, 1000), hb(2, 1, 1100), hb(1, 2, 1200))
+      q.processAllAvailable()
+      // advance event time far enough that member 2 (last seen 1100)
+      // passes its fail deadline once the watermark moves
+      input.addData(hb(1, 3, 5000))
+      q.processAllAvailable()
+      input.addData(hb(1, 4, 9000))
+      q.processAllAvailable()
+      val got = s.table("member_events")
+        .as[MemberEvent].collect().toSeq
+      val kinds = got.groupBy(_.memberId).view
+        .mapValues(_.sortBy(_.atMs).map(_.kind).toList).toMap
+      assert(kinds(1) == List("joined", "updated", "updated", "updated"))
+      assert(kinds(2).head == "joined" && kinds(2).contains("failed"))
+    } finally q.stop()
+  }
+}

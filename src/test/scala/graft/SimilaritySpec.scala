@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+
+  private def emb = graft.core.Tables(spark, sf("sf0.001")).embeddings
+
+  /** Perturbed copies at cosine ≈0.97, ids offset +1M (mirrors
+    * SimilarityQueries.perturbed).
+    */
+  private def perturbed(e: org.apache.spark.sql.DataFrame) =
+    e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x + lit(0.04) * sin(col("vec_id") * 7 + i)).as("embedding"))
+
+  test("LSH top-k rank-1 recovers the source of each perturbed query") {
+    val queries = perturbed(emb.filter(col("vec_id") < 10))
+    val top = Similarity.lshTopK(emb, queries, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top.size == 10)
+    top.foreach { case (qid, neighbor) =>
+      assert(neighbor == qid - 1000000L, s"query $qid resolved to $neighbor")
+    }
+  }
+
+  test("LSH cosines agree with brute-force cosines for the same pairs") {
+    val queries = perturbed(emb.filter(col("vec_id") < 10))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(b => assert(math.abs(b - cos) < 1e-9))
+    }
+  }
+
+  test("cosine near-dup recovers nearly all planted pairs, no false claims") {
+    val e = emb
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(base.union(perturbed(e)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.count { case (i, j, _) => j - i == 1000000L }
+    val n = e.count()
+    assert(planted >= (n * 0.9).toInt, s"found $planted of $n planted pairs")
+    // every reported cosine clears the threshold (exact-verified)
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
+  test("dot/cosine expressions compute correctly on known vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val row = df.select(
+      Similarity.dot(col("a"), col("b")).as("dot"),
+      Similarity.cosine(col("a"), col("a")).as("self")).head
+    assert(row.getDouble(0) == 32.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+  }
+}

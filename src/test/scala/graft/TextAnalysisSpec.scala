@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpecBase {
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenStats counts whitespace and BPE-ish tokens") {
+    val row = TextAnalysis.tokenStats(
+      df((1L, "the quick brown fox!! 42 jumps")), "doc_id", "text").head
+    assert(row.getLong(1) == 6)       // ws tokens
+    assert(row.getLong(2) == 8)       // bpe-ish: 5 words + '!' + '!' + '42'
+    assert(row.getLong(3) == 30)      // chars
+    assert(row.getLong(4) == 8)       // ceil(30/4)
+  }
+
+  test("languageId picks marker argmax, und when nothing matches") {
+    val out = TextAnalysis.languageId(
+      df((1L, "the cat and the hat"), (2L, "der hund und die katze"),
+        (3L, "zzz qqq")), "doc_id", "text")
+      .orderBy(col("doc")).collect()
+    assert(out(0).getString(1) == "en" && out(0).getLong(2) == 3)
+    assert(out(1).getString(1) == "de" && out(1).getLong(2) == 3)
+    assert(out(2).getString(1) == "und" && out(2).getLong(2) == 0)
+  }
+
+  test("rolling fingerprint is the Karp-Rabin fold; md5 matches reference value") {
+    val row = TextAnalysis.fingerprints(df((1L, "ab")), "doc_id", "text").head
+    assert(row.getString(1) == "187ef4436122d1cc2f40dc2b92f0eba0") // md5("ab")
+    assert(row.getLong(2) == 97L * 31 + 98)
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-rich long text") {
+    val out = TextAnalysis.qualityScore(
+      df((1L, ("the a of and to " * 20).trim), (2L, "zq")), "doc_id", "text")
+      .orderBy(col("doc")).collect()
+    val good = out(0).getDouble(5); val bad = out(1).getDouble(5)
+    assert(good > bad)
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+  }
+}
