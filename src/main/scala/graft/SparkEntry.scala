@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.SimilarityQueries,
     graft.queries.TextQueries,
-    graft.queries.MapReduceQueries
+    graft.queries.MapReduceQueries,
+    graft.queries.MultimodalQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {
