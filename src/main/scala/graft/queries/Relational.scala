@@ -217,9 +217,10 @@ object Relational extends QueryModule {
            |WHERE l_suppkey <= 3
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin))
 
-  /** Exact distinct counts (expand+two-phase agg in Spark). The engine
-    * also exposes approx_count_distinct (HLL) for the 100 TB path — see
-    * RelationalSpec; approximate results can't hash-match an oracle.
+  /** Exact distinct counts (expand+two-phase agg in Spark). For the
+    * 100 TB path approx_count_distinct (HLL) replaces these; it can't
+    * hash-match an oracle, so the exact form is what the gate checks
+    * (spot values in CatalogSpec).
     */
   private val q9 = CatalogQuery(
     "q9_distinct_counts",
@@ -306,6 +307,35 @@ object Relational extends QueryModule {
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin))
 
+  /** Union/concatenation (SURVEY §2.6 P7 — the reference concatenates
+    * per-key juice outputs and merges grep results from all nodes):
+    * UNION ALL of two branch selections, then one aggregation. Spark
+    * unions are metadata-only (no shuffle until the groupBy).
+    */
+  private val q13 = CatalogQuery(
+    "q13_union_order_events",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+      val opened = o.select($"o_custkey", lit("opened").as("kind"),
+        $"o_totalprice".as("amount"))
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey", lit("urgent").as("kind"),
+          $"o_totalprice".as("amount"))
+      opened.union(urgent)
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n"), round(sum($"amount"), 2).as("total_amount"))
+        .orderBy($"kind")
+    },
+    Some("""SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
+           |FROM (
+           |  SELECT o_custkey, 'opened' AS kind, o_totalprice AS amount FROM orders
+           |  UNION ALL
+           |  SELECT o_custkey, 'urgent' AS kind, o_totalprice AS amount
+           |  FROM orders WHERE o_orderpriority = '1-URGENT')
+           |GROUP BY kind ORDER BY kind""".stripMargin),
+    doc = "UNION ALL concatenation + aggregation (SURVEY §2.6 P7)")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13)
 }

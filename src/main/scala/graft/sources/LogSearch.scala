@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's headline query engine: distributed regex grep over
+  * per-machine log files returning (source, line number, line) tuples
+  * (`mp0/src/finder/finder.go:19-44`, `mp3/src/logs.go:170-195`).
+  */
+object LogSearch {
+
+  /** One grep match, the reference's MatchRes (`mp3/src/logs.go:26-30`). */
+  case class MatchRes(source: String, lineNo: Long, line: String)
+
+  /** Exact-line-number grep. Reads each file whole and splits lines —
+    * the SAME I/O shape as the reference, which ioutil.ReadFiles the
+    * entire log before splitting (`mp3/src/logs.go:179-188`); one task
+    * per file, no shuffle, results stream back as they match. Right for
+    * the reference's per-machine-log use case (files that fit in one
+    * task's memory).
+    */
+  def grepFiles(spark: SparkSession, glob: String, pattern: String): Dataset[MatchRes] = {
+    import spark.implicits._
+    val regex = pattern // serialized to tasks as a plain string
+    spark.sparkContext.wholeTextFiles(glob)
+      .flatMap { case (file, content) =>
+        val r = regex.r
+        content.split("\n", -1).iterator.zipWithIndex.collect {
+          // 1-based line numbers, like the reference's finder
+          case (line, i) if r.findFirstIn(line).isDefined =>
+            MatchRes(file, i + 1L, line)
+        }
+      }.toDS()
+  }
+
+  /** Line-number-free grep for files too large to read whole: a plain
+    * splittable text scan + rlike filter — one stage, no shuffle, any
+    * scale. `source` is the originating file.
+    */
+  def grepLines(spark: SparkSession, glob: String, pattern: String): DataFrame =
+    spark.read.textFile(glob)
+      .select(input_file_name().as("source"), col("value").as("line"))
+      .filter(col("line").rlike(pattern))
+
+  /** Tail: the reference's `print logs -n N` (`mp3/src/logs.go:59-85`)
+    * — last n lines of one log file, with line numbers.
+    */
+  def tail(spark: SparkSession, path: String, n: Int): Dataset[MatchRes] = {
+    import spark.implicits._
+    grepFiles(spark, path, ".*").orderBy(col("lineNo").desc).limit(n)
+      .orderBy(col("lineNo"))
+  }
+}

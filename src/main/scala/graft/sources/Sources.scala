@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Text and CSV sources with the reference's exact read semantics. */
+object Sources {
+
+  /** Line-oriented text scan (SURVEY §2.1 S1/S6): the newline-aligned
+    * block splitting the reference hand-rolls (`mp3/src/sdfs.go:94-106`)
+    * is what Hadoop text input splits do natively — records never span
+    * splits, splits parallelize one file.
+    */
+  def textLines(spark: SparkSession, path: String): Dataset[String] =
+    spark.read.textFile(path)
+
+  /** Per-line CSV parse (SURVEY §2.1 S4): the reference parses each
+    * LINE as a CSV record (`mp3/src/mj_wine/wine_maple.go:9-13`), so a
+    * quoted field containing a newline breaks the parse and the row is
+    * silently dropped. Spark's multiLine=false + DROPMALFORMED
+    * reproduces exactly that behavior — documented reference parity,
+    * deliberately NOT "fixed" (set multiLine=true for real CSV files).
+    */
+  def csvPerLine(spark: SparkSession, path: String, schema: StructType,
+                 header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("multiLine", "false")
+      .option("mode", "DROPMALFORMED")
+      .schema(schema)
+      .csv(path)
+}
