@@ -31,6 +31,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as raw int64 so
       // Tables.events can truncate to micros deterministically.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft expressions (token_count, ...) as SQL functions
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),

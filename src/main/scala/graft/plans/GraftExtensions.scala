@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.TokenCount
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT token_count(text, 'hash') ...")` plans the
+  * codegen'd expression. Activated via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (GraftSession
+  * sets it; any external session can too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.tokenCountEntry)
+  }
+}
+
+object GraftExtensions {
+  private val tokenCountEntry = (
+    FunctionIdentifier("token_count"),
+    new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "token_count(text, token) takes 2 arguments")
+      TokenCount(args.head, args(1)): Expression
+    })
+
+  /** Imperative fallback for sessions built WITHOUT
+    * spark.sql.extensions=graft.plans.GraftExtensions: registers the
+    * same functions directly in the session registry. Idempotent
+    * (registration overwrites).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = tokenCountEntry
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -93,5 +93,35 @@ object TextQueries extends QueryModule {
            |FROM documents ORDER BY doc""".stripMargin),
     doc = "md5 + Karp-Rabin rolling-hash content fingerprints")
 
-  override def queries: Seq[CatalogQuery] = Seq(stats, quality, langid, fingerprint)
+  /** The reference's scalar-function surface in one query (SURVEY §2.7:
+    * trim, substring/char-index, concat, length, token membership) plus
+    * the native token_count Expression — its per-occurrence count must
+    * match the oracle's composed list_filter form exactly.
+    */
+  private val scalars = CatalogQuery(
+    "t5_scalar_functions",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables(s, dir).documents
+      .select(col("doc_id").as("doc"),
+        graft.functions.TokenCount(col("text"), lit("hash")).as("n_hash"),
+        length(trim(col("text"))).cast("long").as("trimmed_len"),
+        substring(col("text"), 1, 12).as("prefix"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        upper(substring(col("source"), 4, 10)).as("src_num"))
+      .orderBy(col("doc"))
+    },
+    Some("""SELECT doc_id AS doc,
+           | CAST(len(list_filter(string_split_regex(text,'\s+'),
+           |                      w -> w = 'hash')) AS BIGINT) AS n_hash,
+           | CAST(len(trim(text)) AS BIGINT) AS trimmed_len,
+           | substr(text, 1, 12) AS prefix,
+           | concat_ws('|', lang, source) AS tag,
+           | upper(substr(source, 4, 10)) AS src_num
+           |FROM documents ORDER BY doc""".stripMargin),
+    doc = "Reference scalar functions (trim/substring/concat/length) + " +
+      "the native token_count Catalyst expression")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(stats, quality, langid, fingerprint, scalars)
 }
