@@ -80,6 +80,38 @@ object Workloads {
     }
   }
 
+  /** Reference-compat Condorcet phase 2 (`mp3/src/juice/condorcet_2.go`
+    * reproduced EXACTLY, quirks and all): candidates are the single
+    * digits 0..numCandidates-1 parsed from position 1 of the trimmed
+    * pair string; a candidate with numCandidates-1 wins emits
+    * `(digit, " is the condorcet winner!")` and stops; otherwise the
+    * max-win set is emitted as a TRAILING-COMMA digit list with value
+    * " have the highest condorcet counts, no winner.". Use
+    * CondorcetJuice2 for the generalized semantics.
+    */
+  final class CondorcetJuice2Compat(numCandidates: Int = 10) extends Juice {
+    def juice(key: String, values: Iterator[String]): IterableOnce[(String, String)] = {
+      val votes = new Array[Int](numCandidates)
+      values.foreach { v =>
+        val trimmed = v.trim
+        if (trimmed.length >= 5) {
+          trimmed.charAt(1).toString.toIntOption
+            .filter(i => i >= 0 && i < numCandidates)
+            .foreach(votes(_) += 1)
+        }
+      }
+      votes.indexWhere(_ == numCandidates - 1) match {
+        case w if w >= 0 => Iterator((w.toString, " is the condorcet winner!"))
+        case _ =>
+          val maxCount = votes.max
+          val winnerSet = votes.zipWithIndex.collect {
+            case (v, i) if v == maxCount => s"$i,"
+          }.mkString
+          Iterator((winnerSet, " have the highest condorcet counts, no winner."))
+      }
+    }
+  }
+
   /** Condorcet phase 2 reduce (`mp3/src/juice/condorcet_2.go:9-47`)
     * generalized past its hardcoded 10 single-char candidates: tally
     * pairwise wins per candidate from "(w l)" pairs; a candidate with

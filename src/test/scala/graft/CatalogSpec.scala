@@ -35,6 +35,15 @@ class CatalogSpec extends SparkSpecBase {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 10L, 1473L)))
   }
 
+  test("approx_count_distinct (the 100 TB path) lands within 5% of exact") {
+    val s = spark
+    import s.implicits._
+    val approx = graft.core.Tables(s, sf("sf0.001")).lineitem
+      .agg(approx_count_distinct($"l_orderkey", 0.01).as("a")).head.getLong(0)
+    assert(math.abs(approx - 1473L) <= 1473L * 0.05,
+      s"HLL estimate $approx too far from exact 1473")
+  }
+
   test("q1 pricing summary partitions all 6000 lineitems minus the cutoff") {
     val s = spark
     import s.implicits._

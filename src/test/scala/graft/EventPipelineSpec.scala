@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventPipeline
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class EventPipelineSpec extends SparkSpecBase {
+
+  private def ev(minute: Int, t: String, v: Double) =
+    Ev(new Timestamp(3600000L + minute * 60000L), t, v)
+
+  test("streaming windowed agg finalizes windows as the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventPipeline
+      .hourlyByType(input.toDF(), watermarkDelay = "10 minutes",
+        windowLength = "30 minutes")
+      .writeStream.format("memory").queryName("ev_windows")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "click", 1.0), ev(5, "click", 2.0), ev(40, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close both earlier windows
+      input.addData(ev(120, "click", 9.0))
+      q.processAllAvailable()
+      val rows = s.table("ev_windows")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("the same declaration computes all windows in batch mode") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(ev(1, "click", 1.0), ev(5, "click", 2.0), ev(40, "view", 3.0))
+      .toDF()
+    val rows = EventPipeline.hourlyByType(batch, windowLength = "30 minutes")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+}

@@ -113,6 +113,24 @@ class MapleJuiceSpec extends SparkSpecBase {
     assert(!phase2.contains("c")) // zero pairwise wins, like the reference
   }
 
+  test("compat Condorcet juice reproduces the reference's exact output strings") {
+    val s = spark
+    import s.implicits._
+    def phase2(ballots: Seq[String]): Map[String, String] = {
+      val p1 = MapleJuiceJob.run(ballots.toDS(),
+        Workloads.CondorcetMaple1, Workloads.CondorcetJuice1, 2)
+      MapleJuiceJob.run(p1.map(_._1),
+        Workloads.CondorcetMaple2, new Workloads.CondorcetJuice2Compat(3), 1)
+        .collect().toMap
+    }
+    // candidate 0 beats 1 and 2; 1 beats 2 → 0 is the Condorcet winner
+    assert(phase2(Seq("0,1,2", "0,2,1", "1,0,2")) ==
+      Map("0" -> " is the condorcet winner!"))
+    // rock-paper-scissors cycle → trailing-comma max-win set, no winner
+    assert(phase2(Seq("0,1,2", "1,2,0", "2,0,1")) ==
+      Map("0,1,2," -> " have the highest condorcet counts, no winner."))
+  }
+
   test("writeTsv emits k<TAB>v lines") {
     val s = spark
     import s.implicits._
