@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Executable plan-quality guards: the properties the engine's Scaladoc
+  * claims about its physical plans, asserted against the optimizer's
+  * actual output so a regression (lost pushdown, surprise cartesian,
+  * dropped broadcast) fails CI rather than surfacing as a 100 TB
+  * incident.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.01"))
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q4: dimension is filtered BEFORE broadcast, fact side never shuffles") {
+    val p = plan("q4_brand_revenue_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,10)"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("no pair-finding query ever plans a cartesian product") {
+    for (q <- Seq("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
+        "d4_simhash_dedup", "s2_ann_lsh_topk", "s3_cosine_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("s1 brute force IS the deliberate exception: broadcast nested loop") {
+    // brute-force top-k: tiny query set × corpus, declared O(Q·N) baseline
+    assert(plan("s1_cosine_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q2 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val s = spark
+    import s.implicits._
+    val li = graft.core.Tables(s, sf("sf0.001")).lineitem
+    val direct = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("q"), sum(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val salted = graft.operators.Skew
+      .saltedSum(li, "l_returnflag", 8,
+        Map("q" -> $"l_quantity", "n" -> lit(1L)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (q, n)) =>
+      assert(n == direct(k)._2 && math.abs(q - direct(k)._1) < 1e-6)
+    }
+  }
+}

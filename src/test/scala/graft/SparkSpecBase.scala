@@ -15,9 +15,15 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpecBase {
-  // one session per JVM: specs share it, sbt forks a single test JVM
+  // one session per JVM: specs share it, sbt forks a single test JVM.
+  // Warehouse in tmp so bucketed-table tests never litter the repo.
   lazy val shared: SparkSession = {
-    val s = GraftSession.local(cores = 4, appName = "graft-test")
+    val s = GraftSession.tuned(
+      SparkSession.builder().master("local[4]").appName("graft-test")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString),
+      shufflePartitions = 4
+    ).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
