@@ -133,13 +133,14 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
-    // Exact verification of the candidate set only: materialize shingle
-    // sets for just the docs that appear in a candidate pair (a tiny
-    // semi-join-reduced subset), not the whole corpus.
+    // Exact verification of the candidate set only: semi-join the RAW
+    // docs down to those appearing in a candidate pair BEFORE shingling,
+    // so the explode runs over the (tiny) candidate subset, not the
+    // whole corpus a second time.
     val candDocs = cand
-      .select(explode(array(col("i"), col("j"))).as("doc")).distinct()
-    val sets = shingles(df, idCol, textCol, n)
-      .join(candDocs, "doc", "left_semi")
+      .select(explode(array(col("i"), col("j"))).as("cand_doc")).distinct()
+    val candRows = df.join(candDocs, col(idCol) === col("cand_doc"), "left_semi")
+    val sets = shingles(candRows, idCol, textCol, n)
       .groupBy("doc").agg(collect_set(col("shingle")).as("s"))
     cand
       .join(sets.select(col("doc").as("i"), col("s").as("si")), "i")
