@@ -26,6 +26,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The consuming form of exact dedup: the surviving ROWS (smallest id
+    * per distinct content), i.e. what a pipeline writes back out. One
+    * extra semi-join against the fingerprint table.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exact(df, idCol, textCol).select(col("keep_id")),
+      col(idCol) === col("keep_id"), "left_semi")
+
+  /** Prune near-duplicates given a pair table (i, j) with i < j: the
+    * larger id of every pair is dropped. Non-iterative (no connected
+    * components): if a~b and b~c, both b and c are removed even though
+    * b's removal already "covers" the b~c edge — the standard greedy
+    * one-pass rule for dedup at scale, where transitive chains are
+    * overwhelmingly true duplicates anyway. One anti-join.
+    */
+  def pruneNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("j")), col(idCol) === col("j"), "left_anti")
+
   /** Word n-gram shingle set per document: (id, shingle) rows, distinct.
     * Guarded so a doc shorter than n words yields no shingles (Spark's
     * `sequence(1, k)` would count DOWN for k < 1 and corrupt indices).

@@ -69,5 +69,48 @@ object DedupQueries extends QueryModule {
     None, // same: engine-hash-dependent; invariants tested in DedupSpec.
     doc = "SimHash-64 near-dup pairs, Hamming <= 3 via 16-bit block LSH")
 
-  override def queries: Seq[CatalogQuery] = Seq(exact, ngram, minhash, simhash)
+  /** End-to-end corpus cleaning, the shape a training-data pipeline
+    * actually runs: drop exact duplicates, prune near-duplicates (the
+    * larger id of every Jaccard>=0.8 pair), report survivors by lang.
+    * Fully DuckDB-oracled since both stages are deterministic SQL.
+    */
+  private val pipeline = CatalogQuery(
+    "d5_dedup_pipeline",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val exactKept = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 100)
+      Dedup.pruneNearDuplicates(exactKept, "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH keep_exact AS (
+           |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+           |toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |         FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id i, b.doc_id j, count(*) c
+           |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |near_dup_j AS (
+           |  SELECT DISTINCT j FROM pairs
+           |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+           |  WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8)
+           |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+           |FROM documents
+           |WHERE doc_id IN (SELECT keep_id FROM keep_exact)
+           |  AND doc_id NOT IN (SELECT j FROM near_dup_j)
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "End-to-end corpus cleaning: exact dedup -> near-dup pruning " +
+      "(drop larger id per Jaccard>=0.8 pair) -> survivor stats")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(exact, ngram, minhash, simhash, pipeline)
 }

@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpecBase {
       s"SimHash found only $found of ${nearIdentical.size} near-identical pairs")
   }
 
+  test("dropExactDuplicates keeps one row per content, pruneNearDuplicates drops the larger id") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"), // exact dup
+      (3L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val exactKept = Dedup.dropExactDuplicates(base, "doc_id", "text")
+    assert(exactKept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    val pairs = Seq((1L, 3L)).toDF("i", "j")
+    val pruned = Dedup.pruneNearDuplicates(exactKept, "doc_id", pairs)
+    assert(pruned.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._
