@@ -11,6 +11,9 @@ import graft.core.GraftSession
   *  - one warm-up pass (JVM/codegen/parquet-footer caches) before timing;
   *  - action = write.format("noop") so every projected column is actually
   *    materialized (count() lets Catalyst prune the work away);
+  *  - per-query time = best of 2 timed runs (this host shows 1.5-2x
+  *    run-to-run noise under load; min is the standard noise-robust
+  *    estimator for a deterministic workload);
   *  - a failing query is reported in "errors" with elapsed -1, never
   *    silently folded into the total.
   */
@@ -33,15 +36,18 @@ object Bench {
       try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      val elapsed =
-        try { runOnce(SparkEntry.queries(name)); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          -1.0
-        }
-      name -> elapsed
+      try { runOnce(SparkEntry.queries(name)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        -1.0
+      }
+    }
+    val results = names.map { name =>
+      val a = timeOnce(name)
+      val b = if (a >= 0) timeOnce(name) else a
+      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
     }
     def js(s: String): String =
       "\"" + s.flatMap {

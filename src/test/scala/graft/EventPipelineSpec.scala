@@ -37,6 +37,19 @@ class EventPipelineSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("batch EventPipeline totals agree with q12's hourly aggregation") {
+    val s = spark
+    import s.implicits._
+    val events = graft.core.Tables(s, sf("sf0.001")).events
+    val pipeline = graft.streaming.EventPipeline
+      .hourlyByType(events.select($"ts", $"event_type", $"value"))
+      .agg(sum($"n_events"), round(sum($"total_value"), 2)).head
+    val q12 = SparkEntry.queries("q12_events_hourly")(s, sf("sf0.001"))
+      .agg(sum($"n_events"), round(sum($"total_value"), 2)).head
+    assert(pipeline.getLong(0) == q12.getLong(0))
+    assert(math.abs(pipeline.getDouble(1) - q12.getDouble(1)) < 0.02)
+  }
+
   test("the same declaration computes all windows in batch mode") {
     val s = spark
     import s.implicits._
