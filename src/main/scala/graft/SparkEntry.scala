@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries,
     graft.queries.TextQueries,
     graft.queries.MapReduceQueries,
-    graft.queries.MultimodalQueries
+    graft.queries.MultimodalQueries,
+    graft.queries.TemporalQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

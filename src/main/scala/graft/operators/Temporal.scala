@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark has no single built-in for: backward as-of
+  * join and gap-based sessionization.
+  *
+  * The as-of join is the union + sorted-window carry-forward
+  * formulation: tag both sides, union them, and within each key carry
+  * the last right-side row forward over the time-sorted stream. ONE
+  * shuffle on (keys), no inequality join — the naive range-join
+  * (`l.t >= r.t` + argmax) explodes to O(|L|·|R|) per key and is the
+  * classic 100 TB scale-killer this formulation exists to avoid.
+  */
+object Temporal {
+
+  /** For each left row, attach the latest right row with
+    * `right.timeCol <= left.timeCol` on equal `keys` (backward as-of,
+    * ties include the right row). `carryCols` are the right columns to
+    * attach, null when no prior right row exists (left-join shape).
+    * Column name collisions: carried columns get `asof_` prefixes.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       carryCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // common layout: keys ++ __t ++ __side ++ leftCols-as-nullable ++ carry
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.map(c => col(c).as(s"asof_$c")): _*)
+    // at equal __t the right row sorts first (side 0 < 1), so a right
+    // row exactly at leftTime is visible to that left row (<= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 0, col(s"asof_$c")), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Gap-based sessions via Spark's native session_window: events of
+    * one user belong to one session while consecutive gaps stay under
+    * `gap`. Returns one row per session with start / end (= last event
+    * time) / size. Single shuffle on the user key; the session merge
+    * is the built-in operator, which also works 1:1 under streaming
+    * with a watermark.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("w.start").as("session_start"),
+        (col("w.end") - expr(s"INTERVAL $gap")).as("session_end"),
+        col("n_events"))
+}

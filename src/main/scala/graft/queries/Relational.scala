@@ -336,6 +336,59 @@ object Relational extends QueryModule {
            |GROUP BY kind ORDER BY kind""".stripMargin),
     doc = "UNION ALL concatenation + aggregation (SURVEY §2.6 P7)")
 
+  /** Pivot (no reference equivalent — extension surface): counts per
+    * (status, priority) spread into columns. Explicit value list keeps
+    * the schema static (a values-less pivot needs an extra distinct
+    * pass and nondeterministic column order); one shuffle on the
+    * grouping key.
+    */
+  private val q14 = CatalogQuery(
+    "q14_pivot_status_priority",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+           | sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+           | sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+           | sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+           | sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+           | sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+           |FROM orders GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin),
+    doc = "Pivot with explicit value list (SURVEY extension surface)")
+
+  /** Exact interpolated percentiles (DuckDB quantile_cont twin). At
+    * 100 TB the approx_percentile sketch replaces this — exact
+    * percentile sorts each group — but the exact form is what an
+    * oracle can hash.
+    */
+  private val q15 = CatalogQuery(
+    "q15_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
+    doc = "Exact interpolated percentiles per group (quantile_cont twin)")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14, q15)
 }

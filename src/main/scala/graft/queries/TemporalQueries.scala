@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.operators.Temporal
+
+/** As-of join and sessionization over the events table, both
+  * DuckDB-oracled (native ASOF JOIN on one side; identical manual
+  * window arithmetic on the other). DuckDB compares raw nano
+  * timestamps while Spark compares the micro truncation — divergence
+  * would need two events of one user inside the same microsecond,
+  * which the minute-scale event data cannot produce.
+  */
+object TemporalQueries extends QueryModule {
+
+  private val asof = CatalogQuery(
+    "a1_asof_click_error",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("value"))
+      Temporal.asofJoinBackward(clicks, errors, keys = Seq("user_id"),
+          leftTime = "click_ts", rightTime = "err_ts",
+          carryCols = Seq("err_ts", "value"))
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("asof_err_ts").as("last_error_ts"),
+          col("asof_value").as("last_error_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           |       CAST(e.ts AS TIMESTAMP) AS last_error_ts,
+           |       e.value AS last_error_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           |  ON c.user_id = e.user_id AND c.ts >= e.ts
+           |ORDER BY c.event_id""".stripMargin),
+    doc = "Backward as-of join (latest error before each click, per " +
+      "user) via union + window carry-forward — one shuffle, no " +
+      "inequality join")
+
+  private val sessions = CatalogQuery(
+    "a2_sessionize",
+    (s, dir) =>
+      Temporal.sessionize(
+          Tables(s, dir).events.select(col("user_id"), col("ts")),
+          "user_id", "ts", gap = "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |b AS (SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                    >= INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |s AS (SELECT user_id, ts,
+           |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM b)
+           |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           |       count(*) AS n_events
+           |FROM s GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin),
+    doc = "Gap-based sessionization via native session_window (30 min " +
+      "gap), replayed in DuckDB with manual lag/cumsum windows")
+
+  override def queries: Seq[CatalogQuery] = Seq(asof, sessions)
+}
