@@ -69,5 +69,33 @@ object TemporalQueries extends QueryModule {
     doc = "Gap-based sessionization via native session_window (30 min " +
       "gap), replayed in DuckDB with manual lag/cumsum windows")
 
-  override def queries: Seq[CatalogQuery] = Seq(asof, sessions)
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; parse it with a typed from_json (schema declared, codegen
+    * path, invalid JSON → null) and aggregate the extracted field.
+    * At 100 TB: declare-then-extract beats per-use get_json_object
+    * re-parsing, and the projection prunes to (event_type, props).
+    */
+  private val json = CatalogQuery(
+    "a3_json_props",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      Tables(s, dir).events
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+           | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    doc = "Typed JSON extraction (from_json with declared schema) + " +
+      "aggregation over the extracted field")
+
+  override def queries: Seq[CatalogQuery] = Seq(asof, sessions, json)
 }
