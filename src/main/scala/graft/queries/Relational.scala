@@ -389,6 +389,52 @@ object Relational extends QueryModule {
            |ORDER BY l_returnflag""".stripMargin),
     doc = "Exact interpolated percentiles per group (quantile_cont twin)")
 
+  /** CUBE grouping sets (rollup's sibling, q10): all 4 grouping-set
+    * combinations in one shuffle.
+    */
+  private val q16 = CatalogQuery(
+    "q16_cube_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+           |FROM orders
+           |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+    doc = "CUBE grouping sets")
+
+  /** Top-k VALUES per group through the typed Aggregator API — the
+    * incremental-Juice surface: the shuffle carries a bounded k-element
+    * buffer per group, not the group's full value list. No arithmetic
+    * on the values, so the oracle (list slice of a sorted list) hashes
+    * exactly.
+    */
+  private val q17 = CatalogQuery(
+    "q17_topk_aggregator",
+    (s, dir) => {
+      import s.implicits._
+      val topk = new graft.functions.TopKAggregator(3).toColumn
+      t(s, dir).orders
+        .select($"o_orderstatus", $"o_totalprice")
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(topk.name("buf"))
+        .select($"key".as("o_orderstatus"), $"buf.vs".as("top3_prices"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+           | (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3_prices
+           |FROM orders GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin),
+    doc = "Typed Aggregator[Double, boundedSeq, Seq] top-k per group " +
+      "(SURVEY §2.9 incremental Juice)")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14, q15)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
+      q15, q16, q17)
 }
