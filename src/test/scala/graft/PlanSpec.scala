@@ -43,6 +43,13 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("s1_cosine_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("a1 as-of join plans as a window, never an inequality join") {
+    val p = plan("a1_asof_click_error")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected window carry-forward:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan any join operator:\n$p")
+  }
+
   test("q2 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q2_topk_orders")
     assert(p.contains("TakeOrderedAndProject"))
