@@ -52,10 +52,31 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
+        # Type-strict like the driver's dtype-sensitive hash: DuckDB
+        # sum() over ints returns HUGEINT while Spark emits BIGINT —
+        # repr() erases the width, so compare declared types too.
+        gtypes = {d[0]: str(d[1]) for d in got.description}
+        etypes = {d[0]: str(d[1]) for d in exp.description}
         gc, gr = canon(gcols, grows)
         ec, er = canon(ecols, erows)
+        type_mismatch = gc == ec and any(
+            gtypes[c] != etypes[c] for c in gc)
+        list_cols = [c for c in ecols
+                     if "[]" in str(etypes.get(c, "")).lower()
+                     or "list" in str(etypes.get(c, "")).lower()]
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            n_bad += 1
+        elif list_cols:
+            # The driver's pandas sort/hash cannot factorize arrays.
+            print(f"FAIL {name}: list-typed columns {list_cols} break "
+                  "the driver harness — emit scalars")
+            n_bad += 1
+        elif type_mismatch:
+            bad = {c: (gtypes[c], etypes[c]) for c in gc
+                   if gtypes[c] != etypes[c]}
+            print(f"FAIL {name}: dtype mismatch spark-vs-oracle {bad} "
+                  "(CAST the oracle, e.g. HUGEINT sums -> BIGINT)")
             n_bad += 1
         elif gr != er:
             diffs = [(a, b) for a, b in zip(gr, er) if a != b]

@@ -7,11 +7,11 @@ import graft.core.{CatalogQuery, QueryModule, Tables}
 import graft.operators.Dedup
 
 /** Catalog entries for the dedup operator family over `documents`.
-  * d1/d2 are exactly replayable in DuckDB SQL and hash-checked; the
-  * LSH-based d3/d4 use engine-specific hash functions (xxhash64 +
-  * seeded permutations) no SQL oracle can reproduce, so they get the
-  * driver's rows-only check here and full cross-validation against the
-  * exact-Jaccard result in DedupSpec.
+  * d1/d2/d5 are exactly replayable in DuckDB SQL and hash-checked; d3
+  * (LSH candidates + exact verification) provably equals d2's exact
+  * answer on this corpus (DedupSpec), so it carries the same oracle.
+  * Only d4 (SimHash, engine-hash-dependent fingerprints no SQL can
+  * reproduce) keeps the rows-only check + DedupSpec invariants.
   */
 object DedupQueries extends QueryModule {
 
@@ -25,13 +25,14 @@ object DedupQueries extends QueryModule {
            |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin),
     doc = "Exact content-hash dedup; canonical doc = min id per fingerprint")
 
-  private val ngram = CatalogQuery(
-    "d2_ngram_jaccard_dedup",
-    (s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8, maxDf = 100)
-        .orderBy(col("i"), col("j")),
-    Some("""WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+  /** Exact word-3-gram Jaccard pairs in DuckDB — the oracle for BOTH d2
+    * (which computes exactly this) and d3 (whose LSH candidates are
+    * exact-verified, and whose 16×8 banding has >0.9999 recall at the
+    * planted pairs' similarity ≥0.95 — DedupSpec asserts the two
+    * results are identical rows on this data).
+    */
+  private val exactJaccardOracle =
+    """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
            |              FROM documents),
            |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
            |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
@@ -47,7 +48,15 @@ object DedupQueries extends QueryModule {
            |JOIN sizes sa ON sa.doc_id = i
            |JOIN sizes sb ON sb.doc_id = j
            |WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
-           |ORDER BY i, j""".stripMargin),
+           |ORDER BY i, j""".stripMargin
+
+  private val ngram = CatalogQuery(
+    "d2_ngram_jaccard_dedup",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100)
+        .orderBy(col("i"), col("j")),
+    Some(exactJaccardOracle),
     doc = "Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via " +
       "shingle inverted-index join (no cross join)")
 
@@ -57,8 +66,11 @@ object DedupQueries extends QueryModule {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
           n = 3, bands = 16, rows = 8, threshold = 0.8)
         .orderBy(col("i"), col("j")),
-    None, // xxhash64+seeded permutations aren't SQL-reproducible;
-          // cross-checked against d2's exact answer in DedupSpec.
+    // Candidates are exact-Jaccard-verified, so output == d2's exact
+    // answer whenever LSH recall is total — which DedupSpec proves on
+    // this corpus (planted pairs sit at s >= 0.95, where 16x8 banding
+    // misses with p < 1e-4). Shares d2's oracle verbatim.
+    Some(exactJaccardOracle),
     doc = "MinHash(128)+LSH(16x8) near-dup candidates, exact-verified")
 
   private val simhash = CatalogQuery(
@@ -103,7 +115,8 @@ object DedupQueries extends QueryModule {
            |  SELECT DISTINCT j FROM pairs
            |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
            |  WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8)
-           |SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents
            |WHERE doc_id IN (SELECT keep_id FROM keep_exact)
            |  AND doc_id NOT IN (SELECT j FROM near_dup_j)

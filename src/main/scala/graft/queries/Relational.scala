@@ -354,12 +354,14 @@ object Relational extends QueryModule {
         .na.fill(0L)
         .orderBy($"o_orderstatus")
     },
+    // DuckDB sum() over integers yields HUGEINT (int128); Spark's pivot
+    // count is BIGINT — CAST keeps the driver's dtype-sensitive hash equal.
     Some("""SELECT o_orderstatus,
-           | sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
-           | sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
-           | sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
-           | sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
-           | sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+           | CAST(sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+           | CAST(sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+           | CAST(sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+           | CAST(sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+           | CAST(sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
            |FROM orders GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin),
     doc = "Pivot with explicit value list (SURVEY extension surface)")
@@ -409,9 +411,11 @@ object Relational extends QueryModule {
 
   /** Top-k VALUES per group through the typed Aggregator API — the
     * incremental-Juice surface: the shuffle carries a bounded k-element
-    * buffer per group, not the group's full value list. No arithmetic
-    * on the values, so the oracle (list slice of a sorted list) hashes
-    * exactly.
+    * buffer per group, not the group's full value list. The buffer is
+    * unpacked into three scalar columns (not an array) because the
+    * driver's pandas-based hash compare cannot sort/factorize an
+    * array column — no arithmetic on the values, so the oracle's
+    * list-slice elements hash exactly.
     */
   private val q17 = CatalogQuery(
     "q17_topk_aggregator",
@@ -424,12 +428,19 @@ object Relational extends QueryModule {
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(topk.name("buf"))
-        .select($"key".as("o_orderstatus"), $"buf.vs".as("top3_prices"))
+        .select(
+          $"key".as("o_orderstatus"),
+          element_at($"buf.vs", 1).as("top1_price"),
+          element_at($"buf.vs", 2).as("top2_price"),
+          element_at($"buf.vs", 3).as("top3_price"))
         .orderBy($"o_orderstatus")
     },
     Some("""SELECT o_orderstatus,
-           | (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top3_prices
-           |FROM orders GROUP BY o_orderstatus
+           | l[1] AS top1_price, l[2] AS top2_price, l[3] AS top3_price
+           |FROM (
+           |  SELECT o_orderstatus,
+           |         list(o_totalprice ORDER BY o_totalprice DESC) AS l
+           |  FROM orders GROUP BY o_orderstatus)
            |ORDER BY o_orderstatus""".stripMargin),
     doc = "Typed Aggregator[Double, boundedSeq, Seq] top-k per group " +
       "(SURVEY §2.9 incremental Juice)")

@@ -92,7 +92,7 @@ object TemporalQueries extends QueryModule {
     Some("""SELECT event_type,
            | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
            | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-           | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     doc = "Typed JSON extraction (from_json with declared schema) + " +
       "aggregation over the extracted field")
