@@ -43,11 +43,22 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("__side") === 0, col(s"asof_$c")), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    // Carry ALL carry columns as ONE struct: per-column last(...,
+    // ignoreNulls) would skip a genuinely-NULL field on the latest
+    // right row (attaching an older row's value, possibly a different
+    // row per column) — DuckDB ASOF semantics attach the latest row
+    // wholesale, internal NULLs preserved. The when() is NULL exactly
+    // on left rows, so ignoreNulls skips those but keeps any right
+    // row's struct, null fields and all.
+    val carried = l.unionByName(r)
+      .withColumn("__carry",
+        last(when(col("__side") === 0,
+            struct(carryCols.map(c => col(s"asof_$c").as(c)): _*)),
+          ignoreNulls = true).over(w))
+    carryCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col(s"__carry.$c"))
+      }
+      .filter(col("__side") === 1).drop("__t", "__side", "__carry")
   }
 
   /** Gap-based sessions via Spark's native session_window: events of

@@ -43,5 +43,28 @@ object MapReduceQueries extends QueryModule {
       (s, dir) => run(s, dir, RangePartition),
       Some(wordcountOracle),
       doc = "Wordcount via the Maple/Juice API, range partitioner + " +
-        "sorted-run reduce (mp3/src/partition.go:12-19, SURVEY §2.6 P5)"))
+        "sorted-run reduce (mp3/src/partition.go:12-19, SURVEY §2.6 P5)"),
+    CatalogQuery(
+      "mj3_wordcount_pipe",
+      (s, dir) => {
+        import s.implicits._
+        val lines = Tables(s, dir).documents.select($"text").as[String]
+        // The reference's binary-exe protocol (mp3/src/maplejuice.go:
+        // 319-332,655-669) through deterministic shell exes: map emits
+        // `word,1` lines, reduce sums key-grouped sorted `k\tv` lines
+        // (Hadoop Streaming contract).
+        val mapper = Seq("awk", "{for(i=1;i<=NF;i++) print $i\",1\"}")
+        val reducer = Seq("awk", "-F", "\t",
+          "{ if ($1 != k && NR > 1) { print k\"\\t\"c }; " +
+            "if ($1 != k) { k=$1; c=0 }; c+=$2 } " +
+            "END { if (NR > 0) print k\"\\t\"c }")
+        MapleJuiceJob
+          .runPipe(lines, mapper, reducer,
+            numPartitions = s.sparkContext.defaultParallelism)
+          .select($"_1".as("word"), $"_2".cast("long").as("n_occurrences"))
+          .orderBy($"word")
+      },
+      Some(wordcountOracle),
+      doc = "Wordcount via external binary executables over rdd.pipe " +
+        "(mp3/src/maplejuice.go:319-332 exe protocol, SURVEY §2.9)"))
 }

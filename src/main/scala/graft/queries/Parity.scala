@@ -132,6 +132,11 @@ object Parity extends QueryModule {
         .select(
           $"candidate".cast("long").as("candidate"),
           $"n_wins",
+          // Deliberately-unpartitioned window (the WindowExec "No
+          // Partition Defined" warning in bench logs): the frame is the
+          // candidate tally — numCandidates rows regardless of ballot
+          // count — so the single partition is bounded and safe at any
+          // data scale. Do not "fix" by partitioning.
           ($"n_wins" === max($"n_wins").over(Window.partitionBy())).as("in_top_set"),
           ($"n_wins" === lit(numCandidates - 1)).as("is_condorcet_winner"))
         .orderBy($"candidate")

@@ -391,6 +391,31 @@ object Relational extends QueryModule {
            |ORDER BY l_returnflag""".stripMargin),
     doc = "Exact interpolated percentiles per group (quantile_cont twin)")
 
+  /** The 100 TB percentile path that q15's scaladoc promises: the
+    * approx_percentile sketch (bounded-memory KLL-style digest,
+    * mergeable map-side, no per-group sort). A sketch can't hash-match
+    * a DuckDB oracle, so this row takes the driver's rows-only check;
+    * CatalogSpec asserts the approximation error against q15's exact
+    * answer (accuracy 10000 → rank error <= 1/10000, far inside the
+    * 1% assertion).
+    */
+  private val q15b = CatalogQuery(
+    "q15b_percentiles_approx",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"),
+          round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("p50_qty"))
+        .orderBy($"l_returnflag")
+    },
+    None, // sketch output is engine-specific; error-bounded vs q15 in
+          // CatalogSpec instead of hash-compared.
+    doc = "Approximate percentiles per group (mergeable sketch — the " +
+      "plan that replaces q15's exact per-group sort at 100 TB)")
+
   /** CUBE grouping sets (rollup's sibling, q10): all 4 grouping-set
     * combinations in one shuffle.
     */
@@ -447,5 +472,5 @@ object Relational extends QueryModule {
 
   override def queries: Seq[CatalogQuery] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q16, q17)
+      q15, q15b, q16, q17)
 }

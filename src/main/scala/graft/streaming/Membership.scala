@@ -7,13 +7,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reference's failure detector (`mp3/src/detector.go:112-227`), as a
   * Structured Streaming stateful operator.
   *
-  * Merge rules (ST1, HeartbeatHandler `detector.go:163-227`):
-  *  - an entry updates iff the received heartbeat counter is strictly
-  *    greater than the local one (last-writer-wins on a monotonic
-  *    counter) — stale/duplicate gossip is idempotently ignored (ST5);
-  *  - `Left` status propagates regardless of counter;
-  *  - a `Failed` entry is NEVER resurrected by later gossip;
+  * Merge rules (ST1, HeartbeatHandler `detector.go:196-216`, mirrored
+  * exactly):
+  *  - an entry updates iff NOT (received counter <= local counter AND
+  *    received health != Left) and NOT (both sides Failed) — so
+  *    stale/duplicate gossip is idempotently ignored (ST5), `Left`
+  *    propagates regardless of counter, and — as in the reference — a
+  *    falsely-Failed local entry IS resurrected by higher-counter
+  *    gossip, and a Left member rejoins via a higher counter;
+  *  - the received health is taken verbatim on update (a received
+  *    Failed with a higher counter marks the local entry Failed);
   *  - an unknown member arriving already-`Failed` is not added.
+  * The reference's state write refreshes the timestamp even when
+  * nothing observable changed (duplicate Left gossip); we apply the
+  * same state write but emit a lifecycle event only when counter or
+  * health actually changed, since our event stream is the derived
+  * output, not the state table.
   * Timeouts: no update within `failAfterMs` marks the member Failed
   * (ST2, `FailMember`); a further `cleanupAfterMs` removes the state
   * entirely (ST3, `CleanupMember`).
@@ -45,7 +54,7 @@ object Membership {
     hbs.sortBy(h => (h.eventTimeMs, h.heartbeatCount)).foreach { h =>
       st match {
         case None =>
-          // never ADD an entry that is already failed (detector.go:179-189)
+          // never ADD an entry that is already failed (detector.go:206-210)
           if (h.health != Failed) {
             st = Some(MemberState(h.memberId, h.ip, h.heartbeatCount,
               h.eventTimeMs, h.health))
@@ -53,15 +62,27 @@ object Membership {
               if (h.health == Left) "left" else "joined",
               h.heartbeatCount, h.health, h.eventTimeMs)
           }
-        case Some(s) if s.health == Failed => // never resurrect (ST1)
-        case Some(s) if h.health == Left && s.health != Left =>
-          st = Some(s.copy(health = Left, lastUpdateMs = h.eventTimeMs))
-          events += MemberEvent(h.memberId, "left", s.heartbeatCount, Left, h.eventTimeMs)
-        case Some(s) if h.heartbeatCount > s.heartbeatCount && s.health != Left =>
-          st = Some(s.copy(heartbeatCount = h.heartbeatCount,
-            lastUpdateMs = h.eventTimeMs, health = Alive))
-          events += MemberEvent(h.memberId, "updated", h.heartbeatCount, Alive, h.eventTimeMs)
-        case _ => // stale or duplicate: idempotent no-op (ST5)
+        case Some(s) =>
+          // detector.go:198-204: skip stale counters (unless Left, which
+          // always applies) and Failed-onto-Failed; otherwise write the
+          // received entry VERBATIM — including resurrection of a
+          // falsely-Failed entry by a higher counter.
+          val staleCounter = h.heartbeatCount <= s.heartbeatCount && h.health != Left
+          val bothFailed = h.health == Failed && s.health == Failed
+          if (!staleCounter && !bothFailed) {
+            val observable = h.heartbeatCount != s.heartbeatCount || h.health != s.health
+            st = Some(MemberState(h.memberId, h.ip, h.heartbeatCount,
+              h.eventTimeMs, h.health))
+            if (observable) {
+              val kind = h.health match {
+                case Left => "left"
+                case Failed => "failed"
+                case _ => "updated"
+              }
+              events += MemberEvent(h.memberId, kind, h.heartbeatCount,
+                h.health, h.eventTimeMs)
+            }
+          } // else: stale or duplicate gossip, idempotent no-op (ST5)
       }
     }
     (st, events.result())
@@ -116,14 +137,16 @@ object Membership {
         })
   }
 
-  /** ST4 demo: a `rate`-source heartbeat generator — `members` ids
-    * round-robin, counter = tick/members — feeding `updates`, printed
-    * to console. A self-contained runnable gossip-membership pipeline.
+  /** ST4 heartbeat generator: maps a monotone tick stream with the
+    * `rate` source's shape (`value: long, timestamp`) to round-robin
+    * member heartbeats, counter = tick/members. Factored out of the
+    * demo so MembershipSpec can drive the SAME pipeline from a
+    * MemoryStream and assert the emitted lifecycle events.
     */
-  def demo(spark: SparkSession, members: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+  def tickHeartbeats(ticks: org.apache.spark.sql.DataFrame, members: Int): Dataset[Heartbeat] = {
+    val spark = ticks.sparkSession
     import spark.implicits._
-    val hbs = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
-      .select(
+    ticks.select(
         ($"value" % members).cast("int").as("memberId"),
         org.apache.spark.sql.functions.concat(
           org.apache.spark.sql.functions.lit("10.0.0."), ($"value" % members).cast("string")).as("ip"),
@@ -131,7 +154,16 @@ object Membership {
         org.apache.spark.sql.functions.lit(Alive).as("health"),
         org.apache.spark.sql.functions.unix_millis($"timestamp").as("eventTimeMs"))
       .as[Heartbeat]
-    updates(hbs, failAfterMs = 2000, cleanupAfterMs = 5000)
+  }
+
+  /** ST4 demo: the `rate`-source tick generator feeding `updates`,
+    * printed to console. A self-contained runnable gossip-membership
+    * pipeline; the testable core is `tickHeartbeats` + `updates`.
+    */
+  def demo(spark: SparkSession, members: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", "10").load()
+    updates(tickHeartbeats(ticks, members), failAfterMs = 2000, cleanupAfterMs = 5000)
       .writeStream.format("console").outputMode("append").start()
   }
 }

@@ -44,6 +44,24 @@ class CatalogSpec extends SparkSpecBase {
       s"HLL estimate $approx too far from exact 1473")
   }
 
+  test("q15b approx percentiles land within 1% of q15's exact answer") {
+    val s = spark
+    import s.implicits._
+    def byFlag(name: String) =
+      SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = byFlag("q15_percentiles")
+    val approx = byFlag("q15b_percentiles_approx")
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keys) {
+      val (e, a) = (exact(k), approx(k))
+      def ok(x: Double, y: Double) = math.abs(x - y) <= math.abs(x) * 0.01
+      assert(ok(e._1, a._1) && ok(e._2, a._2) && ok(e._3, a._3),
+        s"flag $k: approx $a too far from exact $e")
+    }
+  }
+
   test("q1 pricing summary partitions all 6000 lineitems minus the cutoff") {
     val s = spark
     import s.implicits._

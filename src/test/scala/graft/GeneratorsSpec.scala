@@ -26,14 +26,19 @@ class GeneratorsSpec extends SparkSpecBase {
   }
 
   test("closed form reproduces the reference golden output at n = 2*2^20") {
-    // /root/reference/output/part-00000 (Hadoop wordcount golden)
+    // Parse the actual Hadoop wordcount golden file (read-only
+    // reference artifact) rather than a hard-coded copy that can drift.
+    val golden = java.nio.file.Paths.get("/root/reference/output/part-00000")
+    assume(java.nio.file.Files.isReadable(golden),
+      "reference golden output not present in this environment")
+    val expected = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(golden)).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(w, c) = line.split("\t", 2)
+        w -> c.toLong
+      }.toMap
     val n = 2L * (1L << 20)
-    val expected = Map(
-      "This" -> 1L, "a" -> 2097152L, "and" -> 2097152L, "can" -> 2097152L,
-      "count" -> 2097153L, "countThis" -> 2097151L, "file" -> 2097152L,
-      "how" -> 2097152L, "is" -> 2097152L, "it" -> 2097152L,
-      "many" -> 2097152L, "see" -> 2097152L, "test" -> 4194304L,
-      "to" -> 2097152L, "word" -> 2097152L, "words" -> 2097152L)
     assert(Generators.repeatedSentenceCounts(sentence, n) == expected)
   }
 

@@ -21,17 +21,31 @@ class MembershipSpec extends SparkSpecBase {
     assert(s3 == s2 && e3.isEmpty)
   }
 
-  test("ST1: Left propagates regardless of counter; Failed never resurrects") {
+  test("ST1: Left propagates regardless of counter (detector.go:198-200)") {
     val (alive, _) = merge(None, Seq(hb(1, 10, 100)))
     val (left, eLeft) = merge(alive, Seq(hb(1, 2, 200, health = Left)))
     assert(left.exists(_.health == Left) && eLeft.map(_.kind) == Seq("left"))
-    // a Left entry does not go back to Alive on new heartbeats
-    val (stillLeft, _) = merge(left, Seq(hb(1, 99, 300)))
-    assert(stillLeft.exists(_.health == Left))
+    // reference semantics: a higher counter rejoins a Left entry
+    val (rejoined, eRejoin) = merge(left, Seq(hb(1, 99, 300)))
+    assert(rejoined.exists(s => s.health == Alive && s.heartbeatCount == 99))
+    assert(eRejoin.map(_.kind) == Seq("updated"))
+  }
 
+  test("ST1: Failed resurrects on higher-counter Alive gossip, " +
+    "but Failed-onto-Failed is blocked (detector.go:198-204)") {
     val failed = Some(MemberState(2, "10.0.0.2", 5, 100, Failed))
-    val (afterGossip, events) = merge(failed, Seq(hb(2, 100, 500)))
-    assert(afterGossip == failed && events.isEmpty)
+    // the reference takes the received entry verbatim when the counter
+    // advances — a falsely-failed node gossiping Alive IS resurrected
+    val (res, eRes) = merge(failed, Seq(hb(2, 100, 500)))
+    assert(res.exists(s => s.health == Alive && s.heartbeatCount == 100))
+    assert(eRes.map(_.kind) == Seq("updated"))
+    // but Failed gossip onto a Failed entry never updates
+    val (still, eNone) = merge(failed, Seq(hb(2, 100, 500, health = Failed)))
+    assert(still == failed && eNone.isEmpty)
+    // and a received Failed with a higher counter marks an Alive entry
+    val alive = Some(MemberState(3, "10.0.0.3", 5, 100, Alive))
+    val (nowFailed, eFail) = merge(alive, Seq(hb(3, 6, 200, health = Failed)))
+    assert(nowFailed.exists(_.health == Failed) && eFail.map(_.kind) == Seq("failed"))
   }
 
   test("ST1: an unknown member arriving already-Failed is not added") {
@@ -76,6 +90,40 @@ class MembershipSpec extends SparkSpecBase {
       val kinds = got.groupBy(_.memberId).view
         .mapValues(_.sortBy(_.atMs).map(_.kind).toList).toMap
       assert(kinds(1) == List("joined", "updated", "updated", "updated"))
+      assert(kinds(2).head == "joined" && kinds(2).contains("failed"))
+    } finally q.stop()
+  }
+
+  test("ST4: the tick-driven heartbeat pipeline emits lifecycle events") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Drive the demo's exact pipeline (tickHeartbeats -> updates) from
+    // a MemoryStream with the rate source's (value, timestamp) shape.
+    val ticks = MemoryStream[(Long, java.sql.Timestamp)]
+    val hbs = Membership.tickHeartbeats(
+      ticks.toDF().toDF("value", "timestamp"), members = 3)
+    val events = Membership.updates(hbs, failAfterMs = 1000,
+      cleanupAfterMs = 2000, watermarkDelay = "0 seconds")
+    val q = events.writeStream.format("memory")
+      .queryName("tick_events").outputMode("append").start()
+    try {
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      // round 0: every member joins with counter 0
+      ticks.addData((0L, ts(1000)), (1L, ts(1000)), (2L, ts(1000)))
+      q.processAllAvailable()
+      // round 1: members 0 and 1 heartbeat again (counter 1); member 2
+      // stays silent and must be failed once event time passes 1000+fail
+      ticks.addData((3L, ts(4000)), (4L, ts(4000)))
+      q.processAllAvailable()
+      ticks.addData((6L, ts(8000)), (7L, ts(8000)))
+      q.processAllAvailable()
+      val got = s.table("tick_events").as[MemberEvent].collect().toSeq
+      val kinds = got.groupBy(_.memberId).view
+        .mapValues(_.sortBy(_.atMs).map(_.kind).toList).toMap
+      assert(kinds(0).take(2) == List("joined", "updated"))
+      assert(kinds(1).take(2) == List("joined", "updated"))
       assert(kinds(2).head == "joined" && kinds(2).contains("failed"))
     } finally q.stop()
   }

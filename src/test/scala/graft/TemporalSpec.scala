@@ -25,6 +25,25 @@ class TemporalSpec extends SparkSpecBase {
     assert(got(3L).isEmpty)           // key 2 has no right rows at all
   }
 
+  test("asof join: all carry columns come from the SAME latest right " +
+    "row, internal NULLs preserved") {
+    val s = spark
+    import s.implicits._
+    // latest right row (t=8) has a NULL tag: per-column carry would
+    // skip it and attach t=3's tag while taking t=8's v — DuckDB ASOF
+    // attaches the latest row wholesale.
+    val left = Seq((1L, 1, ts(10))).toDF("id", "k", "lt")
+    val right = Seq(
+      (1, ts(3), Option("old"), Option(30)),
+      (1, ts(8), None: Option[String], Option(80)))
+      .toDF("k", "rt", "tag", "v")
+    val got = Temporal.asofJoinBackward(left, right, Seq("k"), "lt", "rt",
+        Seq("tag", "v"))
+      .select($"id", $"asof_tag", $"asof_v")
+      .as[(Long, Option[String], Option[Int])].collect().toSeq
+    assert(got == Seq((1L, None, Some(80))))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark
     import s.implicits._
