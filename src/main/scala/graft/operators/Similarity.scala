@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`):
-  * brute-force cosine top-k as the exact baseline, and random-hyperplane
-  * LSH (multi-table signature buckets) as the approximate scale path,
-  * plus LSH-bucketed cosine near-dup pairs for the dedup pipeline.
+  * brute-force cosine top-k as the exact baseline, and two approximate
+  * scale paths — random-hyperplane LSH (multi-table signature buckets)
+  * and an IVF inverted-file index (k-means coarse quantizer + nprobe
+  * cell probing) — plus LSH-bucketed cosine near-dup pairs for the
+  * dedup pipeline.
   *
   * All vector math is codegen'd expression work (`zip_with` +
   * `aggregate` folds) — no UDFs — and the LSH paths find candidates via
@@ -100,6 +102,69 @@ object Similarity {
     cand.join(cv, "id").join(broadcast(qv), "qid")
       .select(col("qid"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** IVF coarse quantizer: k-means centroids over (a hash-sample of)
+    * the corpus, trained once with a fixed seed (spark.ml, the
+    * distributed k-means‖ implementation). `sampleMod` > 1 trains on
+    * the deterministic 1/sampleMod hash-sample — at 100 TB you train
+    * the quantizer on a sample, never the full corpus.
+    */
+  def ivfCentroids(vecs: DataFrame, nlist: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxIter: Int = 10, sampleMod: Int = 1): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = if (sampleMod <= 1) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val data = base.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter)
+      .fit(data)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /** Cells ranked by distance to `v` as an in-row sorted array of
+    * (score, cell) structs: argmin ‖v−c‖² == argmin (‖c‖²/2 − v·c), so
+    * only the dot products are computed per row (‖c‖²/2 is a literal).
+    */
+  private def cellsByDistance(v: Column, centroids: Seq[Seq[Double]]): Column =
+    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x * x).sum / 2
+      struct((lit(halfNorm) - dot(v, typedLit(c))).as("nd"), lit(i).as("cell"))
+    }: _*))
+
+  /** Approximate top-k via an inverted-file (IVF) index: each corpus
+    * vector is assigned to its nearest centroid's cell; a query probes
+    * its `nprobe` nearest cells and exact-re-ranks only those cells'
+    * vectors. The probe is a key-equality join on the cell id with the
+    * (queries × nprobe)-row side broadcast, so cost is O(corpus/nlist ·
+    * nprobe) per query, never O(Q·N). At 100 TB the corpus side is
+    * written partitioned/bucketed BY CELL, so probing prunes the scan
+    * to nprobe partitions — the inverted file made of partition
+    * pruning. Recall rises with nprobe (= nlist recovers brute force).
+    */
+  def ivfTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxIter: Int = 10, sampleMod: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(vecs, nlist, idCol, vecCol, maxIter, sampleMod)
+    val corpus = vecs
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell",
+        element_at(cellsByDistance(col("v"), centroids), 1).getField("cell"))
+    val probes = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellsByDistance(col("qv"), centroids), 1, nprobe),
+        s => s.getField("cell"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),

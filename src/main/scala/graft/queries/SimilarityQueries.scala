@@ -8,10 +8,10 @@ import graft.operators.Similarity
 
 /** Catalog entries for similarity search over `embeddings`. The exact
   * brute-force top-k is replayed verbatim by DuckDB's
-  * list_cosine_similarity (both sides computed in double); the LSH
-  * variants depend on the engine's seeded hyperplanes, so they get
-  * rows-only checks here and are validated against the brute-force
-  * ranking in SimilaritySpec.
+  * list_cosine_similarity (both sides computed in double); the LSH and
+  * IVF variants depend on engine-seeded hyperplanes / k-means cells,
+  * so they get rows-only checks here and are validated against the
+  * brute-force ranking in SimilaritySpec.
   */
 object SimilarityQueries extends QueryModule {
 
@@ -77,5 +77,19 @@ object SimilarityQueries extends QueryModule {
     doc = "Embedding near-dup pairs (cosine >= 0.9) over corpus + " +
       "planted copies, via LSH bucket collisions")
 
-  override def queries: Seq[CatalogQuery] = Seq(brute, lsh, nearDup)
+  private val ivf = CatalogQuery(
+    "s4_ann_ivf_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, perturbed(e.filter(col("vec_id") < 10)), k = 5,
+          nlist = 16, nprobe = 4)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None, // k-means-trained cells are engine-specific; rank-1 source
+          // recovery + cosine agreement asserted in SimilaritySpec.
+    doc = "Approximate top-5 via an IVF inverted-file index (16-cell " +
+      "k-means quantizer, 4-cell probe, exact re-rank); same perturbed " +
+      "query harness as s2")
+
+  override def queries: Seq[CatalogQuery] = Seq(brute, lsh, nearDup, ivf)
 }

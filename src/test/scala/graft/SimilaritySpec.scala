@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF top-k rank-1 recovers the source of each perturbed query") {
+    val queries = perturbed(emb.filter(col("vec_id") < 10))
+    val top = Similarity.ivfTopK(emb, queries, k = 1, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top.size == 10)
+    top.foreach { case (qid, neighbor) =>
+      assert(neighbor == qid - 1000000L, s"query $qid resolved to $neighbor")
+    }
+  }
+
+  test("IVF with nprobe == nlist recovers the exact brute-force top-k") {
+    val queries = perturbed(emb.filter(col("vec_id") < 5))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probing every cell degrades gracefully to the exact scan
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("cosine near-dup recovers nearly all planted pairs, no false claims") {
     val e = emb
     val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
