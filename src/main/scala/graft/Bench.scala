@@ -37,6 +37,12 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String): Double = {
+      // Operators that persist() intermediates (d3, s3) register them in
+      // the CacheManager, which matches by logical plan — a later run of
+      // the same query would silently read the previous run's cache.
+      // Clear so every timed run pays its own materialization and only
+      // WITHIN-run reuse (the actual plan property) is measured.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { runOnce(SparkEntry.queries(name)); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>

