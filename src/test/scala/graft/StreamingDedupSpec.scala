@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpecBase {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("exact streaming dedup drops in-horizon duplicates, keeps distinct docs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.exact(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts", horizon = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_exact").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", ts(0)),
+        (2L, "the quick brown fox", ts(30)), // dup within horizon
+        (3L, "an entirely different doc", ts(60)))
+      q.processAllAvailable()
+      input.addData((4L, "the quick brown fox", ts(120))) // still within
+      q.processAllAvailable()
+      val got = s.table("dedup_exact").select($"id").as[Long].collect().toSet
+      assert(got.contains(3L))
+      // exactly one copy of the duplicated text survives
+      assert(Set(1L, 2L, 4L).intersect(got).size == 1)
+    } finally q.stop()
+  }
+
+  test("streaming simhash fingerprint equals the batch groupBy fingerprint") {
+    val s = spark
+    val docs = graft.core.Tables(s, sf("sf0.001")).documents.limit(200)
+    val streaming = StreamingDedup.withSimhash(docs, "text")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streaming.nonEmpty && streaming == batch)
+  }
+
+  test("simhash streaming dedup collapses near-identical docs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val base = Seq.tabulate(40)(i => s"tok$i").mkString(" ")
+    val out = StreamingDedup.simhash(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts", horizon = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_simhash").outputMode("append").start()
+    try {
+      // identical token multiset => identical simhash => collapsed
+      input.addData((1L, base, ts(0)), (2L, base, ts(10)))
+      q.processAllAvailable()
+      val got = s.table("dedup_simhash").select($"id").as[Long].collect().toSet
+      assert(got.size == 1 && Set(1L, 2L).intersect(got).size == 1)
+    } finally q.stop()
+  }
+}
