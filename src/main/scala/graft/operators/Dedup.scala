@@ -91,11 +91,17 @@ object Dedup {
     // self-join needs. `sz` counts ALL of a doc's shingles (true set
     // size); the df filter only prunes which shingles can produce
     // candidate pairs.
+    // persisted: the annotated relation feeds BOTH sides of the
+    // self-join below — without it the shingle explode and both window
+    // passes are planned once per side (sf0.1 numbers sit inside this
+    // box's run noise, but at scale recomputing the windowed relation
+    // doubles the dominant cost)
     val sh = shingles(df, idCol, textCol, n)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc"))))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
