@@ -112,4 +112,25 @@ object Multimodal {
     features.toDF()
       .select(col("blob_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize plumbing: rebin each decoded feature vector to `dim` slots
+    * by averaging its source bins (area interpolation — what an image
+    * resize does per channel, applied to the decoded representation).
+    * Pure expression work over the materialized `vec` column; with a
+    * real decoder the same stage resizes pixel rows.
+    */
+  def resizeVec(features: Dataset[BlobFeatures], dim: Int): DataFrame = {
+    require(dim >= 1)
+    val n = size(col("vec"))
+    val bin = (j: org.apache.spark.sql.Column) => {
+      val lo = floor(j * n / dim).cast("int")          // 0-based incl.
+      val hi = floor((j + 1) * n / dim).cast("int")    // 0-based excl.
+      val sliceLen = greatest(hi - lo, lit(1))
+      val piece = slice(col("vec"), lo + 1, sliceLen)
+      aggregate(piece, lit(0.0), (a, v) => a + v) / size(piece)
+    }
+    features.toDF()
+      .select(col("blob_id"), col("modality"), col("vec"),
+        transform(sequence(lit(0), lit(dim - 1)), bin).as("vec_resized"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{Blob, StubDecoder}
+import graft.operators.Multimodal.{Blob, BlobFeatures, StubDecoder}
 
 class MultimodalSpec extends SparkSpecBase {
 
@@ -33,6 +33,20 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.mean_byte == 100.0)
     assert(f.frames == 1)
     assert(f.vec.toSeq == Seq(1.0, 1.0, 0.0, 1.0)) // bins of 64: 0→0, 100→1, 200→3
+  }
+
+  test("resizeVec area-averages source bins into the target shape") {
+    val s = spark
+    import s.implicits._
+    val f = Seq(
+      BlobFeatures(1L, "image", 4L, 0L, 0.0, 1, Array(1.0, 3.0, 5.0, 7.0)))
+      .toDS()
+    // 4 -> 2: pairwise means; 4 -> 4: identity; 4 -> 1: global mean
+    def resized(dim: Int) = Multimodal.resizeVec(f, dim)
+      .select($"vec_resized").as[Seq[Double]].head()
+    assert(resized(2) == Seq(2.0, 6.0))
+    assert(resized(4) == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(resized(1) == Seq(4.0))
   }
 
   test("sampleFrames keeps every stride-th frame index") {

@@ -39,6 +39,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("self-join dedup plans read their shared relation from cache, " +
+    "not recompute (persist regression guard)") {
+    // AQE plans the two sides of these self-joins independently (zero
+    // ReusedExchange), so losing the persist() silently doubles the
+    // dominant cost — assert the cache scan is actually in the plan.
+    try {
+      for (q <- Seq("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
+          "s3_cosine_neardup")) {
+        assert(plan(q).contains("InMemoryTableScan"),
+          s"$q lost its persisted shared relation")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("s1 brute force IS the deliberate exception: broadcast nested loop") {
     // brute-force top-k: tiny query set × corpus, declared O(Q·N) baseline
     assert(plan("s1_cosine_topk").contains("BroadcastNestedLoopJoin"))
