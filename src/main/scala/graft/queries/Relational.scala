@@ -378,9 +378,15 @@ object Relational extends QueryModule {
       t(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          // one percentile buffer (per-group value-counts map) serves
+          // both price percentiles — two scalar calls would build and
+          // sort that map twice per group
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pp"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+        .select($"l_returnflag",
+          round(element_at($"pp", 1), 4).as("p50"),
+          round(element_at($"pp", 2), 4).as("p95"),
+          $"p50_qty")
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
