@@ -17,8 +17,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns as a codegen'd fold. */
+  /** Dot product of two array<double> columns via the native fused
+    * `array_dot` expression (graft.functions.ArrayDot; requires
+    * GraftExtensions, which GraftSession carries). The composed
+    * `aggregate(zip_with(...))` form allocates a zipped array per
+    * row-pair — measurable on the brute-force path, where this runs
+    * once per (query, corpus) pair.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("array_dot", a, b)
+
+  /** The composed-HOF dot, kept as the differential-test twin of the
+    * native expression (ArrayDotSpec asserts equality).
+    */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity; inputs need not be normalized. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.TokenCount
+import graft.functions.{ArrayDot, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -14,28 +14,35 @@ import graft.functions.TokenCount
   * sets it; any external session can too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.tokenCountEntry)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val tokenCountEntry = (
-    FunctionIdentifier("token_count"),
-    new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
-    (args: Seq[Expression]) => {
-      require(args.length == 2, "token_count(text, token) takes 2 arguments")
-      TokenCount(args.head, args(1)): Expression
-    })
+  private val entries = Seq(
+    (
+      FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "token_count(text, token) takes 2 arguments")
+        TokenCount(args.head, args(1)): Expression
+      }),
+    (
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot(a, b) takes 2 arguments")
+        ArrayDot(args.head, args(1)): Expression
+      }))
 
   /** Imperative fallback for sessions built WITHOUT
     * spark.sql.extensions=graft.plans.GraftExtensions: registers the
     * same functions directly in the session registry. Idempotent
     * (registration overwrites).
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = tokenCountEntry
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
