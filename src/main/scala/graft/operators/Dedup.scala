@@ -120,32 +120,40 @@ object Dedup {
     * p, with p = 2^31−1 (Mersenne prime); a_i·x < 2^62 stays in a long.
     */
   private val MinhashP = 2147483647L
-  private def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] def minhashParams(numHashes: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(numHashes)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
       rnd.nextInt(MinhashP.toInt).toLong))
   }
 
   /** MinHash signatures: one row per doc with a `numHashes`-element
-    * signature array. One explode + one groupBy(doc) with `numHashes`
-    * min-aggregates — all codegen'd expression work, shuffle O(docs).
+    * signature array. One explode + one groupBy(doc) folding into the
+    * native `minhash_sig` imperative aggregate — shuffle O(docs).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 128): DataFrame = {
-    // rawShingles, not shingles: min() is multiplicity-insensitive, so
-    // deduplicating first would add a full shuffle of the (doc, shingle)
-    // relation for nothing — this way the only shuffle is the groupBy's,
-    // already reduced map-side to one 129-long row per doc per partition.
-    val sh = rawShingles(df, idCol, textCol, n)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinhashP)))
-    // h ∈ [0, p) and a,b < p, so h·a+b is non-negative (< 2^62, no
-    // overflow) — plain % equals pmod at half the cost, and this runs
-    // numHashes times per shingle row (the hot loop of the whole query)
-    val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MinhashP).as(s"m$i")
-    }
-    sh.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
-      .select(col("doc"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Two deviations from the d2 shingle path, both safe because min()
+    // is multiplicity-insensitive and any deterministic shingle hash
+    // serves a minhash signature:
+    //  - no distinct(): skips a full shuffle; the groupBy's map-side
+    //    combine reduces to one 129-long row per doc per partition;
+    //  - no shingle STRING: the n words hash directly through variadic
+    //    xxhash64, so no concat_ws allocation per shingle.
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = df.select(col(idCol).as("doc"), words.as("ws"))
+      .select(col("doc"), explode(transform(idx, i =>
+        xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*))).as("h0"))
+      .withColumn("h", pmod(col("h0"), lit(MinhashP)))
+    // One native imperative aggregate (graft.functions.MinHashSig,
+    // same seed-42 family as minhashParams) computes all numHashes
+    // mins in a primitive-array buffer per group; the equivalent
+    // numHashes-column `min((h*a+b)%p)` formulation pays an expression
+    // eval plus an UnsafeRow slot write per hash per row — the hot
+    // loop of the whole query. Bit-equal output (MinHashSigSpec).
+    sh.groupBy(col("doc"))
+      .agg(call_function("minhash_sig", col("h"), lit(numHashes)).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: signatures banded into `bands` slices

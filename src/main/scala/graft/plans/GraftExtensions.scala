@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, TokenCount}
+import graft.functions.{ArrayDot, MinHashSig, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -33,6 +33,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "array_dot(a, b) takes 2 arguments")
         ArrayDot(args.head, args(1)): Expression
+      }),
+    (
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_sig(h, numHashes) takes 2 arguments")
+        val n = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig numHashes must be a literal")
+        }
+        MinHashSig(args.head, n).toAggregateExpression(): Expression
       }))
 
   /** Imperative fallback for sessions built WITHOUT
