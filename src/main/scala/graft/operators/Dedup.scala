@@ -207,22 +207,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per doc: per token-occurrence hash, each
-    * bit position votes +1/−1, fingerprint bit = sign of the vote sum.
-    * 64 conditional-sum aggregates in one groupBy — expression-only.
+    * bit position votes +1/−1, fingerprint bit = sign of the vote sum —
+    * folded by the native `simhash_fp` imperative aggregate
+    * (graft.functions.SimHashFp; bit-equal to the 64-sum-column
+    * formulation and the streaming per-row fold, spec-asserted).
     */
-  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
-    }
-    val fp = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-      .select(col("doc"), fp.as("fp"))
-  }
+      .groupBy(col("doc"))
+      .agg(call_function("simhash_fp", col("h")).as("fp"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16).
     * Fingerprints are cut into 4 16-bit blocks; by pigeonhole any pair

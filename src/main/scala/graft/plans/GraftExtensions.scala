@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, MinHashSig, TokenCount}
+import graft.functions.{ArrayDot, MinHashSig, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -46,6 +46,13 @@ object GraftExtensions {
             "minhash_sig numHashes must be a literal")
         }
         MinHashSig(args.head, n).toAggregateExpression(): Expression
+      }),
+    (
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_fp(h) takes 1 argument")
+        SimHashFp(args.head).toAggregateExpression(): Expression
       }))
 
   /** Imperative fallback for sessions built WITHOUT
