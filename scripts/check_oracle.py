@@ -41,8 +41,19 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            # Type-strict like the driver's dtype-sensitive hash: DuckDB
+            # sum() over ints returns HUGEINT while Spark emits BIGINT —
+            # repr() erases the width. DB-API `description` type codes
+            # collapse every integer width to 'NUMBER' (and execute()
+            # returns the shared connection cursor), so real column
+            # types must come from DESCRIBE.
+            def types_of(query_sql):
+                return {r[0]: r[1] for r in
+                        con.execute(f"DESCRIBE {query_sql}").fetchall()}
+            gtypes = types_of(spark_sql)
+            etypes = types_of(sql)
+            got = con.execute(spark_sql)
             gcols = [d[0] for d in got.description]
             grows = got.fetchall()
             exp = con.execute(sql)
@@ -52,11 +63,6 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        # Type-strict like the driver's dtype-sensitive hash: DuckDB
-        # sum() over ints returns HUGEINT while Spark emits BIGINT —
-        # repr() erases the width, so compare declared types too.
-        gtypes = {d[0]: str(d[1]) for d in got.description}
-        etypes = {d[0]: str(d[1]) for d in exp.description}
         gc, gr = canon(gcols, grows)
         ec, er = canon(ecols, erows)
         type_mismatch = gc == ec and any(

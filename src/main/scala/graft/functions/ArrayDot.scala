@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * through two higher-order-function interpreters; this expression is
   * one fused primitive loop over the unsafe array data, in whole-stage
   * codegen via a static helper. Null/length semantics mirror the
-  * composed form: null input or length mismatch → null (zip_with pads
-  * with null, which poisons the HOF sum the same way).
+  * composed form: null input, null element, or length mismatch → null
+  * (zip_with pads with null and a null product poisons the HOF sum
+  * the same way).
   */
 case class ArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -39,20 +40,17 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "array_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
-    else ArrayDotUtil.dot(x, y)
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDotUtil.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |java.lang.Double ${ev.value}_r = graft.functions.ArrayDotUtil.dotOrNull($a, $b);
+         |if (${ev.value}_r == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.ArrayDotUtil.dot($a, $b);
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
          |}
        """.stripMargin)
 
@@ -61,20 +59,22 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Static helper the generated Java calls. Assumes equal lengths
-  * (checked by the caller) and non-null elements (embedding vectors —
-  * a null element reads as 0.0 rather than poisoning the sum).
+/** Static helper the generated Java calls. Mirrors the composed HOF
+  * form exactly: length mismatch OR any null element → null (zip_with
+  * pads with null and a null product poisons the aggregate sum).
   */
 object ArrayDotUtil {
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 }
 

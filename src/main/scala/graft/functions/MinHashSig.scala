@@ -61,7 +61,13 @@ case class MinHashSig(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // Reduce into [0, p) first: the function is registered session-
+      // wide, and a natural direct call passes raw xxhash64 values
+      // whose h·a would overflow a long (silently negative mins). For
+      // already-reduced inputs this is the identity, so the internal
+      // Dedup path is unchanged bit-for-bit.
+      val raw = v.asInstanceOf[Long]
+      val h = ((raw % P) + P) % P
       var i = 0
       while (i < numHashes) {
         val m = (h * as(i) + bs(i)) % P

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * The reference engine has no dedup operator; these extend its
   * sum-by-key aggregation surface (SURVEY.md §2.4 A1, §2.5 G1 tokenize)
   * to the document-pipeline capabilities the builder brief requires.
+  *
+  * CACHING CONTRACT: the pair-finding operators `persist()` small
+  * intermediate relations that feed self-joins (AQE plans the two
+  * sides independently — zero ReusedExchange — so an unpersisted
+  * shared subtree would run twice). Spark frees them on eviction
+  * pressure, but long-lived sessions issuing many calls should
+  * `spark.catalog.clearCache()` between logical jobs, as Verify and
+  * Bench do.
   */
 object Dedup {
 
@@ -51,23 +59,34 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     rawShingles(df, idCol, textCol, n).distinct()
 
+  /** (doc, ws) with the tokenized words array materialized, plus the
+    * guarded shingle start-index sequence for `n`-grams (empty for docs
+    * shorter than n words — Spark's `sequence(1, k)` counts DOWN for
+    * k < 1 and would corrupt indices). The words array MUST be
+    * materialized in its own projection before any lambda touches it: a
+    * lambda referencing the raw `split(...)` EXPRESSION re-evaluates
+    * the regex split per array element — O(words²) per doc, measured
+    * 25x slower at sf0.1.
+    */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    df.select(col(idCol).as("doc"), words.as("ws"))
+  }
+
+  private def shingleIdx(n: Int): Column =
+    when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+
   /** Per-occurrence (doc, shingle) rows — repeated shingles NOT
-    * deduplicated. Consumers that are multiplicity-insensitive (minhash:
-    * min over a multiset == min over its set) use this directly and
-    * skip the distinct's full shuffle of the shingle relation.
+    * deduplicated. Consumers that are multiplicity-insensitive (a
+    * document-frequency count_distinct, a min over hashed shingles)
+    * use this directly and skip the distinct's full shuffle.
     */
   private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // The words array MUST be materialized in its own projection before
-    // the transform lambda touches it: a lambda referencing the raw
-    // `split(...)` EXPRESSION re-evaluates the regex split per array
-    // element — O(words²) per doc, measured 25x slower at sf0.1.
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
     val shingle = (i: Column) =>
       concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*)
-    df.select(col(idCol).as("doc"), words.as("ws"))
-      .select(col("doc"), explode(transform(idx, shingle)).as("shingle"))
+    tokenized(df, idCol, textCol)
+      .select(col("doc"), explode(transform(shingleIdx(n), shingle)).as("shingle"))
   }
 
   /** Near-dup pairs by exact n-gram Jaccard, found via an inverted-index
@@ -139,11 +158,8 @@ object Dedup {
     //    combine reduces to one 129-long row per doc per partition;
     //  - no shingle STRING: the n words hash directly through variadic
     //    xxhash64, so no concat_ws allocation per shingle.
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = df.select(col(idCol).as("doc"), words.as("ws"))
-      .select(col("doc"), explode(transform(idx, i =>
+    val sh = tokenized(df, idCol, textCol)
+      .select(col("doc"), explode(transform(shingleIdx(n), i =>
         xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*))).as("h0"))
       .withColumn("h", pmod(col("h0"), lit(MinhashP)))
     // One native imperative aggregate (graft.functions.MinHashSig,
@@ -166,7 +182,7 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8, maxDf: Int = 100): DataFrame = {
     // The signature relation feeds BOTH sides of the bucket self-join,
     // and the candidate list is consumed twice (doc restriction + final
     // re-rank join): without materialization Spark recomputes the whole
@@ -188,21 +204,36 @@ object Dedup {
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Exact verification of the candidate set only: semi-join the RAW
-    // docs down to those appearing in a candidate pair BEFORE shingling,
-    // so the explode runs over the (tiny) candidate subset, not the
-    // whole corpus a second time.
+    // Exact verification of the candidate set only — and replicating
+    // ngramJaccardPairs' semantics EXACTLY, including the maxDf
+    // stop-shingle rule (hot shingles excluded from the intersection
+    // count but not the set sizes). That makes d3's output equal d2's
+    // BY CONSTRUCTION wherever LSH recall is total, so they can share
+    // one oracle — not merely on corpora whose candidate pairs happen
+    // to avoid hot shingles. The shingle explode runs over the (tiny)
+    // candidate subset; only the hot-shingle document-frequency pass
+    // touches the full corpus (its output, shingles with df > maxDf,
+    // is small and broadcasts into an anti-join).
     val candDocs = cand
       .select(explode(array(col("i"), col("j"))).as("cand_doc")).distinct()
-    val candRows = df.join(candDocs, col(idCol) === col("cand_doc"), "left_semi")
-    val sets = shingles(candRows, idCol, textCol, n)
-      .groupBy("doc").agg(collect_set(col("shingle")).as("s"))
+    val candSh = shingles(
+        df.join(candDocs, col(idCol) === col("cand_doc"), "left_semi"),
+        idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = candSh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val hot = rawShingles(df, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val rare = candSh.join(broadcast(hot), Seq("shingle"), "left_anti")
     cand
-      .join(sets.select(col("doc").as("i"), col("s").as("si")), "i")
-      .join(sets.select(col("doc").as("j"), col("s").as("sj")), "j")
+      .join(rare.select(col("doc").as("i"), col("shingle")), Seq("i"))
+      .join(rare.select(col("doc").as("j"), col("shingle")), Seq("j", "shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc").as("i"), col("sz").as("szi")), Seq("i"))
+      .join(sizes.select(col("doc").as("j"), col("sz").as("szj")), Seq("j"))
       .select(col("i"), col("j"),
-        round(size(array_intersect(col("si"), col("sj"))).cast("double") /
-          size(array_union(col("si"), col("sj"))), 6).as("jaccard"))
+        round(col("c").cast("double") / (col("szi") + col("szj") - col("c")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -127,7 +127,9 @@ object Multimodal {
       val hi = floor((j + 1) * n / dim).cast("int")    // 0-based excl.
       val sliceLen = greatest(hi - lo, lit(1))
       val piece = slice(col("vec"), lo + 1, sliceLen)
-      aggregate(piece, lit(0.0), (a, v) => a + v) / size(piece)
+      // divide by sliceLen, not size(piece): they are provably equal
+      // (hi <= n always) and size(piece) would re-evaluate the slice
+      aggregate(piece, lit(0.0), (a, v) => a + v) / sliceLen
     }
     features.toDF()
       .select(col("blob_id"), col("modality"), col("vec"),

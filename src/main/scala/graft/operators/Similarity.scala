@@ -139,15 +139,29 @@ object Similarity {
     model.clusterCenters.map(_.toArray.toSeq).toSeq
   }
 
-  /** Cells ranked by distance to `v` as an in-row sorted array of
-    * (score, cell) structs: argmin ‖v−c‖² == argmin (‖c‖²/2 − v·c), so
-    * only the dot products are computed per row (‖c‖²/2 is a literal).
+  /** (score, cell) structs for every cell: score = ‖c‖²/2 − v·c, whose
+    * argmin equals argmin ‖v−c‖² — only the dot products are computed
+    * per row (‖c‖²/2 is a literal).
     */
-  private def cellsByDistance(v: Column, centroids: Seq[Seq[Double]]): Column =
-    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+  private def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       val halfNorm = c.map(x => x * x).sum / 2
       struct((lit(halfNorm) - dot(v, typedLit(c))).as("nd"), lit(i).as("cell"))
-    }: _*))
+    }: _*)
+
+  /** Cells ranked by distance (sorted struct array) — query side only,
+    * which needs the nprobe prefix.
+    */
+  private def cellsByDistance(v: Column, centroids: Seq[Seq[Double]]): Column =
+    sort_array(cellScores(v, centroids))
+
+  /** Nearest cell id via array_min — O(nlist) with no sort and no
+    * sorted-array materialization; struct ordering gives the same
+    * (score, then cell id) tie-break as the sorted form. This is the
+    * per-corpus-row hot path.
+    */
+  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(cellScores(v, centroids)).getField("cell")
 
   /** Approximate top-k via an inverted-file (IVF) index: each corpus
     * vector is assigned to its nearest centroid's cell; a query probes
@@ -166,8 +180,7 @@ object Similarity {
     val centroids = ivfCentroids(vecs, nlist, idCol, vecCol, maxIter, sampleMod)
     val corpus = vecs
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("cell",
-        element_at(cellsByDistance(col("v"), centroids), 1).getField("cell"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
     val probes = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("cell", explode(transform(

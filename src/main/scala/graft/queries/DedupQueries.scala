@@ -64,12 +64,13 @@ object DedupQueries extends QueryModule {
     "d3_minhash_lsh_dedup",
     (s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, bands = 16, rows = 8, threshold = 0.8)
+          n = 3, bands = 16, rows = 8, threshold = 0.8, maxDf = 100)
         .orderBy(col("i"), col("j")),
-    // Candidates are exact-Jaccard-verified, so output == d2's exact
-    // answer whenever LSH recall is total — which DedupSpec proves on
-    // this corpus (planted pairs sit at s >= 0.95, where 16x8 banding
-    // misses with p < 1e-4). Shares d2's oracle verbatim.
+    // Candidate verification replicates d2's exact-Jaccard semantics
+    // (same maxDf stop-shingle rule), so output == d2's answer BY
+    // CONSTRUCTION whenever LSH recall is total — which DedupSpec
+    // proves on this corpus (planted pairs sit at s >= 0.95, where
+    // 16x8 banding misses with p < 1e-4). Shares d2's oracle verbatim.
     Some(exactJaccardOracle),
     doc = "MinHash(128)+LSH(16x8) near-dup candidates, exact-verified")
 

@@ -52,7 +52,10 @@ object MapReduceQueries extends QueryModule {
         // The reference's binary-exe protocol (mp3/src/maplejuice.go:
         // 319-332,655-669) through deterministic shell exes: map emits
         // `word,1` lines, reduce sums key-grouped sorted `k\tv` lines
-        // (Hadoop Streaming contract).
+        // (Hadoop Streaming contract). Known protocol limit, shared
+        // with the reference: a token CONTAINING a comma would split at
+        // the first comma (WriteMapleKeys' k,v format has no escaping);
+        // the documents vocabulary is comma-free.
         val mapper = Seq("awk", "{for(i=1;i<=NF;i++) print $i\",1\"}")
         val reducer = Seq("awk", "-F", "\t",
           "{ if ($1 != k && NR > 1) { print k\"\\t\"c }; " +

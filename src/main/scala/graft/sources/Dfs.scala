@@ -71,14 +71,25 @@ object Dfs {
     }
   }
 
-  /** `store`: files with at least one block on this host. Under
-    * `file://` every block is local, matching a single-node reference
-    * deployment; on HDFS this filters by the datanode's hostname.
+  /** `store`: files with at least one block on this host. Under a
+    * local (`file://`) file system every block is local by definition,
+    * matching a single-node reference deployment; on HDFS this filters
+    * by datanode host. Hostname comparison is case-insensitive and
+    * FQDN-insensitive (datanodes may report short names while
+    * getLocalHost returns a fully-qualified one, or vice versa).
     */
   def store(spark: SparkSession, dir: String): Seq[DfsEntry] = {
-    val host = java.net.InetAddress.getLocalHost.getHostName
-    ls(spark, dir).filter(e =>
-      e.hosts.isEmpty || // file:// reports "localhost" or none
-        e.hosts.exists(h => h == host || h == "localhost"))
+    val d = new Path(dir)
+    val scheme = Option(fs(spark, d).getUri.getScheme).getOrElse("file")
+    val entries = ls(spark, dir)
+    if (scheme == "file") entries
+    else {
+      def short(h: String) = h.toLowerCase.split('.').head
+      val mine = {
+        val h = java.net.InetAddress.getLocalHost.getHostName
+        Set(short(h), "localhost")
+      }
+      entries.filter(_.hosts.exists(h => mine.contains(short(h))))
+    }
   }
 }

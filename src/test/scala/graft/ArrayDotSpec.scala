@@ -28,12 +28,15 @@ class ArrayDotSpec extends SparkSpecBase {
     val s = spark
     import s.implicits._
     val df = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
-      (None, Some(Seq(1.0))),
-      (Some(Seq(1.0, 2.0)), Some(Seq(5.0)))).toDF("a", "b")
+      (Some(Seq[Option[Double]](Some(1.0), Some(2.0))), Some(Seq[Option[Double]](Some(3.0), Some(4.0)))),
+      (None, Some(Seq[Option[Double]](Some(1.0)))),
+      (Some(Seq[Option[Double]](Some(1.0), Some(2.0))), Some(Seq[Option[Double]](Some(5.0)))),
+      // null ELEMENT must poison the sum, like zip_with's null product
+      (Some(Seq[Option[Double]](Some(1.0), None)), Some(Seq[Option[Double]](Some(3.0), Some(4.0)))))
+      .toDF("a", "b")
     val got = df.select(Similarity.dot($"a", $"b")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
-    assert(got == Seq(Some(11.0), None, None))
+    assert(got == Seq(Some(11.0), None, None, None))
     // the composed form agrees on the mismatch row
     val hof = df.select(Similarity.dotComposed($"a", $"b")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
