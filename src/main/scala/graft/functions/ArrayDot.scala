@@ -43,16 +43,42 @@ case class ArrayDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotUtil.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+  /** Fully inline generated loop — no helper call, no boxing: this is
+    * the per-(query, corpus)-pair hot loop the expression exists to
+    * de-allocate, and a boxed-Double helper would reintroduce a per-row
+    * allocation. The element null-scan is emitted only when either
+    * input's array type admits null elements.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mayHaveNullElements = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val nullScan =
+        if (mayHaveNullElements)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |java.lang.Double ${ev.value}_r = graft.functions.ArrayDotUtil.dotOrNull($a, $b);
-         |if (${ev.value}_r == null) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullScan
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDot =

@@ -213,7 +213,7 @@ object Dedup {
     // to avoid hot shingles. The shingle explode runs over the (tiny)
     // candidate subset; only the hot-shingle document-frequency pass
     // touches the full corpus (its output, shingles with df > maxDf,
-    // is small and broadcasts into an anti-join).
+    // is small on natural corpora and anti-joins the candidates).
     val candDocs = cand
       .select(explode(array(col("i"), col("j"))).as("cand_doc")).distinct()
     val candSh = shingles(
@@ -224,7 +224,11 @@ object Dedup {
     val hot = rawShingles(df, idCol, textCol, n)
       .groupBy(col("shingle")).agg(count_distinct(col("doc")).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
-    val rare = candSh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // no broadcast HINT: the hot set is tiny on natural corpora (AQE
+    // broadcasts it by itself) but its size is corpus-dependent and a
+    // forced broadcast would be the unbounded-collect failure mode at
+    // the 100 TB tail; a shuffle anti-join degrades gracefully instead
+    val rare = candSh.join(hot, Seq("shingle"), "left_anti")
     cand
       .join(rare.select(col("doc").as("i"), col("shingle")), Seq("i"))
       .join(rare.select(col("doc").as("j"), col("shingle")), Seq("j", "shingle"))

@@ -127,12 +127,17 @@ object Multimodal {
       val hi = floor((j + 1) * n / dim).cast("int")    // 0-based excl.
       val sliceLen = greatest(hi - lo, lit(1))
       val piece = slice(col("vec"), lo + 1, sliceLen)
-      // divide by sliceLen, not size(piece): they are provably equal
-      // (hi <= n always) and size(piece) would re-evaluate the slice
+      // divide by sliceLen, not size(piece): equal for n >= 1 (hi <= n
+      // always) and size(piece) would re-evaluate the slice; the n = 0
+      // case is handled by the null guard below
       aggregate(piece, lit(0.0), (a, v) => a + v) / sliceLen
     }
+    // empty decoded vector => null resized vector (no data), never a
+    // fabricated all-zero feature row
+    val resized = when(n > 0, transform(sequence(lit(0), lit(dim - 1)), bin))
+      .otherwise(lit(null).cast("array<double>"))
     features.toDF()
       .select(col("blob_id"), col("modality"), col("vec"),
-        transform(sequence(lit(0), lit(dim - 1)), bin).as("vec_resized"))
+        resized.as("vec_resized"))
   }
 }

@@ -84,12 +84,18 @@ object Dfs {
     val entries = ls(spark, dir)
     if (scheme == "file") entries
     else {
+      // Short-name comparison only for real hostnames: an IP literal's
+      // "short name" would be its first octet and falsely match other
+      // addresses in the same /8.
+      def isIpLike(h: String) = h.nonEmpty && h.forall(c => c.isDigit || c == '.')
       def short(h: String) = h.toLowerCase.split('.').head
-      val mine = {
-        val h = java.net.InetAddress.getLocalHost.getHostName
-        Set(short(h), "localhost")
-      }
-      entries.filter(_.hosts.exists(h => mine.contains(short(h))))
+      val me = java.net.InetAddress.getLocalHost.getHostName
+      def matches(h: String): Boolean =
+        h.equalsIgnoreCase(me) || h.equalsIgnoreCase("localhost") ||
+          (!isIpLike(h) && !isIpLike(me) && short(h) == short(me))
+      // empty block list = zero-length file: stored (metadata-only) but
+      // located nowhere — keep it listed, like the pre-round behavior
+      entries.filter(e => e.hosts.isEmpty || e.hosts.exists(matches))
     }
   }
 }

@@ -47,6 +47,10 @@ class MultimodalSpec extends SparkSpecBase {
     assert(resized(2) == Seq(2.0, 6.0))
     assert(resized(4) == Seq(1.0, 3.0, 5.0, 7.0))
     assert(resized(1) == Seq(4.0))
+    // empty decoded vector: null, never a fabricated all-zero vector
+    val empty = Seq(BlobFeatures(2L, "image", 0L, 0L, 0.0, 1, Array.empty))
+      .toDS()
+    assert(Multimodal.resizeVec(empty, 2).select($"vec_resized").head.isNullAt(0))
   }
 
   test("sampleFrames keeps every stride-th frame index") {
