@@ -62,8 +62,10 @@ object Temporal {
   }
 
   /** Gap-based sessions via Spark's native session_window: events of
-    * one user belong to one session while consecutive gaps stay under
-    * `gap`. Returns one row per session with start / end (= last event
+    * one user belong to one session while consecutive gaps stay at or
+    * under `gap` (an event exactly `gap` later still merges — the
+    * per-event [t, t+gap) windows merge when adjacent).
+    * Returns one row per session with start / end (= last event
     * time) / size. Single shuffle on the user key; the session merge
     * is the built-in operator, which also works 1:1 under streaming
     * with a watermark.

@@ -51,11 +51,16 @@ object TemporalQueries extends QueryModule {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start")),
+    // strict > on the gap: Spark's session_window MERGES an event
+    // exactly `gap` after the previous one (its [t, t+gap) windows
+    // merge when adjacent) — caught by TemporalSpec's brute-force
+    // differential; the events testdata never hits the boundary, so
+    // the >= form also hash-matched by accident
     Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
            |b AS (SELECT user_id, ts,
            |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
            |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-           |                    >= INTERVAL 30 MINUTE
+           |                    > INTERVAL 30 MINUTE
            |             THEN 1 ELSE 0 END AS brk
            |      FROM e),
            |s AS (SELECT user_id, ts,

@@ -44,6 +44,81 @@ class TemporalSpec extends SparkSpecBase {
     assert(got == Seq((1L, None, Some(80))))
   }
 
+  test("asof join matches a brute-force reference on a seeded random schedule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // nullable carry values + duplicate timestamps + keys with no
+    // right rows at all — every edge the window formulation must honor
+    val left = Seq.tabulate(120) { i =>
+      (i.toLong, rnd.nextInt(6), ts(rnd.nextInt(50)))
+    }
+    val right = Seq.tabulate(80) { i =>
+      (rnd.nextInt(4), ts(rnd.nextInt(50)),
+        if (rnd.nextBoolean()) Some(s"v$i") else None, rnd.nextInt(100))
+    }
+    val got = Temporal.asofJoinBackward(
+        left.toDF("id", "k", "lt"), right.toDF("k", "rt", "tag", "v"),
+        Seq("k"), "lt", "rt", Seq("rt", "tag", "v"))
+      .select($"id", $"asof_rt", $"asof_tag", $"asof_v")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getInt(3)))))
+      .toMap
+    // brute force: latest right row (ties -> any of the tied rows'
+    // values must... the operator picks the LAST in (t, insertion)
+    // order; replicate DuckDB ASOF: max rt <= lt, ties broken by scan
+    // order, so compare only on pairs with a unique latest rt
+    val expected = left.map { case (id, k, lt) =>
+      val prior = right.filter(r => r._1 == k && !r._2.after(lt))
+      id -> (if (prior.isEmpty) None else {
+        val maxRt = prior.map(_._2.getTime).max
+        val tied = prior.filter(_._2.getTime == maxRt)
+        Some((tied, maxRt))
+      })
+    }.toMap
+    left.foreach { case (id, _, _) =>
+      (expected(id), got(id)) match {
+        case (None, (gotRt, gotTag, gotV)) =>
+          assert(gotRt.isEmpty && gotTag.isEmpty && gotV.isEmpty,
+            s"row $id should have no match, got $gotTag/$gotV")
+        case (Some((tied, maxRt)), (gotRt, gotTag, gotV)) =>
+          assert(gotRt.exists(_.getTime == maxRt), s"row $id wrong asof time")
+          // all carry columns must come from ONE of the tied latest rows
+          assert(tied.exists(t => t._3 == gotTag && gotV.contains(t._4)),
+            s"row $id carried ($gotTag, $gotV) not from any latest row $tied")
+      }
+    }
+  }
+
+  test("sessionize matches a brute-force reference on a seeded random schedule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val events = Seq.fill(150)((rnd.nextInt(5).toLong, ts(rnd.nextInt(600))))
+    val got = Temporal.sessionize(events.toDF("user_id", "ts"),
+        "user_id", "ts", gap = "30 minutes")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val gapMs = 30 * 60000L
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.map(_._2.getTime).sorted
+      // split only on gap STRICTLY greater than 30min: session_window
+      // merges adjacent [t, t+gap) windows, i.e. an event exactly
+      // `gap` later continues the session. n_events counts EVENTS
+      // (duplicates kept).
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc @ cur :: rest, t) =>
+          if (t - cur.head <= gapMs) (t :: cur) :: rest else List(t) :: acc
+        case (Nil, t) => List(List(t))
+      }
+      sessions.map(ses => (u, ses.min, ses.max, ses.size.toLong))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark
     import s.implicits._
