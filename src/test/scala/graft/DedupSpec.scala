@@ -62,6 +62,34 @@ class DedupSpec extends SparkSpecBase {
     assert(pruned.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("d3 equals d2 on a corpus WITH hot shingles (maxDf semantics " +
+    "actually exercised — the testdata has no df>maxDf shingles)") {
+    val s = spark
+    import s.implicits._
+    // 120 docs all containing the phrase "common hot phrase" (its
+    // shingle has df=122 > maxDf=20), plus one near-dup pair that ALSO
+    // shares the hot shingle. The discriminating case: both engines
+    // must exclude the hot shingle from the intersection but not the
+    // set sizes, giving jaccard 10/12 ≈ 0.8333 — a naive full-set
+    // verification in d3 would report 1.0 and diverge from d2.
+    val docs = ((0 until 120).map { i =>
+      val tail = Seq.tabulate(12)(k => s"w${i}x$k").mkString(" ")
+      (i.toLong, s"common hot phrase $tail")
+    } ++ Seq(
+      (1000L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 common hot phrase"),
+      (1001L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 common hot phrase")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"i", $"j", $"jaccard").as[(Long, Long, Double)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val d2 = rows(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 20))
+    val d3 = rows(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rows = 8, threshold = 0.8, maxDf = 20))
+    assert(d2 == Seq((1000L, 1001L, 0.833333)), s"d2 gave $d2")
+    assert(d3 == d2, s"d3 $d3 != d2 $d2")
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._
