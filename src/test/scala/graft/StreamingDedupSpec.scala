@@ -35,6 +35,33 @@ class StreamingDedupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedup state expires with the watermark: a late re-arrival far " +
+    "past the horizon is emitted again") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.exact(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts", horizon = "1 minute")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_expiry").outputMode("append").start()
+    try {
+      // not ts(0): an event AT the initial watermark (epoch 0) is
+      // dropped as late before it ever reaches the dedup state
+      input.addData((1L, "recurring doc", ts(100)))
+      q.processAllAvailable()
+      // push the watermark far past the fingerprint's expiry
+      input.addData((2L, "other doc", ts(700)))
+      q.processAllAvailable()
+      // same content again, an hour later: state is gone, re-emitted
+      input.addData((3L, "recurring doc", ts(3700)))
+      q.processAllAvailable()
+      val got = s.table("dedup_expiry").select($"id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming simhash fingerprint equals the batch groupBy fingerprint") {
     val s = spark
     val docs = graft.core.Tables(s, sf("sf0.001")).documents.limit(200)
