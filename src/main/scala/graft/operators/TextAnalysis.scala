@@ -99,13 +99,15 @@ object TextAnalysis {
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
     * character codepoints — the incremental-update-friendly fingerprint
-    * used for shingling/streaming dedup.
+    * used for shingling/streaming dedup. The fold is the native
+    * `rolling_hash` expression (graft.functions.RollingHash): the
+    * composed `aggregate(split(t, ''), ...)` form materializes one
+    * single-char string per character per row (RollingHashSpec proves
+    * the two equal, multibyte included).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"), col(textCol).as("t"))
-      .withColumn("chars", filter(split(col("t"), ""), c => c =!= ""))
       .select(col("doc"),
         md5(col("t")).as("md5_fp"),
-        aggregate(col("chars"), lit(0L),
-          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("rolling_fp"))
+        call_function("rolling_hash", col("t")).as("rolling_fp"))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, MinHashSig, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, MinHashSig, RollingHash, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -53,6 +53,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_fp(h) takes 1 argument")
         SimHashFp(args.head).toAggregateExpression(): Expression
+      }),
+    (
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash(text) takes 1 argument")
+        RollingHash(args.head): Expression
       }))
 
   /** Imperative fallback for sessions built WITHOUT
