@@ -43,7 +43,9 @@ object TextAnalysis {
       .select(
         col("doc"),
         size(col("ws")).cast("long").as("n_tokens"),
-        size(regexp_extract_all(col("t"), lit(BpeTokenRegex), lit(0)))
+        // regexp_count counts matches without materializing the match
+        // array that size(regexp_extract_all(...)) would allocate
+        regexp_count(col("t"), lit(BpeTokenRegex))
           .cast("long").as("n_bpe_tokens"),
         length(col("t")).cast("long").as("n_chars"),
         ceil(length(col("t")) / lit(4.0)).cast("long").as("est_tokens_char4"))
