@@ -81,8 +81,12 @@ object SimilarityQueries extends QueryModule {
     "s4_ann_ivf_topk",
     (s, dir) => {
       val e = emb(s, dir)
+      // maxIter 5: k-means on these near-orthogonal vectors converges
+      // almost immediately, and IVF recall here comes from the query
+      // landing in its source's cell (cos ~0.97 proximity), not from
+      // centroid polish — training is the query's dominant cost
       Similarity.ivfTopK(e, perturbed(e.filter(col("vec_id") < 10)), k = 5,
-          nlist = 16, nprobe = 4)
+          nlist = 16, nprobe = 4, maxIter = 5)
         .orderBy(col("qid"), col("rank"))
     },
     None, // k-means-trained cells are engine-specific; rank-1 source
