@@ -149,6 +149,19 @@ object Dedup {
     * signature array. One explode + one groupBy(doc) folding into the
     * native `minhash_sig` imperative aggregate — shuffle O(docs).
     */
+  /** Per-occurrence (doc, h) rows with h = variadic xxhash64 over the
+    * shingle's n words — no concat_ws string is ever built. The 64-bit
+    * hash IS the shingle identity for every minhash-side computation
+    * (signatures, document frequency, candidate verification): two
+    * distinct shingles colliding would need a 64-bit birthday hit
+    * (~1e-7 corpus-wide at 1e6 distinct shingles).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame =
+    tokenized(df, idCol, textCol)
+      .select(col("doc"), explode(transform(shingleIdx(n), i =>
+        xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*))).as("h"))
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 128): DataFrame = {
     // Two deviations from the d2 shingle path, both safe because min()
@@ -156,12 +169,9 @@ object Dedup {
     // serves a minhash signature:
     //  - no distinct(): skips a full shuffle; the groupBy's map-side
     //    combine reduces to one 129-long row per doc per partition;
-    //  - no shingle STRING: the n words hash directly through variadic
-    //    xxhash64, so no concat_ws allocation per shingle.
-    val sh = tokenized(df, idCol, textCol)
-      .select(col("doc"), explode(transform(shingleIdx(n), i =>
-        xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*))).as("h0"))
-      .withColumn("h", pmod(col("h0"), lit(MinhashP)))
+    //  - no shingle STRING (hashedShingles above).
+    val sh = hashedShingles(df, idCol, textCol, n)
+      .withColumn("h", pmod(col("h"), lit(MinhashP)))
     // One native imperative aggregate (graft.functions.MinHashSig,
     // same seed-42 family as minhashParams) computes all numHashes
     // mins in a primitive-array buffer per group; the equivalent
@@ -210,28 +220,32 @@ object Dedup {
     // count but not the set sizes). That makes d3's output equal d2's
     // BY CONSTRUCTION wherever LSH recall is total, so they can share
     // one oracle — not merely on corpora whose candidate pairs happen
-    // to avoid hot shingles. The shingle explode runs over the (tiny)
-    // candidate subset; only the hot-shingle document-frequency pass
-    // touches the full corpus (its output, shingles with df > maxDf,
-    // is small on natural corpora and anti-joins the candidates).
+    // to avoid hot shingles. Every step runs in the hashed-shingle
+    // domain (no string shingle is ever built anywhere in d3, modulo
+    // the 2^-64 collision noted on hashedShingles): the shingle
+    // explode runs over the (tiny) candidate subset, and only the
+    // hot-shingle document-frequency pass touches the full corpus (its
+    // output, shingles with df > maxDf, is small on natural corpora
+    // and anti-joins the candidates).
     val candDocs = cand
       .select(explode(array(col("i"), col("j"))).as("cand_doc")).distinct()
-    val candSh = shingles(
+    val candSh = hashedShingles(
         df.join(candDocs, col(idCol) === col("cand_doc"), "left_semi"),
         idCol, textCol, n)
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = candSh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val hot = rawShingles(df, idCol, textCol, n)
-      .groupBy(col("shingle")).agg(count_distinct(col("doc")).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"))
+    val hot = hashedShingles(df, idCol, textCol, n)
+      .groupBy(col("h")).agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
     // no broadcast HINT: the hot set is tiny on natural corpora (AQE
     // broadcasts it by itself) but its size is corpus-dependent and a
     // forced broadcast would be the unbounded-collect failure mode at
     // the 100 TB tail; a shuffle anti-join degrades gracefully instead
-    val rare = candSh.join(hot, Seq("shingle"), "left_anti")
+    val rare = candSh.join(hot, Seq("h"), "left_anti")
     cand
-      .join(rare.select(col("doc").as("i"), col("shingle")), Seq("i"))
-      .join(rare.select(col("doc").as("j"), col("shingle")), Seq("j", "shingle"))
+      .join(rare.select(col("doc").as("i"), col("h")), Seq("i"))
+      .join(rare.select(col("doc").as("j"), col("h")), Seq("j", "h"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc").as("i"), col("sz").as("szi")), Seq("i"))
       .join(sizes.select(col("doc").as("j"), col("sz").as("szj")), Seq("j"))

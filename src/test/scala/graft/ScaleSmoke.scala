@@ -16,9 +16,10 @@ import graft.operators.{Dedup, Similarity}
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val t = graft.core.Tables(spark, "/root/testdata/sf0.1")
+    val t = graft.core.Tables(spark, dir)
     val docs = (0 until mult).map { r =>
       t.documents.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))

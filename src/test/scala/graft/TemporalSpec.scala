@@ -57,11 +57,16 @@ class TemporalSpec extends SparkSpecBase {
       (rnd.nextInt(4), ts(rnd.nextInt(50)),
         if (rnd.nextBoolean()) Some(s"v$i") else None, rnd.nextInt(100))
     }
-    val got = Temporal.asofJoinBackward(
+    val gotRows = Temporal.asofJoinBackward(
         left.toDF("id", "k", "lt"), right.toDF("k", "rt", "tag", "v"),
         Seq("k"), "lt", "rt", Seq("rt", "tag", "v"))
       .select($"id", $"asof_rt", $"asof_tag", $"asof_v")
       .collect()
+    // exactly one output row per left row — a regression to a
+    // join-shaped plan that duplicates on ties would otherwise hide
+    // behind the toMap below
+    assert(gotRows.length == left.size)
+    val got = gotRows
       .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
         Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getInt(3)))))
       .toMap
