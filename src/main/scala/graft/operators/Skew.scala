@@ -29,4 +29,25 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(finalCols.head, finalCols.tail: _*)
   }
+
+  /** Salted inner equi-join for when AQE's runtime skew split can't
+    * help (e.g. the skew is known up front, or AQE is disabled on the
+    * cluster): each skewed-side row gets a salt in [0, saltBuckets)
+    * from its physical position — duplicate rows of one hot key
+    * spread across buckets, which a content hash could not do — and
+    * the other side replicates `saltBuckets` times so every
+    * (key, salt) bucket finds its match. Shuffle keys become
+    * (key, salt): a hot key's rows land on `saltBuckets` tasks
+    * instead of one. Cost: the right side shuffles saltBuckets×; use
+    * with a small-but-not-broadcastable right side.
+    */
+  def saltedJoin(skewed: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val l = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -70,6 +70,28 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("salted join equals direct join and spreads a hot key across buckets") {
+    val s = spark
+    import s.implicits._
+    // 5000 rows of ONE hot key + a long tail, joined to a 3-row dim
+    val skewed = ((1 to 5000).map(i => ("hot", i)) ++
+      (1 to 50).map(i => (s"k$i", i))).toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "label")
+    val direct = skewed.join(dim, Seq("k"))
+      .groupBy($"k", $"label").count().as[(String, String, Long)]
+      .collect().toSet
+    val salted = graft.operators.Skew.saltedJoin(skewed, dim, "k", 8)
+      .groupBy($"k", $"label").count().as[(String, String, Long)]
+      .collect().toSet
+    assert(salted == direct)
+    // the salt actually spreads the hot key over multiple buckets
+    val buckets = skewed
+      .withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
+      .filter($"k" === "hot").select($"__salt").distinct().count()
+    assert(buckets > 1, s"hot key stayed in $buckets bucket(s)")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val s = spark
     import s.implicits._
