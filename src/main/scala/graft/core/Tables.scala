@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * accessors keep that swap localized to this one class.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Operators resolve the engine's native functions (token_count,
+  // array_dot, minhash_sig, simhash_fp, rolling_hash) through the
+  // session registry; a FOREIGN session (built without
+  // spark.sql.extensions=graft.plans.GraftExtensions) would fail
+  // analysis on them. Registration is idempotent and cheap, and every
+  // catalog query reads through this accessor — so this is the one
+  // chokepoint that makes the library work on any session.
+  graft.plans.GraftExtensions.ensureRegistered(spark)
+
   private def read(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

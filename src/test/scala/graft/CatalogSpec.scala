@@ -30,6 +30,18 @@ class CatalogSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("catalog queries resolve native functions on a foreign session") {
+    // a session whose registry genuinely lacks the graft functions —
+    // newSession() + explicit drop simulates a user session built
+    // without GraftExtensions; Tables' ensureRegistered must repair it
+    val foreign = spark.newSession()
+    foreign.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"))
+    val n = SparkEntry.queries("t4_fingerprints")(foreign, sf("sf0.001")).count()
+    assert(n > 0)
+  }
+
   test("q9 distinct counts match independently computed ground truth") {
     val row = SparkEntry.queries("q9_distinct_counts")(spark, sf("sf0.001")).head
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((200L, 10L, 1473L)))
