@@ -29,4 +29,20 @@ object Sources {
       .option("mode", "DROPMALFORMED")
       .schema(schema)
       .csv(path)
+
+  /** JSON-lines scan — the ingestion format of most training-data
+    * drops. Schema is REQUIRED: schema inference reads the data twice
+    * and is nondeterministic under corrupt rows, both wrong at scale.
+    * Malformed lines land in `_corrupt_json` instead of killing the
+    * job or being silently dropped (PERMISSIVE) — the pipeline decides
+    * whether to count, quarantine, or drop them. (Spark refuses a
+    * query that references ONLY the corrupt column; keep a data column
+    * in any quarantine projection.)
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_json")
+      .schema(schema.add("_corrupt_json", org.apache.spark.sql.types.StringType))
+      .json(path)
 }

@@ -36,6 +36,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(got.map(_.line).toSeq == Seq("line 8", "line 9", "line 10"))
   }
 
+  test("jsonLines parses good rows and quarantines malformed ones") {
+    val s = spark
+    import s.implicits._
+    val path = writeTemp("docs.jsonl",
+      """{"id": 1, "text": "hello world"}
+        |{"id": 2, "text": "second doc"}
+        |{not valid json at all
+        |{"id": 3, "text": null}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = Sources.jsonLines(s, path, schema)
+    val good = df.filter($"_corrupt_json".isNull)
+      .select($"id", $"text").as[(Long, Option[String])].collect().toSet
+    assert(good == Set((1L, Some("hello world")), (2L, Some("second doc")),
+      (3L, None)))
+    // Spark disallows queries whose referenced columns are ONLY the
+    // corrupt-record column — keep a data column in the projection
+    val bad = df.filter($"_corrupt_json".isNotNull)
+      .select($"id", $"_corrupt_json").collect()
+    assert(bad.length == 1 && bad.head.isNullAt(0))
+  }
+
   test("csvPerLine drops rows whose quoted fields span lines (reference parity)") {
     val schema = StructType(Seq(
       StructField("id", StringType), StructField("note", StringType),
