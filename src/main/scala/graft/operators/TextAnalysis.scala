@@ -50,33 +50,47 @@ object TextAnalysis {
         length(col("t")).cast("long").as("n_chars"),
         ceil(length(col("t")) / lit(4.0)).cast("long").as("est_tokens_char4"))
 
+  /** Appends the quality feature columns (`n_tokens`, `punct_ratio`,
+    * `stopword_ratio`, `mean_token_len`, `quality`) to `df` WITHOUT
+    * dropping its existing columns — the composable form streaming
+    * pipelines chain after dedup. Single-pass projection.
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val stop = typedLit(LangMarkers.toMap.apply("en"))
+    df.withColumn("__ws", words(col(textCol)))
+      .withColumn("n_tokens", size(col("__ws")).cast("long"))
+      .withColumn("punct_ratio", round(
+        length(regexp_replace(col(textCol), "[^.,!?;:]", "")).cast("double") /
+          length(col(textCol)), 6))
+      .withColumn("stopword_ratio", round(
+        size(filter(col("__ws"), w => array_contains(stop, w))).cast("double") /
+          size(col("__ws")), 6))
+      .withColumn("mean_token_len", round(
+        aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)).cast("double") /
+          size(col("__ws")), 4))
+      .withColumn("quality", round(
+        lit(0.5) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
+          lit(0.25) * (lit(1.0) - (
+            length(regexp_replace(col(textCol), "[^.,!?;:]", "")).cast("double") /
+              length(col(textCol)))) +
+          lit(0.25) * least(lit(1.0), lit(4.0) *
+            (size(filter(col("__ws"), w => array_contains(stop, w))).cast("double") /
+              size(col("__ws")))),
+        6))
+      .drop("__ws")
+  }
+
   /** Quality-scoring features + a composite score in [0,1]: rewards
     * length (saturating at 50 tokens), penalizes punctuation density,
     * rewards stopword presence — the standard cheap heuristics for
-    * filtering web-scraped training text. Pure rational arithmetic.
+    * filtering web-scraped training text. Pure rational arithmetic;
+    * the quality composite uses the UNROUNDED ratios, so it is not a
+    * function of the displayed columns.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stop = typedLit(LangMarkers.toMap.apply("en"))
-    df.select(col(idCol).as("doc"), col(textCol).as("t"))
-      .withColumn("ws", words(col("t")))
-      .select(col("doc"), col("t"), col("ws"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        (length(regexp_replace(col("t"), "[^.,!?;:]", "")).cast("double") /
-          length(col("t"))).as("punct_ratio"),
-        (size(filter(col("ws"), w => array_contains(stop, w))).cast("double") /
-          size(col("ws"))).as("stop_ratio"),
-        (aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).cast("double") /
-          size(col("ws"))).as("mean_tok_len"))
-      .select(col("doc"), col("n_tokens"),
-        round(col("punct_ratio"), 6).as("punct_ratio"),
-        round(col("stop_ratio"), 6).as("stopword_ratio"),
-        round(col("mean_tok_len"), 4).as("mean_token_len"),
-        round(
-          lit(0.5) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
-            lit(0.25) * (lit(1.0) - col("punct_ratio")) +
-            lit(0.25) * least(lit(1.0), lit(4.0) * col("stop_ratio")),
-          6).as("quality"))
-  }
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withQuality(df.select(col(idCol).as("doc"), col(textCol).as("t")), "t")
+      .select(col("doc"), col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"), col("mean_token_len"), col("quality"))
 
   /** Marker-word language ID: score each candidate language by marker
     * hits, pick the argmax (ties to the alphabetically first language),

@@ -73,6 +73,33 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("streaming corpus clean dedups AND quality-filters in one pipeline") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val good = ("the quick brown fox jumps over the lazy dog and " * 5).trim
+    val junk = "!!! ??? ... ,,, ;;; ::: !!! ??? ... ,,,"
+    val out = graft.streaming.StreamingCorpusClean.clean(
+      input.toDF().toDF("id", "text", "ts"), "text", "ts",
+      horizon = "10 minutes", minQuality = 0.5)
+    val q = out.writeStream.format("memory")
+      .queryName("corpus_clean").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, good, ts(100)),
+        (2L, good, ts(130)), // duplicate: dropped by dedup state
+        (3L, junk, ts(160))) // survives dedup, fails quality
+      q.processAllAvailable()
+      val got = s.table("corpus_clean")
+        .select($"id", $"quality").as[(Long, Double)].collect()
+      assert(got.length == 1 && Set(1L, 2L).contains(got.head._1),
+        s"got ${got.toSeq}")
+      assert(got.head._2 >= 0.5)
+    } finally q.stop()
+  }
+
   test("simhash streaming dedup collapses near-identical docs") {
     val s = spark
     import s.implicits._
