@@ -18,6 +18,7 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keyCol: String, saltBuckets: Int,
                 aggs: Map[String, Column]): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val partialCols = aggs.toSeq.map { case (name, c) => sum(c).as(name) }
@@ -43,6 +44,12 @@ object Skew {
     */
   def saltedJoin(skewed: DataFrame, right: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    // The position-derived salt is nondeterministic across recomputes;
+    // Spark marks such stages indeterminate and resubmits the WHOLE
+    // stage (not just lost tasks) on fetch failure (SPARK-25341), which
+    // is what keeps this correct under partial retry — the same
+    // reliance every rand()-salted plan has.
     val l = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
         .cast("int"))

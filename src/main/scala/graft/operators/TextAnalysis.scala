@@ -53,30 +53,36 @@ object TextAnalysis {
   /** Appends the quality feature columns (`n_tokens`, `punct_ratio`,
     * `stopword_ratio`, `mean_token_len`, `quality`) to `df` WITHOUT
     * dropping its existing columns — the composable form streaming
-    * pipelines chain after dedup. Single-pass projection.
+    * pipelines chain after dedup. Single-pass projection. Empty and
+    * whitespace-only documents score 0 across the board (guarded
+    * divisions — an unguarded /0 would throw on ANSI sessions and
+    * silently null-drop otherwise, either way poisoning a long-running
+    * stream). Each unrounded ratio is computed ONCE and rounded in
+    * place at the end, so the displayed columns can't drift from the
+    * composite.
     */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
     val stop = typedLit(LangMarkers.toMap.apply("en"))
     df.withColumn("__ws", words(col(textCol)))
       .withColumn("n_tokens", size(col("__ws")).cast("long"))
-      .withColumn("punct_ratio", round(
+      .withColumn("punct_ratio", when(length(col(textCol)) > 0,
         length(regexp_replace(col(textCol), "[^.,!?;:]", "")).cast("double") /
-          length(col(textCol)), 6))
-      .withColumn("stopword_ratio", round(
+          length(col(textCol))).otherwise(0.0))
+      .withColumn("stopword_ratio", when(col("n_tokens") > 0,
         size(filter(col("__ws"), w => array_contains(stop, w))).cast("double") /
-          size(col("__ws")), 6))
-      .withColumn("mean_token_len", round(
+          col("n_tokens")).otherwise(0.0))
+      .withColumn("mean_token_len", when(col("n_tokens") > 0,
         aggregate(col("__ws"), lit(0L), (a, w) => a + length(w)).cast("double") /
-          size(col("__ws")), 4))
+          col("n_tokens")).otherwise(0.0))
       .withColumn("quality", round(
-        lit(0.5) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
-          lit(0.25) * (lit(1.0) - (
-            length(regexp_replace(col(textCol), "[^.,!?;:]", "")).cast("double") /
-              length(col(textCol)))) +
-          lit(0.25) * least(lit(1.0), lit(4.0) *
-            (size(filter(col("__ws"), w => array_contains(stop, w))).cast("double") /
-              size(col("__ws")))),
-        6))
+        when(col("n_tokens") > 0,
+          lit(0.5) * least(lit(1.0), col("n_tokens") / lit(50.0)) +
+            lit(0.25) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.25) * least(lit(1.0), lit(4.0) * col("stopword_ratio")))
+          .otherwise(0.0), 6))
+      .withColumn("punct_ratio", round(col("punct_ratio"), 6))
+      .withColumn("stopword_ratio", round(col("stopword_ratio"), 6))
+      .withColumn("mean_token_len", round(col("mean_token_len"), 4))
       .drop("__ws")
   }
 

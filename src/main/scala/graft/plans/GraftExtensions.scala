@@ -64,12 +64,17 @@ object GraftExtensions {
 
   /** Imperative fallback for sessions built WITHOUT
     * spark.sql.extensions=graft.plans.GraftExtensions: registers the
-    * same functions directly in the session registry. Idempotent
-    * (registration overwrites).
+    * same functions directly in the session registry. Registers only
+    * names that are ABSENT — a user's own function under one of these
+    * names is never silently replaced (Tables calls this from its
+    * constructor, so an overwrite would be a hidden mutation of the
+    * caller's session).
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
     entries.foreach { case (id, info, builder) =>
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry.registerFunction(id, info, builder)
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
+  }
 }

@@ -101,7 +101,8 @@ object TextQueries extends QueryModule {
   private val scalars = CatalogQuery(
     "t5_scalar_functions",
     (s, dir) => {
-      graft.plans.GraftExtensions.ensureRegistered(s)
+      // native functions register in the Tables constructor (the one
+      // chokepoint) — no per-query ensureRegistered needed
       Tables(s, dir).documents
       .select(col("doc_id").as("doc"),
         graft.functions.TokenCount(col("text"), lit("hash")).as("n_hash"),

@@ -39,10 +39,15 @@ object Sources {
     * query that references ONLY the corrupt column; keep a data column
     * in any quarantine projection.)
     */
-  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // a round-tripped schema may already carry the quarantine column
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_json")) schema
+      else schema.add("_corrupt_json", org.apache.spark.sql.types.StringType)
     spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_json")
-      .schema(schema.add("_corrupt_json", org.apache.spark.sql.types.StringType))
+      .schema(withCorrupt)
       .json(path)
+  }
 }

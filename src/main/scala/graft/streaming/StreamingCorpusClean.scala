@@ -12,6 +12,11 @@ import graft.operators.TextAnalysis
   * — yielding the clean append stream a training pipeline writes to
   * its corpus store. Composition of the engine's existing operators;
   * one stateful stage (the dedup), everything else stateless.
+  *
+  * Column contract: the input must not already carry `fp` (the dedup
+  * stage's fingerprint, consumed and dropped here) or the quality
+  * feature names (`n_tokens`, `punct_ratio`, `stopword_ratio`,
+  * `mean_token_len`, `quality`), which are appended to the output.
   */
 object StreamingCorpusClean {
 

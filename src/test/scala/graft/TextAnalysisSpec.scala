@@ -45,4 +45,17 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(good > bad)
     assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
   }
+
+  test("empty and whitespace-only docs score 0, never null or an error") {
+    // guarded divisions: an unguarded /0 would throw on ANSI sessions
+    // and null-drop otherwise — poison for a long-running stream
+    val out = TextAnalysis.qualityScore(
+      df((1L, ""), (2L, "   "), (3L, "a real doc here")), "doc_id", "text")
+      .orderBy(col("doc")).collect()
+    Seq(0, 1).foreach { i =>
+      assert(!out(i).isNullAt(5) && out(i).getDouble(5) == 0.0)
+      assert(out(i).getLong(1) == 0L) // n_tokens
+    }
+    assert(out(2).getDouble(5) > 0.0)
+  }
 }
