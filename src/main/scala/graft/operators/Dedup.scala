@@ -255,41 +255,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-token-occurrence (doc, h) rows for the simhash paths, with a
+    * caller-chosen 64-bit token hash.
+    */
+  private def tokenHashes(df: DataFrame, idCol: String, textCol: String,
+                          hash: Column => Column): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+      .withColumn("h", hash(col("w")))
+
+  /** Engine-portable 64-bit token hash: the first 16 hex chars of
+    * md5(token), assembled from two 32-bit halves (`conv` yields a
+    * decimal STRING, and a full 16-hex-char value can exceed
+    * Long.MaxValue — the string-to-long cast would null out; 8-char
+    * halves always fit). Any deterministic hash serves SimHash; md5 is
+    * the one every engine computes identically, which makes the
+    * fingerprints — and therefore the full Hamming-pair answer —
+    * reproducible outside Spark (the d4 DuckDB oracle recomputes them
+    * from scratch), unlike Spark-specific xxhash64.
+    */
+  private[graft] def portableTokenHash(w: Column): Column =
+    portableTokenHashFromMd5(md5(w))
+
+  private def portableTokenHashFromMd5(m: Column): Column = {
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** 64-bit SimHash fingerprint per doc: per token-occurrence hash, each
     * bit position votes +1/−1, fingerprint bit = sign of the vote sum —
     * folded by the native `simhash_fp` imperative aggregate
     * (graft.functions.SimHashFp; bit-equal to the 64-sum-column
     * formulation and the streaming per-row fold, spec-asserted).
+    * Token hash = xxhash64, the cheap production default.
     */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+    tokenHashes(df, idCol, textCol, w => xxhash64(w))
       .groupBy(col("doc"))
       .agg(call_function("simhash_fp", col("h")).as("fp"))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16).
-    * Fingerprints are cut into 4 16-bit blocks; by pigeonhole any pair
-    * within Hamming ≤ 3 shares at least one block verbatim, so a join
-    * on (block index, block value) finds all of them — then the exact
-    * popcount(xor) check removes block-collision false positives.
+  /** simhashFingerprints with the md5-derived portable token hash —
+    * identical SimHash semantics, cross-engine-reproducible bits (the
+    * falsifiable form the d4 correctness row runs; md5 costs more per
+    * token than xxhash64, so the default path keeps xxhash64). The md5
+    * digest is projected ONCE and both 32-bit halves parse from it —
+    * handing `portableTokenHash` a raw token column would digest twice.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+  def simhashFingerprintsPortable(df: DataFrame, idCol: String,
+                                  textCol: String): DataFrame =
+    tokenHashes(df, idCol, textCol, w => md5(w))
+      .withColumn("h", portableTokenHashFromMd5(col("h")))
+      .groupBy(col("doc"))
+      .agg(call_function("simhash_fp", col("h")).as("fp"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over a
+    * (doc, fp) fingerprint relation. Fingerprints are cut into 4 16-bit
+    * blocks; by pigeonhole any pair within Hamming ≤ 3 shares at least
+    * one block verbatim, so a join on (block index, block value) finds
+    * all of them — then the exact popcount(xor) check removes
+    * block-collision false positives. `hamming` is BIGINT for oracle
+    * dtype parity. The block relation feeds BOTH sides of the self-join,
+    * so it is persisted per this file's caching contract (PlanSpec
+    * guards the cache scan in d4's plan).
+    */
+  def simhashBlockPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block banding only guarantees Hamming <= 3")
-    val fps = simhashFingerprints(df, idCol, textCol)
     val blocks = fps.select(col("doc"), col("fp"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("blk"),
           shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("bk"))
       .select(col("doc"), col("fp"), col("bk.blk").as("blk"), col("bk.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.as("x")
       .join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.v") === col("y.v") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("i"), col("y.doc").as("j"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs from raw text, xxhash64 token hash. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    simhashBlockPairs(simhashFingerprints(df, idCol, textCol), maxHamming)
+
+  /** SimHash near-dup pairs from raw text with the portable md5-derived
+    * token hash — the d4 correctness row's form: DuckDB recomputes the
+    * identical fingerprints and pair set, so a recall regression flips
+    * the driver's hash compare red.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    simhashBlockPairs(simhashFingerprintsPortable(df, idCol, textCol), maxHamming)
 }

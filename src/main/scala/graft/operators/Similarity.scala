@@ -152,7 +152,7 @@ object Similarity {
   /** Cells ranked by distance (sorted struct array) — query side only,
     * which needs the nprobe prefix.
     */
-  private def cellsByDistance(v: Column, centroids: Seq[Seq[Double]]): Column =
+  private[operators] def cellsByDistance(v: Column, centroids: Seq[Seq[Double]]): Column =
     sort_array(cellScores(v, centroids))
 
   /** Nearest cell id via array_min — O(nlist) with no sort and no
@@ -160,8 +160,37 @@ object Similarity {
     * (score, then cell id) tie-break as the sorted form. This is the
     * per-corpus-row hot path.
     */
-  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+  private[operators] def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
     array_min(cellScores(v, centroids)).getField("cell")
+
+  /** The IVF probe join + exact re-rank shared by the in-line ivfTopK
+    * and the index-at-rest probe (IvfIndex.probeTopK): corpus
+    * (neighbor_id, v, cell) ⋈ broadcast probes (qid, qv, cell) on the
+    * cell, exact cosine, windowed top-k per query.
+    */
+  private[operators] def probeRank(corpus: DataFrame, probes: DataFrame,
+                                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Probe rows for a query set: (qid, qv, cell) exploded over each
+    * query's `nprobe` nearest cells.
+    */
+  private[operators] def probeRows(queries: DataFrame, centroids: Seq[Seq[Double]],
+                                   nprobe: Int, idCol: String,
+                                   vecCol: String): DataFrame =
+    queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellsByDistance(col("qv"), centroids), 1, nprobe),
+        s => s.getField("cell"))))
 
   /** Approximate top-k via an inverted-file (IVF) index: each corpus
     * vector is assigned to its nearest centroid's cell; a query probes
@@ -181,19 +210,7 @@ object Similarity {
     val corpus = vecs
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cell", nearestCell(col("v"), centroids))
-    val probes = queries
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("cell", explode(transform(
-        slice(cellsByDistance(col("qv"), centroids), 1, nprobe),
-        s => s.getField("cell"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("qid"))
-      .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
+    probeRank(corpus, probeRows(queries, centroids, nprobe, idCol, vecCol), k)
   }
 
   /** Embedding-cosine near-dup pairs: vectors colliding in any LSH

@@ -7,11 +7,11 @@ import graft.core.{CatalogQuery, QueryModule, Tables}
 import graft.operators.Dedup
 
 /** Catalog entries for the dedup operator family over `documents`.
-  * d1/d2/d5 are exactly replayable in DuckDB SQL and hash-checked; d3
-  * (LSH candidates + exact verification) provably equals d2's exact
-  * answer on this corpus (DedupSpec), so it carries the same oracle.
-  * Only d4 (SimHash, engine-hash-dependent fingerprints no SQL can
-  * reproduce) keeps the rows-only check + DedupSpec invariants.
+  * ALL five rows are hash-checked against independent DuckDB replays:
+  * d1/d2/d5 are exactly replayable SQL; d3 (LSH candidates + exact
+  * verification) provably equals d2's exact answer on this corpus
+  * (DedupSpec), so it carries the same oracle; d4 runs the portable
+  * md5-hash SimHash whose fingerprints DuckDB recomputes from scratch.
   */
 object DedupQueries extends QueryModule {
 
@@ -74,13 +74,54 @@ object DedupQueries extends QueryModule {
     Some(exactJaccardOracle),
     doc = "MinHash(128)+LSH(16x8) near-dup candidates, exact-verified")
 
+  /** d4 is fully falsifiable since round 4: the catalog runs the
+    * PORTABLE simhash (md5-derived token hash, `Dedup.portableTokenHash`)
+    * so the oracle below recomputes the complete fingerprint + Hamming
+    * pair answer from scratch in DuckDB — votes per bit position from
+    * the same md5 halves, fingerprints kept as two 32-bit halves to
+    * sidestep signed-shift differences, pairs by all-pairs popcount
+    * (fine at oracle scale; the ENGINE side still finds pairs via the
+    * 16-bit block join, never all-pairs). A silent recall collapse now
+    * flips this row red instead of hiding behind rows-only.
+    */
   private val simhash = CatalogQuery(
     "d4_simhash_dedup",
     (s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsPortable(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("i"), col("j")),
-    None, // same: engine-hash-dependent; invariants tested in DedupSpec.
-    doc = "SimHash-64 near-dup pairs, Hamming <= 3 via 16-bit block LSH")
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+           |  FROM documents),
+           |th AS (
+           |  SELECT doc_id,
+           |         CAST('0x'||substring(md5(w),1,8) AS BIGINT) AS hi,
+           |         CAST('0x'||substring(md5(w),9,8) AS BIGINT) AS lo
+           |  FROM toks WHERE w <> ''),
+           |votes AS (
+           |  SELECT doc_id, i,
+           |         sum(CASE WHEN ((CASE WHEN i < 32 THEN lo ELSE hi END)
+           |                        >> (i % 32)) & 1 = 1
+           |                  THEN 1 ELSE -1 END) AS v
+           |  FROM th, unnest(range(64)) t(i) GROUP BY doc_id, i),
+           |fp AS (
+           |  SELECT doc_id,
+           |         CAST(sum(CASE WHEN v > 0 AND i < 32
+           |                       THEN CAST(1 AS BIGINT) << i ELSE 0 END)
+           |              AS BIGINT) AS fp_lo,
+           |         CAST(sum(CASE WHEN v > 0 AND i >= 32
+           |                       THEN CAST(1 AS BIGINT) << (i-32) ELSE 0 END)
+           |              AS BIGINT) AS fp_hi
+           |  FROM votes GROUP BY doc_id)
+           |SELECT a.doc_id AS i, b.doc_id AS j,
+           |       CAST(bit_count(xor(a.fp_lo,b.fp_lo))
+           |            + bit_count(xor(a.fp_hi,b.fp_hi)) AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fp_lo,b.fp_lo))
+           |      + bit_count(xor(a.fp_hi,b.fp_hi)) <= 3
+           |ORDER BY i, j""".stripMargin),
+    doc = "SimHash-64 near-dup pairs, Hamming <= 3 via 16-bit block LSH; " +
+      "md5-derived token hash makes the fingerprints engine-portable, so " +
+      "the oracle independently recomputes the full pair set")
 
   /** End-to-end corpus cleaning, the shape a training-data pipeline
     * actually runs: drop exact duplicates, prune near-duplicates (the

@@ -33,7 +33,7 @@ class DedupSpec extends SparkSpecBase {
 
   test("SimHash finds the very-high-similarity pairs and reports true Hamming") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(sim.nonEmpty, "testdata plants near-dups; SimHash should find some")
     assert(sim.forall(_._3 <= 3))
     // SimHash measures token-multiset similarity, so it can legitimately
@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpecBase {
     val found = nearIdentical.count(simPairs.contains)
     assert(found >= (nearIdentical.size * 0.7).toInt,
       s"SimHash found only $found of ${nearIdentical.size} near-identical pairs")
+  }
+
+  test("portable SimHash (md5 token hash) has the same operator invariants " +
+    "as the xxhash64 form, on different fingerprint bits") {
+    // The d4 catalog row runs this variant so DuckDB can recompute the
+    // fingerprints; the full pair-set equality IS the driver oracle —
+    // here we assert the operator-level invariants hold for it too.
+    val sim = Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sim.nonEmpty)
+    assert(sim.forall(_._3 <= 3))
+    val nearIdentical = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.97)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = sim.map(t => (t._1, t._2)).toSet
+    val found = nearIdentical.count(simPairs.contains)
+    assert(found >= (nearIdentical.size * 0.7).toInt,
+      s"portable SimHash found only $found of ${nearIdentical.size} near-identical pairs")
   }
 
   test("dropExactDuplicates keeps one row per content, pruneNearDuplicates drops the larger id") {
