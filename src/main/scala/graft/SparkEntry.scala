@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.TextQueries,
     graft.queries.MapReduceQueries,
     graft.queries.MultimodalQueries,
-    graft.queries.TemporalQueries
+    graft.queries.TemporalQueries,
+    graft.queries.StreamingQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, MinHashSig, RollingHash, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -53,6 +53,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash_fp(h) takes 1 argument")
         SimHashFp(args.head).toAggregateExpression(): Expression
+      }),
+    (
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(hs) takes 1 argument")
+        SimHash64(args.head): Expression
       }),
     (
       FunctionIdentifier("rolling_hash"),

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+
+/** A REAL streaming execution in the driver gate: st1 replays the
+  * `documents` table through the file streaming source with an
+  * availableNow trigger, runs the streaming corpus-clean pipeline
+  * (watermarked TTL'd exact-dedup state → quality projection → filter)
+  * into a memory sink, and emits per-language survivor stats. Until
+  * round 4 the streaming surface was spec-only (batch-twin equality
+  * asserted in tests but never a CORRECTNESS row); this makes an
+  * actual StreamExecution — source replay, state store, watermark,
+  * sink commit — answer to the DuckDB oracle.
+  *
+  * Determinism: event time is synthesized from doc_id, the single
+  * parquet file arrives as one batch (so no cross-batch watermark
+  * races), and the aggregate only reads text-functional columns
+  * (lang, n_chars) — so which copy of a duplicate text survives
+  * cannot change the answer. The oracle replays the same dedup →
+  * quality-filter → aggregate in DuckDB (same rounding as t2's).
+  */
+object StreamingQueries extends QueryModule {
+
+  private val streamClean = CatalogQuery(
+    "st1_streaming_corpus_clean",
+    (s: SparkSession, dir: String) => {
+      val schema = Tables(s, dir).documents.schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      val cleaned = graft.streaming.StreamingCorpusClean.clean(
+        src, "text", "ts", horizon = "1 hour", minQuality = 0.5)
+      // memory sink: a fresh query name per run (the sink table is
+      // per-query; Bench executes this builder three times per round)
+      val name = "graft_st1_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = cleaned.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH dedup AS (
+           |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+           |kept AS (
+           |  SELECT * FROM documents
+           |  WHERE doc_id IN (SELECT keep_id FROM dedup)),
+           |f AS (
+           |  SELECT lang, n_chars,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws,
+           |    len(regexp_replace(text, '[^.,!?;:]', '', 'g'))*1.0/len(text)
+           |      AS punct_ratio
+           |  FROM kept),
+           |g AS (
+           |  SELECT lang, n_chars, len(ws) AS n_tokens, punct_ratio,
+           |    len(list_filter(ws, w -> list_contains(['the','a','of','to','and'], w)))
+           |      *1.0/len(ws) AS stop_ratio
+           |  FROM f),
+           |q AS (
+           |  SELECT lang, n_chars,
+           |    round(0.5*least(1.0, n_tokens/50.0) + 0.25*(1.0-punct_ratio)
+           |          + 0.25*least(1.0, 4.0*stop_ratio), 6) AS quality
+           |  FROM g)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM q WHERE quality >= 0.5
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "Streaming corpus clean through a real StreamExecution " +
+      "(file-source replay, availableNow, TTL'd dedup state, memory " +
+      "sink), graded against the batch-equivalent DuckDB replay")
+
+  override def queries: Seq[CatalogQuery] = Seq(streamClean)
+}

@@ -35,23 +35,38 @@ object StreamingDedup {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Adds the per-row 64-bit SimHash as `fp`: votes folded over the
-    * materialized token-hash array (aggregate HOF) — a streaming-safe
-    * single-pass projection that computes bit-for-bit the same
-    * fingerprint as the batch `Dedup.simhashFingerprints` groupBy
-    * (spec-asserted), since both sum ±1 votes per token occurrence.
+  /** Adds the per-row 64-bit SimHash as `fp` via the native `simhash64`
+    * expression (graft.functions.SimHash64) — one fused vote loop over
+    * the materialized token-hash array, bit-for-bit the same
+    * fingerprint as the batch `Dedup.simhashFingerprints` groupBy AND
+    * the composed 64-fold form below (both spec-asserted), since votes
+    * are associative/commutative sums per token occurrence.
     */
-  def withSimhash(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(split(col(textCol), "\\s+"), w => w =!= "")
+  def withSimhash(docs: DataFrame, textCol: String): DataFrame =
+    withTokenHashes(docs, textCol)
+      .withColumn("fp", call_function("simhash64", col("__hs")))
+      .drop("__toks", "__hs")
+
+  /** The composed HOF formulation withSimhash replaces: 64 independent
+    * `aggregate()` folds over the token-hash array — O(64·tokens)
+    * interpreted expression evals per row. Kept as the native
+    * expression's differential-test twin (StreamingDedupSpec asserts
+    * bit-equality), the pattern every native function in this engine
+    * follows.
+    */
+  private[graft] def withSimhashComposed(docs: DataFrame, textCol: String): DataFrame = {
     val fp = (0 until 64).map { i =>
       val vote = aggregate(col("__hs"), lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    docs
-      .withColumn("__toks", toks)
-      .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
+    withTokenHashes(docs, textCol)
       .withColumn("fp", fp)
       .drop("__toks", "__hs")
   }
+
+  private def withTokenHashes(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
 }

@@ -73,6 +73,29 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(streaming.nonEmpty && streaming == batch)
   }
 
+  test("native simhash64 expression equals the composed 64-fold form " +
+    "and the batch aggregate, empty/null handled") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.core.Tables(s, sf("sf0.001")).documents.limit(200)
+    val native = StreamingDedup.withSimhash(docs, "text")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = StreamingDedup.withSimhashComposed(docs, "text")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == composed)
+    // empty token array -> 0L (zero votes lose every bit); null -> null
+    val edge = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val fps = StreamingDedup.withSimhash(edge, "text")
+      .select($"id", $"fp").as[(Long, Long)].collect().toMap
+    assert(fps == Map(1L -> 0L, 2L -> 0L))
+    val nullRow = Seq((1L, Option.empty[String])).toDF("id", "text")
+    val nullFp = StreamingDedup.withSimhash(nullRow, "text")
+      .select($"fp").collect().head
+    assert(nullFp.isNullAt(0))
+  }
+
   test("streaming corpus clean dedups AND quality-filters in one pipeline") {
     val s = spark
     import s.implicits._
