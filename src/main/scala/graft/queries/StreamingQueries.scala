@@ -33,7 +33,10 @@ object StreamingQueries extends QueryModule {
         .schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-        .withColumn("ts", timestamp_seconds(col("doc_id")))
+        // +1: doc_id 0 at exactly epoch 0 equals the INITIAL watermark
+        // (0), and dropDuplicatesWithinWatermark discards rows at/below
+        // the watermark as late — the row would silently vanish.
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
       val cleaned = graft.streaming.StreamingCorpusClean.clean(
         src, "text", "ts", horizon = "1 hour", minQuality = 0.5)
       // memory sink: a fresh query name per run (the sink table is

@@ -30,6 +30,23 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** Real-CSV scan — the "fixed" mode csvPerLine's scaladoc points
+    * users at: multiLine=true parses RFC-4180 quoted fields that span
+    * physical lines, so no row is dropped. The cost at scale is real
+    * and documented: a multiLine CSV file is NOT splittable (records
+    * can span any byte offset, so one file = one task), whereas
+    * csvPerLine parallelizes by newline-aligned block splits. Use
+    * per-line mode for machine-written newline-free CSV at 100 TB;
+    * reserve this for genuinely quoted-multiline inputs.
+    */
+  def csvMultiLine(spark: SparkSession, path: String, schema: StructType,
+                   header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("multiLine", "true")
+      .schema(schema)
+      .csv(path)
+
   /** JSON-lines scan — the ingestion format of most training-data
     * drops. Schema is REQUIRED: schema inference reads the data twice
     * and is nondeterministic under corrupt rows, both wrong at scale.

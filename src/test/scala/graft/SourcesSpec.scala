@@ -72,4 +72,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(ids.contains("1") && ids.contains("3"))
     assert(!ids.contains("2"))
   }
+
+  test("csvMultiLine recovers the embedded-newline row csvPerLine drops") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("note", StringType),
+      StructField("tag", StringType)))
+    val csv = writeTemp("multi.csv",
+      "id,note,tag\n1,plain row,x\n2,\"spans\nlines\",y\n3,fine,z")
+    val fixed = Sources.csvMultiLine(spark, csv, schema).collect()
+    // real-CSV mode parses all 3 logical rows, newline preserved in the field
+    assert(fixed.length == 3)
+    val row2 = fixed.find(_.getString(0) == "2").get
+    assert(row2.getString(1) == "spans\nlines")
+    // the parity per-line mode never reassembles the logical record:
+    // no row carries the quoted field the multiLine parse recovered
+    val perLine = Sources.csvPerLine(spark, csv, schema).collect()
+    assert(!perLine.exists(r => r.getString(1) == "spans\nlines"))
+  }
 }
