@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.MapReduceQueries,
     graft.queries.MultimodalQueries,
     graft.queries.TemporalQueries,
-    graft.queries.StreamingQueries
+    graft.queries.StreamingQueries,
+    graft.queries.PipelineQueries
   )
 
   private lazy val catalog: Seq[CatalogQuery] = {

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus mixing and splitting for training pipelines:
+  * per-stratum downsampling ("2 parts web, 1 part wiki") and
+  * train/val/test assignment, both driven by a CONTENT-INDEPENDENT
+  * KEYED HASH instead of `rand()`.
+  *
+  * Why not rand(): at 100 TB a sample must be reproducible — a failed
+  * task re-executes, and a nondeterministic `rand()` re-draws, so two
+  * attempts of the same partition ship different rows (Spark only
+  * seeds rand per-partition, which repartitioning silently breaks);
+  * and the same document must land in the same split on every rerun
+  * or eval contaminates train. Hashing the stable id gives exactly-
+  * reproducible membership with zero state, on any engine that has
+  * md5 — which is also what makes these rows oracle-able in DuckDB.
+  *
+  * Membership test: the first 8 hex chars of `md5(salt ++ ":" ++ id)`
+  * are a uniform draw from [0, 2^32) — compare LEXICOGRAPHICALLY
+  * against the 8-hex-char threshold `floor(rate * 2^32)`. String
+  * compare sidesteps hex→int conversion (not portable SQL); rate 1.0
+  * uses the sentinel "g", which sorts above every hex string.
+  */
+object CorpusMix {
+
+  private[graft] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be non-negative, got $rate")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296L).toLong}%08x"
+  }
+
+  /** Uniform [0, 2^32) draw for `id` under `salt`, as 8 lowercase hex
+    * chars. Different salts give independent draws, so sampling and
+    * splitting don't correlate.
+    */
+  def hashHex(idCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 8)
+
+  /** Keeps each row with its stratum's probability: deterministic,
+    * exactly reproducible, no shuffle (a pure filter — Catalyst pushes
+    * it into the scan's data-filter stage). Strata absent from `rates`
+    * fall back to `defaultRate` (0 = drop, 1 = keep all).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       salt: String = "mix1"): DataFrame = {
+    val threshold = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(hashHex(col(idCol), salt) < threshold)
+  }
+
+  /** Adds a `split` column assigning each row to a named fraction
+    * (default 80/10/10 train/val/test). Weights must sum to <= 1; the
+    * last split absorbs any remainder so every row is assigned.
+    */
+  def withSplit(df: DataFrame, idCol: String,
+                weights: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val h = hashHex(col(idCol), salt)
+    // cumulative upper bounds; the final split is the otherwise-branch
+    val bounds = weights.init.scanLeft(("", 0.0)) {
+      case ((_, acc), (name, w)) => (name, acc + w)
+    }.tail
+    val expr = bounds.foldRight(lit(weights.last._1): Column) {
+      case ((name, bound), acc) => when(h < lit(thresholdHex(bound)), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

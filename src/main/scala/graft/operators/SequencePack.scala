@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: lay the corpus out as one
+  * concatenated token stream (in a deterministic document order) and
+  * assign every document its start offset and the fixed-size context
+  * window ("pack") it lands in — the bookkeeping a GPT-style
+  * pretraining loader needs to cut `maxTokens`-sized examples without
+  * padding waste.
+  *
+  * The core is a DISTRIBUTED PREFIX SUM, the operation naive code
+  * writes as `Window.orderBy(orderCol)` — which moves the entire
+  * corpus into a single partition (Spark even warns "No Partition
+  * Defined for Window operation") and is the canonical 100 TB
+  * scale-killer. Instead, the classic two-level scan:
+  *
+  *   1. range-partition by `orderCol` (so partitions are contiguous
+  *      runs of the global order);
+  *   2. one tiny aggregate computes per-partition token totals —
+  *      numPartitions rows, folded into exclusive per-partition
+  *      offsets by a bounded global window (rows = partition count,
+  *      same class as the deliberate 5-row frame in Parity p3);
+  *   3. broadcast-join the offsets back and take a partition-LOCAL
+  *      cumulative window — every window group is one partition's
+  *      rows, never the whole corpus.
+  *
+  * Cost: two shuffles of the data (the range exchange, and the window
+  * hash exchange on the partition id) plus an O(partitions) side plan —
+  * no stage ever sees more than one partition's rows in one task.
+  * Correctness does not depend on where the sampled range boundaries
+  * fall: any contiguous split of the order yields the same global
+  * cumulative sum (SequencePackSpec asserts invariance across
+  * partition counts).
+  */
+object SequencePack {
+
+  /** Adds `start_tok` (exclusive prefix sum of `weightCol` in
+    * `orderCol` order), `pack_id` (the window containing the first
+    * token) and `n_boundary_crossings` (how many pack boundaries the
+    * document straddles) to `df`.
+    *
+    * `orderCol` must be globally unique (it is the tie-break of the
+    * stream order); `weightCol` must be a non-negative integral token
+    * count. The input is persisted: the range boundaries are sampled,
+    * and the partition ids must be identical in the totals branch and
+    * the main branch.
+    */
+  def withPackAssignment(df: DataFrame, orderCol: String, weightCol: String,
+                         maxTokens: Long, numParts: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val n = if (numParts > 0) numParts
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(sum(col("__ptotal")).over(wPrefix), lit(0L)))
+      .drop("__ptotal")
+
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col(weightCol)).over(wLocal), lit(0L)) +
+      col("__poffset")
+    parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_tok", start.cast("long"))
+      .withColumn("pack_id",
+        floor(col("start_tok") / maxTokens).cast("long"))
+      .withColumn("n_boundary_crossings",
+        when(col(weightCol) === 0, lit(0L)).otherwise(
+          floor((col("start_tok") + col(weightCol) - 1) / maxTokens) -
+            floor(col("start_tok") / maxTokens)).cast("long"))
+      .drop("__pid", "__poffset")
+  }
+}

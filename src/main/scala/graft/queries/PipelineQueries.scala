@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.operators.{CorpusMix, SequencePack}
+
+/** Catalog entries for the corpus-assembly operators — the steps
+  * between a cleaned corpus and a training run: mixing weights +
+  * held-out splits (CorpusMix) and context-window packing
+  * (SequencePack). Both are exactly deterministic (keyed hashes, a
+  * prefix sum), so both carry full DuckDB oracles.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Mixing rates chosen to exercise every code path: downsample
+    * (en/zh/de/fr at distinct rates) and the rate>=1 sentinel (es).
+    */
+  private val mixRates = Map(
+    "en" -> 0.5, "zh" -> 0.25, "es" -> 1.0, "de" -> 0.125, "fr" -> 0.75)
+
+  private val mix = CatalogQuery(
+    "x1_corpus_mix",
+    (s: SparkSession, dir: String) => {
+      val kept = CorpusMix.stratifiedSample(
+        Tables(s, dir).documents, "doc_id", "lang", mixRates)
+      CorpusMix.withSplit(kept, "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""WITH kept AS (
+           |  SELECT * FROM documents
+           |  WHERE substr(md5(concat('mix1:', CAST(doc_id AS VARCHAR))), 1, 8) <
+           |    CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000'
+           |              WHEN 'es' THEN 'g' WHEN 'de' THEN '20000000'
+           |              WHEN 'fr' THEN 'c0000000' ELSE '00000000' END),
+           |sp AS (
+           |  SELECT lang,
+           |    CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)
+           |              < 'cccccccc' THEN 'train'
+           |         WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)
+           |              < 'e6666666' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM kept)
+           |SELECT lang, split, count(*) AS n_docs
+           |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "Deterministic hash-keyed stratified corpus mix + 80/10/10 split")
+
+  private val pack = CatalogQuery(
+    "x2_sequence_packing",
+    (s: SparkSession, dir: String) => {
+      val toks = Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+      SequencePack.withPackAssignment(toks, "doc_id", "n_tokens",
+          maxTokens = 2048)
+        .select(col("doc_id").as("doc"), col("n_tokens"),
+          col("start_tok"), col("pack_id"), col("n_boundary_crossings"))
+        .orderBy(col("doc"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))
+           |         AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS start_tok
+           |  FROM tk)
+           |SELECT doc_id AS doc, n_tokens, start_tok,
+           |  CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+           |  CAST(CASE WHEN n_tokens = 0 THEN 0
+           |       ELSE (start_tok + n_tokens - 1) // 2048 - start_tok // 2048
+           |       END AS BIGINT) AS n_boundary_crossings
+           |FROM c ORDER BY doc""".stripMargin),
+    doc = "Context-window packing via distributed prefix sum " +
+      "(range partition + per-partition offsets, no global window)")
+
+  override def queries: Seq[CatalogQuery] = Seq(mix, pack)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusMix
+
+class CorpusMixSpec extends SparkSpecBase {
+
+  test("thresholdHex maps rates to 8-hex-char bounds (sentinel at 1.0)") {
+    assert(CorpusMix.thresholdHex(0.0) == "00000000")
+    assert(CorpusMix.thresholdHex(0.5) == "80000000")
+    assert(CorpusMix.thresholdHex(1.0) == "g")
+    assert(CorpusMix.thresholdHex(1.5) == "g") // any over-rate keeps all
+  }
+
+  test("stratifiedSample is deterministic, per-stratum, and near the rate") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Map("a" -> 0.25, "b" -> 1.0)
+    val kept = CorpusMix.stratifiedSample(df, "id", "stratum", rates)
+    val byStratum = kept.groupBy($"stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStratum("b") == 2000L) // rate 1.0 keeps every row
+    // 2000 draws at p=.25: mean 500, sd ~19 — 5 sd of slack
+    assert(math.abs(byStratum("a") - 500L) < 100,
+      s"a-stratum kept ${byStratum("a")}, expected ~500")
+    // exact reproducibility, not statistical: same membership twice
+    val again = CorpusMix.stratifiedSample(df, "id", "stratum", rates)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+    // unknown strata fall back to defaultRate=0
+    val noRate = CorpusMix.stratifiedSample(df, "id", "stratum", Map.empty)
+    assert(noRate.count() == 0)
+  }
+
+  test("withSplit covers every row with disjoint named fractions") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 5000L).toDF("id")
+    val split = CorpusMix.withSplit(df, "id")
+    val counts = split.groupBy($"split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    // 80/10/10 within 5 sd (sd ~28 for p=.8, ~21 for p=.1)
+    assert(math.abs(counts("train") - 4000L) < 150)
+    assert(math.abs(counts("val") - 500L) < 110)
+    assert(math.abs(counts("test") - 500L) < 110)
+    // split assignment is a pure function of the id
+    val one = split.filter($"id" === 42L).select($"split").as[String].head()
+    val two = CorpusMix.withSplit(df, "id").filter($"id" === 42L)
+      .select($"split").as[String].head()
+    assert(one == two)
+  }
+}
