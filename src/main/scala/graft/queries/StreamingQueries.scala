@@ -80,5 +80,54 @@ object StreamingQueries extends QueryModule {
       "(file-source replay, availableNow, TTL'd dedup state, memory " +
       "sink), graded against the batch-equivalent DuckDB replay")
 
-  override def queries: Seq[CatalogQuery] = Seq(streamClean)
+  /** q12's streaming twin under APPEND mode — the mode a 100 TB
+    * ingest actually runs (complete mode re-emits the whole result
+    * every batch; update mode needs an upsert sink). Append emits a
+    * window exactly once, when the watermark passes its end — so the
+    * final partial region of event time (window end above
+    * `max(ts) - delay`) is still open when the replay finishes, and
+    * the oracle applies the same cutoff analytically. This row pins
+    * BOTH halves of the contract: the per-window aggregates equal the
+    * batch groupBy, and the emission frontier is exactly
+    * `window_end <= max_event_time - delay`.
+    */
+  private val streamHourly = CatalogQuery(
+    "st2_streaming_events_hourly",
+    (s: SparkSession, dir: String) => {
+      // raw int64-nanos schema (nanosAsLong), truncated to micros the
+      // same way Tables.events does — integer division, no rounding
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("total_value"))
+      val name = "graft_st2_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy(col("hour"), col("event_type"))
+    },
+    Some("""WITH wm AS (
+           |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+           |g AS (
+           |  SELECT date_trunc('hour', ts) AS hour, event_type,
+           |    count(*) AS n_events, round(sum(value), 2) AS total_value
+           |  FROM events GROUP BY 1, 2)
+           |SELECT hour, event_type, n_events, total_value
+           |FROM g, wm WHERE hour + INTERVAL 1 HOUR <= w
+           |ORDER BY hour, event_type""".stripMargin),
+    doc = "Watermarked hourly windowed aggregation through a real " +
+      "append-mode StreamExecution; oracle replays the batch groupBy " +
+      "plus the analytic emission frontier max(ts) - 1h")
+
+  override def queries: Seq[CatalogQuery] = Seq(streamClean, streamHourly)
 }
