@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.{CorpusMix, SequencePack}
+import graft.operators.{CorpusMix, SequencePack, Skew}
 
 /** Catalog entries for the corpus-assembly operators — the steps
   * between a cleaned corpus and a training run: mixing weights +
@@ -81,5 +81,29 @@ object PipelineQueries extends QueryModule {
     doc = "Context-window packing via distributed prefix sum " +
       "(range partition + per-partition offsets, no global window)")
 
-  override def queries: Seq[CatalogQuery] = Seq(mix, pack)
+  /** The salted two-stage aggregate, driver-checked: until round 5 its
+    * "equals the plain groupBy" contract lived only in a spec. The
+    * l_returnflag key is the engine's most skewed grouping (3 keys over
+    * the whole fact table — every row is a hot-key row). Sums stay in
+    * exactly-representable territory (a count, and l_quantity which is
+    * integral-valued), so the two-stage summation order cannot drift
+    * vs the oracle's single-pass sum.
+    */
+  private val saltedAgg = CatalogQuery(
+    "x3_salted_agg",
+    (s: SparkSession, dir: String) => {
+      Skew.saltedSum(Tables(s, dir).lineitem, "l_returnflag",
+          saltBuckets = 32,
+          aggs = Map("n_rows" -> lit(1L), "sum_qty" -> col("l_quantity")))
+        .select(col("l_returnflag"), col("n_rows").cast("long").as("n_rows"),
+          col("sum_qty").cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "Two-stage salted hot-key aggregation vs the plain groupBy oracle")
+
+  override def queries: Seq[CatalogQuery] = Seq(mix, pack, saltedAgg)
 }

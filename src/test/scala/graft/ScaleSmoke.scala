@@ -3,47 +3,100 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, SequencePack, Similarity}
 
-/** Dev scale-smoke (run: `sbt "Test/runMain graft.ScaleSmoke [mult]"`):
-  * unions the sf0.1 corpus `mult` times with offset ids (default 10x →
-  * ~50k docs / ~10k embeddings per table replica) and times the
-  * heaviest operators, to observe scaling behavior beyond the driver's
-  * test sizes. Row counts scale linearly; near-dup pair counts scale
-  * with the planted structure (each replica contributes its own pairs;
-  * cross-replica EXACT copies also pair up).
+/** Scaling study (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [sfDir]"`,
+  * mults comma-separated, default "1,3,10"): unions the sf0.1 corpus
+  * `mult` times with offset ids and times the heaviest operators at
+  * each size, emitting one JSON line per (mult, op) —
+  * `{"scale":M,"op":"...","sec":S,"rows":N}` — so a decade of measured
+  * scaling backs the 100 TB plan-shape claims. Row counts scale
+  * linearly; near-dup pair counts scale with the planted structure
+  * (each replica contributes its own pairs; cross-replica EXACT copies
+  * also pair up, so d1 groups grow super-linearly by construction).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    val mult = args.headOption.map(_.toInt).getOrElse(10)
-    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.headOption.getOrElse("1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    // "dense": replicas are EXACT copies — every doc becomes a
+    //   mult-clique of duplicates, so pair outputs grow ~quadratically
+    //   in mult. Stresses the duplicate-heavy worst case.
+    // "tagged": every token gets a replica suffix and embeddings are
+    //   re-drawn per replica — constant duplicate RATE, linear output.
+    //   The honest proxy for "the same corpus, 10x bigger".
+    val mode = args.drop(1).headOption.getOrElse("dense")
+    val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val t = graft.core.Tables(spark, dir)
-    val docs = (0 until mult).map { r =>
-      t.documents.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ union _)
-    val emb = (0 until mult).map { r =>
-      t.embeddings.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
-        col("embedding"))
-    }.reduce(_ union _)
-    println(s"docs=${docs.count()} embeddings=${emb.count()}")
-    def time(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
-      spark.catalog.clearCache()
+
+    for (mult <- mults) {
+      val docsSyn = (0 until mult).map { r =>
+        val text =
+          if (mode == "tagged" && r > 0)
+            regexp_replace(col("text"), "(\\S+)", s"$$1r$r")
+          else col("text")
+        t.documents.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+      val embSyn = (0 until mult).map { r =>
+        val vec =
+          if (mode == "tagged" && r > 0) {
+            // shader-hash white noise (fract(sin(x·12.9898)·43758.5453)
+            // − 0.5): i.i.d.-looking components, so replica vectors stay
+            // near-orthogonal like the base data — a smooth sin() here
+            // yields correlated vectors and millions of true near-dups
+            transform(sequence(lit(0), lit(63)), j => {
+              val x = col("vec_id") * 64 + j + lit(r * 7919)
+              val h = sin(x * 12.9898) * 43758.5453
+              h - floor(h) - 0.5
+            })
+          } else col("embedding")
+        t.embeddings.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+          vec.cast("array<float>").as("embedding"))
+      }.reduce(_ union _)
+
+      // materialize the synthesized corpus to parquet and re-read, so
+      // timed operators pay a real scan — not the replica-synthesis
+      // expressions (regexp token tagging, noise vectors), which lazy
+      // evaluation would otherwise charge to every op
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"scale_${mode}_$mult").toString
+      docsSyn.write.mode("overwrite").parquet(s"$tmp/docs")
+      embSyn.write.mode("overwrite").parquet(s"$tmp/emb")
+      val docs = spark.read.parquet(s"$tmp/docs")
+      val emb = spark.read.parquet(s"$tmp/emb")
+
+      def time(name: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale":$mult,"op":"$name","sec":$sec%.3f,"rows":$n}""")
+        spark.catalog.clearCache()
+      }
+
+      time("d1_exact")(Dedup.exact(docs, "doc_id", "text").count())
+      time("d2_ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "doc_id",
+        "text", 3, 0.8, maxDf = 100 * mult).count())
+      time("d3_minhash_lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
+        3, 16, 8, 0.8, maxDf = 100 * mult).count())
+      time("d4_simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+      time("s3_cosine_neardup")(Similarity.cosineNearDupPairs(emb, 0.9).count())
+      time("s2_lsh_topk")(Similarity.lshTopK(emb,
+        emb.filter(col("vec_id") < 10), 5).count())
+      time("x2_sequence_packing")(SequencePack.withPackAssignment(
+        docs.select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", maxTokens = 2048).count())
+      time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
+        .reduce(_ union _)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
+        .count())
     }
-    time("d1 exact")(Dedup.exact(docs, "doc_id", "text").count())
-    time("d2 ngram jaccard")(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      3, 0.8, maxDf = 100 * mult).count())
-    time("d3 minhash lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
-      3, 16, 8, 0.8, maxDf = 100 * mult).count())
-    time("d4 simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
-    time("s3 cosine neardup")(Similarity.cosineNearDupPairs(emb, 0.9).count())
-    time("s2 lsh topk")(Similarity.lshTopK(emb,
-      emb.filter(col("vec_id") < 10), 5).count())
     spark.stop()
   }
 }
