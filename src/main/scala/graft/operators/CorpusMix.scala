@@ -62,6 +62,11 @@ object CorpusMix {
                   Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
                 salt: String = "split"): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.forall(_._2 > 0.0),
+      s"every split weight must be positive: $weights")
+    // 1e-9 slack: 0.8+0.1+0.1 style literals land one ulp above 1.0
+    require(weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"split weights must sum to <= 1, got ${weights.map(_._2).sum}")
     val h = hashHex(col(idCol), salt)
     // cumulative upper bounds; the final split is the otherwise-branch
     val bounds = weights.init.scanLeft(("", 0.0)) {

@@ -30,8 +30,17 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y", "en"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
-  private def words(textCol: Column): Column =
+  /** THE whitespace tokenization — every token/word count in the
+    * engine (t1 stats, d5 quality gate, x2 packing weights) must go
+    * through this one definition or drift from the DuckDB oracles'
+    * `list_filter(string_split_regex(text,'\s+'), w -> w <> '')`.
+    */
+  private[graft] def words(textCol: Column): Column =
     filter(split(textCol, "\\s+"), w => w =!= "")
+
+  /** `words(...)` counted, as BIGINT — the canonical token weight. */
+  private[graft] def wordCount(textCol: Column): Column =
+    size(words(textCol)).cast("long")
 
   /** Per-document token statistics: whitespace tokens, BPE-ish regex
     * tokens, characters, and the chars/4 token estimate LLM pipelines

@@ -53,8 +53,7 @@ object PipelineQueries extends QueryModule {
     (s: SparkSession, dir: String) => {
       val toks = Tables(s, dir).documents.select(
         col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), w => w =!= ""))
-          .cast("long").as("n_tokens"))
+        graft.operators.TextAnalysis.wordCount(col("text")).as("n_tokens"))
       SequencePack.withPackAssignment(toks, "doc_id", "n_tokens",
           maxTokens = 2048)
         .select(col("doc_id").as("doc"), col("n_tokens"),

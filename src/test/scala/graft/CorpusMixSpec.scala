@@ -35,6 +35,20 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(noRate.count() == 0)
   }
 
+  test("withSplit rejects overflowing or non-positive weights") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 10L).toDF("id")
+    intercept[IllegalArgumentException] {
+      CorpusMix.withSplit(df, "id", Seq("a" -> 0.8, "b" -> 0.3))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusMix.withSplit(df, "id", Seq("a" -> 0.8, "b" -> -0.2))
+    }
+    // the float-ulp 0.8+0.1+0.1 default must NOT trip the sum check
+    assert(CorpusMix.withSplit(df, "id").count() == 10L)
+  }
+
   test("withSplit covers every row with disjoint named fractions") {
     val s = spark
     import s.implicits._

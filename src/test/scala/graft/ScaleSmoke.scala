@@ -5,27 +5,30 @@ import org.apache.spark.sql.functions._
 import graft.core.GraftSession
 import graft.operators.{Dedup, SequencePack, Similarity}
 
-/** Scaling study (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [sfDir]"`,
-  * mults comma-separated, default "1,3,10"): unions the sf0.1 corpus
-  * `mult` times with offset ids and times the heaviest operators at
-  * each size, emitting one JSON line per (mult, op) —
-  * `{"scale":M,"op":"...","sec":S,"rows":N}` — so a decade of measured
-  * scaling backs the 100 TB plan-shape claims. Row counts scale
-  * linearly; near-dup pair counts scale with the planted structure
-  * (each replica contributes its own pairs; cross-replica EXACT copies
-  * also pair up, so d1 groups grow super-linearly by construction).
+/** Scaling study
+  * (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [mode] [sfDir]"`,
+  * mults comma-separated, default "1,3,10"; mode `dense` (default) or
+  * `tagged`): replicates the sf0.1 corpus `mult` times with offset
+  * ids, materializes it to parquet, and times the heaviest operators
+  * against the scan at each size, emitting one JSON line per
+  * (mult, op) — `{"scale":M,"op":"...","sec":S,"rows":N}` — so a
+  * decade of measured scaling backs the 100 TB plan-shape claims.
+  *
+  * Modes:
+  *  - `dense`: replicas are EXACT copies — every doc becomes a
+  *    mult-clique of duplicates, so pair outputs grow ~quadratically
+  *    in mult. Stresses the duplicate-heavy worst case.
+  *  - `tagged`: every token gets a replica suffix and embeddings are
+  *    re-drawn per replica — constant duplicate RATE, linear output.
+  *    The honest proxy for "the same corpus, 10x bigger".
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mults = args.headOption.getOrElse("1,3,10")
       .split(",").map(_.trim.toInt).toSeq
-    // "dense": replicas are EXACT copies — every doc becomes a
-    //   mult-clique of duplicates, so pair outputs grow ~quadratically
-    //   in mult. Stresses the duplicate-heavy worst case.
-    // "tagged": every token gets a replica suffix and embeddings are
-    //   re-drawn per replica — constant duplicate RATE, linear output.
-    //   The honest proxy for "the same corpus, 10x bigger".
     val mode = args.drop(1).headOption.getOrElse("dense")
+    require(mode == "dense" || mode == "tagged",
+      s"mode must be 'dense' or 'tagged', got '$mode'")
     val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -76,19 +79,25 @@ object ScaleSmoke {
         spark.catalog.clearCache()
       }
 
+      // dense replication multiplies every shingle's df by mult, so the
+      // stop-shingle cutoff must scale with it to stay THE SAME config;
+      // tagged replicas have disjoint shingles (constant df) and must
+      // keep the base cutoff, or cross-scale timings compare different
+      // operator parameters
+      val maxDf = if (mode == "dense") 100 * mult else 100
+
       time("d1_exact")(Dedup.exact(docs, "doc_id", "text").count())
       time("d2_ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "doc_id",
-        "text", 3, 0.8, maxDf = 100 * mult).count())
+        "text", 3, 0.8, maxDf = maxDf).count())
       time("d3_minhash_lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
-        3, 16, 8, 0.8, maxDf = 100 * mult).count())
+        3, 16, 8, 0.8, maxDf = maxDf).count())
       time("d4_simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
       time("s3_cosine_neardup")(Similarity.cosineNearDupPairs(emb, 0.9).count())
       time("s2_lsh_topk")(Similarity.lshTopK(emb,
         emb.filter(col("vec_id") < 10), 5).count())
       time("x2_sequence_packing")(SequencePack.withPackAssignment(
         docs.select(col("doc_id"),
-          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
-            .cast("long").as("n_tokens")),
+          graft.operators.TextAnalysis.wordCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", maxTokens = 2048).count())
       time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
         .reduce(_ union _)
@@ -96,6 +105,11 @@ object ScaleSmoke {
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
         .count())
+
+      // the 10x replicas are hundreds of MB — don't accumulate them
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
     spark.stop()
   }
