@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -397,30 +397,63 @@ object Relational extends QueryModule {
            |ORDER BY l_returnflag""".stripMargin),
     doc = "Exact interpolated percentiles per group (quantile_cont twin)")
 
+  /** The sketch aggregation itself, shared by the q15b certificate row
+    * and CatalogSpec's value-error assertion. One sketch buffer serves
+    * both price percentiles (q15's trick), accuracy 10000 → rank error
+    * <= 1/10000.
+    */
+  private[graft] def approxPercentileByFlag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pe"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("pq"))
+      .select($"l_returnflag",
+        element_at($"pe", 1).as("p50"), element_at($"pe", 2).as("p95"),
+        $"pq".as("p50_qty"))
+  }
+
   /** The 100 TB percentile path that q15's scaladoc promises: the
     * approx_percentile sketch (bounded-memory KLL-style digest,
-    * mergeable map-side, no per-group sort). A sketch can't hash-match
-    * a DuckDB oracle, so this row takes the driver's rows-only check;
-    * CatalogSpec asserts the approximation error against q15's exact
-    * answer (accuracy 10000 → rank error <= 1/10000, far inside the
-    * 1% assertion).
+    * mergeable map-side, no per-group sort). Sketch VALUES are
+    * engine-specific, so hashing them against DuckDB is impossible —
+    * instead the row emits the sketch's RANK-ERROR CERTIFICATE, which
+    * IS deterministic: a returned percentile v is valid iff
+    * rank(< v)/n <= q + eps and rank(<= v)/n >= q - eps (the two-sided
+    * form is what tolerates ties; l_quantity has ~2% mass per value).
+    * The oracle expects every certificate TRUE, so a sketch regression
+    * flips the row red in the driver gate — this was the catalog's
+    * last no_oracle row. CatalogSpec still bounds the value error
+    * against q15's exact answer via approxPercentileByFlag.
     */
   private val q15b = CatalogQuery(
     "q15b_percentiles_approx",
     (s, dir) => {
       import s.implicits._
-      t(s, dir).lineitem
+      // guarantee 1e-4 rank error + float-compare slack
+      val eps = 1.5e-4
+      val li = t(s, dir).lineitem
+        .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      val n = count(lit(1)).cast("double")
+      def certified(c: Column, v: Column, q: Double) =
+        (sum(when(c <= v, 1L).otherwise(0L)) / n >= q - eps) &&
+          (sum(when(c < v, 1L).otherwise(0L)) / n <= q + eps)
+      li.join(broadcast(approxPercentileByFlag(s, dir)), Seq("l_returnflag"))
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
-          round(expr("approx_percentile(l_extendedprice, 0.95, 10000)"), 4).as("p95"),
-          round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("p50_qty"))
+          certified($"l_extendedprice", $"p50", 0.5).as("ok_p50"),
+          certified($"l_extendedprice", $"p95", 0.95).as("ok_p95"),
+          certified($"l_quantity", $"p50_qty", 0.5).as("ok_p50_qty"))
         .orderBy($"l_returnflag")
     },
-    None, // sketch output is engine-specific; error-bounded vs q15 in
-          // CatalogSpec instead of hash-compared.
+    Some("""SELECT l_returnflag,
+           | true AS ok_p50, true AS ok_p95, true AS ok_p50_qty
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin),
     doc = "Approximate percentiles per group (mergeable sketch — the " +
-      "plan that replaces q15's exact per-group sort at 100 TB)")
+      "plan that replaces q15's exact per-group sort at 100 TB), " +
+      "emitting the deterministic rank-error certificate the oracle checks")
 
   /** CUBE grouping sets (rollup's sibling, q10): all 4 grouping-set
     * combinations in one shuffle.

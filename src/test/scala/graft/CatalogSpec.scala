@@ -59,12 +59,15 @@ class CatalogSpec extends SparkSpecBase {
   test("q15b approx percentiles land within 1% of q15's exact answer") {
     val s = spark
     import s.implicits._
-    def byFlag(name: String) =
-      SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+    def toMapByFlag(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
         .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
         .toMap
-    val exact = byFlag("q15_percentiles")
-    val approx = byFlag("q15b_percentiles_approx")
+    val exact = toMapByFlag(SparkEntry.queries("q15_percentiles")(spark, sf("sf0.001")))
+    // the raw sketch values (the catalog row itself now emits the
+    // rank-error certificate, which the driver oracle checks)
+    val approx = toMapByFlag(
+      graft.queries.Relational.approxPercentileByFlag(spark, sf("sf0.001")))
     assert(exact.keySet == approx.keySet)
     for (k <- exact.keys) {
       val (e, a) = (exact(k), approx(k))
