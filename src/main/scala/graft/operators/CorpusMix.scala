@@ -41,6 +41,13 @@ object CorpusMix {
     * exactly reproducible, no shuffle (a pure filter — Catalyst pushes
     * it into the scan's data-filter stage). Strata absent from `rates`
     * fall back to `defaultRate` (0 = drop, 1 = keep all).
+    *
+    * Samples under one salt are NESTED: raising a stratum's rate only
+    * ADDS rows — the lower-rate sample is always a subset of the
+    * higher-rate one (the hash draw is fixed per id; only the
+    * threshold moves). So a mixing-weight increase between corpus
+    * versions is an incremental append, never a reshuffle of which
+    * documents are in the corpus (CorpusMixSpec asserts this).
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],

@@ -35,6 +35,18 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(noRate.count() == 0)
   }
 
+  test("samples are nested: raising a rate only adds rows") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, "a")).toDF("id", "stratum")
+    def ids(rate: Double) =
+      CorpusMix.stratifiedSample(df, "id", "stratum", Map("a" -> rate))
+        .select("id").as[Long].collect().toSet
+    val (lo, mid, hi) = (ids(0.1), ids(0.4), ids(0.9))
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi))
+    assert(lo.size < mid.size && mid.size < hi.size)
+  }
+
   test("withSplit rejects overflowing or non-positive weights") {
     val s = spark
     import s.implicits._
