@@ -66,13 +66,30 @@ object Similarity {
     Seq.fill(tables * bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (id, table, bucket) rows: bucket = the `bits`-bit sign signature of
-    * the vector against that table's hyperplanes, packed into a long.
-    * One projection per row — the sign bits come from `tables·bits`
-    * expression-level dot products against a literal plane matrix.
+  /** (id, v, table, bucket) rows: bucket = the `bits`-bit sign
+    * signature of the vector against that table's hyperplanes, packed
+    * into a long. One native fused `lsh_sig` eval per row
+    * (graft.functions.LshSig — tables·bits·dim multiply-adds in a
+    * primitive loop), then posexplode of the per-table signature array.
     */
   def lshBuckets(vecs: DataFrame, dim: Int, tables: Int, bits: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(call_function("lsh_sig", col("v"),
+          lit(dim), lit(tables), lit(bits))))
+      .select(col("id"), col("v"), col("pos").as("tbl"), col("col").as("bucket"))
+
+  /** The composed-expression twin of [[lshBuckets]], kept as the
+    * differential oracle (LshSigSpec asserts bucket equality). Do NOT
+    * use on a hot path: the per-table OR-chain unrolls tables·bits
+    * expression nodes, and past ~200 sign bits the generated method
+    * trips janino's 64KB limit and the stage falls back to interpreted
+    * eval (measured 12s vs 0.5s on s3's 24×14 config).
+    */
+  private[graft] def lshBucketsComposed(vecs: DataFrame, dim: Int, tables: Int,
+                                        bits: Int, idCol: String = "vec_id",
+                                        vecCol: String = "embedding"): DataFrame = {
     val planes = typedLit(hyperplanes(dim, tables, bits))
     val sig = transform(planes, p => dot(col("v"), p) > 0)
     val buckets = (0 until tables).map { t =>

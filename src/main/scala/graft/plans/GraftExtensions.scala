@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, LshSig, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -60,6 +60,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(hs) takes 1 argument")
         SimHash64(args.head): Expression
+      }),
+    (
+      FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSig].getName, "lsh_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "lsh_sig(vec, dim, tables, bits) takes 4 arguments")
+        val Seq(dim, tables, bits) = args.tail.map {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "lsh_sig dim/tables/bits must be literals")
+        }
+        LshSig(args.head, dim, tables, bits): Expression
       }),
     (
       FunctionIdentifier("rolling_hash"),

@@ -111,13 +111,17 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val e = emb(s, dir)
       val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      // 16 tables x 10 bits: per-table collision at cos 0.97 is
-      // (1 - acos(.97)/pi)^10 = 0.44, so a planted pair escapes all 16
-      // tables with p = 0.56^16 = 8e-5 — recall 1.0 on the 500 planted
-      // pairs (seed-pinned, so deterministic), which is what lets this
-      // row carry the exact ground-truth oracle.
+      // 24 tables x 14 bits: per-table collision at cos 0.97 is
+      // (1 - acos(.97)/pi)^14 = 0.32, so a planted pair escapes all 24
+      // tables with p = 0.68^24 = 1e-4 — same escape probability as the
+      // earlier 16x10 config, but RANDOM collisions (the candidate-join
+      // cost driver, rate = tables/2^bits per pair) drop 10.7x:
+      // 16/2^10 = 0.016 -> 24/2^14 = 0.0015. Hyperplanes and the
+      // perturbation are both seed-pinned, so recall is a fixed
+      // outcome, re-verified by the gate's exact ground-truth oracle
+      // (and at sf0.1 by SimilaritySpec's planted-pair assertion).
       Similarity.cosineNearDupPairs(base.union(perturbed(e)), threshold = 0.9,
-          tables = 16, bits = 10)
+          tables = 24, bits = 14)
         .orderBy(col("i"), col("j"))
     },
     Some("""WITH pert AS (
