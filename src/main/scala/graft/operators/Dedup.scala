@@ -202,11 +202,7 @@ object Dedup {
     // 3.8s → 2.6s on the sf0.1 corpus.
     val sigs = minhashSignatures(df, idCol, textCol, n, bands * rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
-    }
-    val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val buckets = bandRows(sigs, bands, rows)
     val cand = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -214,6 +210,34 @@ object Dedup {
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyExactJaccard(df, idCol, textCol, cand, n, threshold, maxDf)
+  }
+
+  /** (doc, band, bh) rows from a (doc, sig) signature relation: the
+    * signature sliced into `bands` bands of `rows` hashes, each band
+    * keyed by the xxhash64 of its slice. The LSH bucket identity shared
+    * by [[minhashLshPairs]] and the at-rest [[DedupIndex]] — band
+    * hashes must agree bit-for-bit for an index built yesterday to
+    * match a batch probed today.
+    */
+  private[operators] def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+    }
+    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Exact n-gram-Jaccard verification of a candidate pair set against
+    * the text relation `df` (which must cover every candidate doc):
+    * returns the (i, j, jaccard) pairs clearing `threshold`.
+    * Caller persists `cand` — it is consumed twice (doc restriction +
+    * final re-rank join).
+    */
+  private[operators] def verifyExactJaccard(df: DataFrame, idCol: String,
+                                            textCol: String, cand: DataFrame,
+                                            n: Int, threshold: Double,
+                                            maxDf: Int): DataFrame = {
     // Exact verification of the candidate set only — and replicating
     // ngramJaccardPairs' semantics EXACTLY, including the maxDf
     // stop-shingle rule (hot shingles excluded from the intersection

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** MinHash-LSH fingerprint index AT REST: the incremental-ingest twin
+  * of [[Dedup.minhashLshPairs]], mirroring [[IvfIndex]]'s build-once /
+  * probe-many division. A training-data pipeline does not re-fingerprint
+  * 100 TB of corpus for every new crawl batch — it keeps the corpus's
+  * LSH band rows on disk and answers "which new docs near-duplicate
+  * something we already have" with one scan of the (tiny) batch and a
+  * key-equality join against the stored bands.
+  *
+  * Layout under `path`:
+  *   - `bands/`  — (doc, band, bh) rows, the banded signature buckets,
+  *     written sorted by (band, bh) so parquet row groups are
+  *     range-clustered on the join key (at warehouse scale this is a
+  *     `bucketBy(bh)` table, making the probe join shuffle-free on the
+  *     index side; plain parquet keeps the local round self-contained).
+  *   - `meta/`   — one row (n, bands, rows): the shingle width and
+  *     banding scheme the index was built with. Probes derive their
+  *     parameters FROM the index — a batch probed under a different
+  *     scheme would silently find nothing, so the scheme rides with
+  *     the data it describes.
+  *
+  * Band hashes are deterministic given the seed-pinned minhash family
+  * (Dedup.minhashParams, seed 42), so an index built in one JVM matches
+  * batches signed in another — the property DedupIndexSpec asserts by
+  * probing across separately-computed signature sets.
+  *
+  * Cross pairs found by probing are verified with EXACT n-gram Jaccard
+  * against the caller-supplied text relation, the same verification
+  * [[Dedup.minhashLshPairs]] applies — so probe output equals the
+  * all-at-once answer restricted to cross-split pairs wherever LSH
+  * recall is total, which is what lets the d6 catalog row share d2's
+  * exact-Jaccard oracle.
+  */
+object DedupIndex {
+
+  /** Fingerprint `docs` and write the band index (overwriting `path`).
+    * The one full-corpus job; everything after is probe + append.
+    */
+  def build(docs: DataFrame, path: String,
+            idCol: String = "doc_id", textCol: String = "text",
+            n: Int = 3, bands: Int = 16, rows: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    writeBands(docs, path, idCol, textCol, n, bands, rows, overwrite = true)
+    import spark.implicits._
+    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append `docs` (e.g. the just-deduplicated batch) to an existing
+    * index, under the index's own scheme. Idempotence is the caller's
+    * contract: appending the same doc twice yields duplicate band rows
+    * (harmless for candidate generation — pairs are distinct()ed — but
+    * wasteful; dedup the batch first, that is the point of the probe).
+    */
+  def append(spark: SparkSession, path: String, docs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (n, bands, rows) = meta(spark, path)
+    writeBands(docs, path, idCol, textCol, n, bands, rows, overwrite = false)
+  }
+
+  private def writeBands(docs: DataFrame, path: String, idCol: String,
+                         textCol: String, n: Int, bands: Int, rows: Int,
+                         overwrite: Boolean): Unit = {
+    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, bands * rows)
+    Dedup.bandRows(sigs, bands, rows)
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/bands")
+  }
+
+  /** The (n, bands, rows) scheme the index was built with — one row of
+    * metadata, bounded by construction.
+    */
+  def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Near-dup pairs involving `batch`: batch docs colliding with an
+    * indexed doc in any (band, bh) bucket, plus (when `withinBatch`)
+    * batch-internal collisions — all exact-verified against `texts`,
+    * which must cover every doc either side can name (indexed + batch).
+    *
+    * Join shape at scale: the batch's band rows BROADCAST against one
+    * streaming scan of the stored index — the index is never shuffled,
+    * never re-fingerprinted, and the candidate set (not the corpus)
+    * pays the verification. Output is canonical (i, j, jaccard) with
+    * i < j.
+    */
+  def probePairs(spark: SparkSession, path: String, batch: DataFrame,
+                 texts: DataFrame, withinBatch: Boolean = true,
+                 threshold: Double = 0.8, maxDf: Int = 100,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (n, bands, rows) = meta(spark, path)
+    val batchBands = Dedup.bandRows(
+        Dedup.minhashSignatures(batch, idCol, textCol, n, bands * rows),
+        bands, rows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val indexBands = spark.read.parquet(s"$path/bands")
+    val cross = indexBands.as("x")
+      .join(broadcast(batchBands.as("y")),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") =!= col("y.doc"))
+      .select(least(col("x.doc"), col("y.doc")).as("i"),
+        greatest(col("x.doc"), col("y.doc")).as("j"))
+    val candRaw =
+      if (!withinBatch) cross
+      else cross.unionByName(
+        batchBands.as("x").join(batchBands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc") < col("y.doc"))
+          .select(col("x.doc").as("i"), col("y.doc").as("j")))
+    val cand = candRaw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    Dedup.verifyExactJaccard(texts, idCol, textCol, cand, n, threshold, maxDf)
+  }
+
+  /** Build `path` once per (dataDir, corpus variant, scheme) and reuse
+    * across calls and JVMs — the ingest-path contract ([[IvfIndex.ensure]]
+    * is the serving-path sibling). `_SUCCESS` under `bands/` marks a
+    * complete build (at scale: an object-store manifest).
+    */
+  def ensure(spark: SparkSession, dataDir: String, variant: String,
+             corpus: => DataFrame, n: Int = 3, bands: Int = 16,
+             rows: Int = 8): String = {
+    val tag = (s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$variant" +
+      s"-n$n-b$bands-r$rows-v1")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-dedupidx/$tag"
+    this.synchronized {
+      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+        build(corpus, path, n = n, bands = bands, rows = rows)
+    }
+    path
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupIndex}
 
 /** Catalog entries for the dedup operator family over `documents`.
   * ALL five rows are hash-checked against independent DuckDB replays:
@@ -166,6 +166,37 @@ object DedupQueries extends QueryModule {
     doc = "End-to-end corpus cleaning: exact dedup -> near-dup pruning " +
       "(drop larger id per Jaccard>=0.8 pair) -> survivor stats")
 
+  /** Incremental ingest against the at-rest band index: corpus = docs
+    * with id < 250 (the "yesterday's crawl" half at the gate's sf0.01;
+    * ids are stable per TESTDATA so the split is meaningful at every
+    * sf), batch = the rest. Output = every near-dup pair with at least
+    * one side in the batch — under canonical i < j and an id-ordered
+    * split, exactly the pairs with j >= 250, so the oracle is d2's
+    * exact-Jaccard SQL with that one extra predicate. Probe candidates
+    * equal the all-at-once LSH candidates restricted to the split
+    * (same signatures, same band hashes), so the d3-equals-d2 recall
+    * argument carries over unchanged.
+    */
+  private val crossSplitJaccardOracle = exactJaccardOracle.replace(
+    "WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8",
+    "WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8 AND j >= 250")
+
+  private val incremental = CatalogQuery(
+    "d6_incremental_dedup",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val path = DedupIndex.ensure(s, dir, "lt250",
+        d.filter(col("doc_id") < 250), n = 3, bands = 16, rows = 8)
+      DedupIndex.probePairs(s, path,
+          batch = d.filter(col("doc_id") >= 250), texts = d,
+          withinBatch = true, threshold = 0.8, maxDf = 100)
+        .orderBy(col("i"), col("j"))
+    },
+    Some(crossSplitJaccardOracle),
+    doc = "Incremental dedup: new batch probed against the at-rest " +
+      "MinHash band index (build-once corpus fingerprints), plus " +
+      "batch-internal pairs; exact-verified")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(exact, ngram, minhash, simhash, pipeline)
+    Seq(exact, ngram, minhash, simhash, pipeline, incremental)
 }

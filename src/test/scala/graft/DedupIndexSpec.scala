@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DedupIndex}
+
+/** The at-rest MinHash band index: probe output must equal the
+  * all-at-once LSH answer restricted to pairs touching the batch, and
+  * appending a batch must make later batches collide with it.
+  */
+class DedupIndexSpec extends SparkSpecBase {
+
+  private def docs = graft.core.Tables(spark, sf("sf0.001")).documents
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("probe equals the all-at-once answer restricted to the split") {
+    val d = docs
+    val all = pairsOf(Dedup.minhashLshPairs(d, "doc_id", "text"))
+    assert(all.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(d.filter(col("doc_id") < 250), s"$dir/idx")
+    val probed = pairsOf(DedupIndex.probePairs(spark, s"$dir/idx",
+      batch = d.filter(col("doc_id") >= 250), texts = d))
+    assert(probed == all.filter { case (_, j) => j >= 250 })
+
+    val crossOnly = pairsOf(DedupIndex.probePairs(spark, s"$dir/idx",
+      batch = d.filter(col("doc_id") >= 250), texts = d, withinBatch = false))
+    assert(crossOnly == all.filter { case (i, j) => i < 250 && j >= 250 })
+    assert(crossOnly.subsetOf(probed))
+  }
+
+  test("append: a later batch collides with earlier appended batches") {
+    val d = docs
+    val all = pairsOf(Dedup.minhashLshPairs(d, "doc_id", "text"))
+    // three-way split; sf0.001's planted pairs span all three regions
+    val (c1, c2) = (200L, 350L)
+    val expectB2 = all.filter { case (_, j) => j >= c2 }
+    assert(expectB2.exists { case (i, _) => i < c1 }, "wants a corpus hit")
+    assert(expectB2.exists { case (i, _) => i >= c1 && i < c2 },
+      "wants a batch-1 hit (the append must matter)")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(d.filter(col("doc_id") < c1), s"$dir/idx")
+    DedupIndex.append(spark, s"$dir/idx",
+      d.filter(col("doc_id") >= c1 && col("doc_id") < c2))
+    val probed = pairsOf(DedupIndex.probePairs(spark, s"$dir/idx",
+      batch = d.filter(col("doc_id") >= c2), texts = d))
+    assert(probed == expectB2)
+  }
+
+  test("probe derives the banding scheme from the index meta") {
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(d.filter(col("doc_id") < 250), s"$dir/idx",
+      n = 2, bands = 8, rows = 4)
+    assert(DedupIndex.meta(spark, s"$dir/idx") == ((2, 8, 4)))
+    // 2-gram shingles at 8x4 banding: a DIFFERENT pair set than the
+    // 3-gram default — matching it proves the probe read the scheme
+    // from meta rather than assuming defaults.
+    val expect = pairsOf(Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 2, bands = 8, rows = 4))
+      .filter { case (_, j) => j >= 250 }
+    val probed = pairsOf(DedupIndex.probePairs(spark, s"$dir/idx",
+      batch = d.filter(col("doc_id") >= 250), texts = d))
+    assert(probed == expect)
+  }
+}
