@@ -237,7 +237,32 @@ object Dedup {
   private[operators] def verifyExactJaccard(df: DataFrame, idCol: String,
                                             textCol: String, cand: DataFrame,
                                             n: Int, threshold: Double,
-                                            maxDf: Int): DataFrame = {
+                                            maxDf: Int): DataFrame =
+    // The hot-shingle document-frequency pass is the verification's one
+    // full-corpus scan (its output, shingles with df > maxDf, is small
+    // on natural corpora).
+    verifyExactJaccardWith(df, idCol, textCol, cand, n, threshold,
+      hot = hotShingles(df, idCol, textCol, n, maxDf))
+
+  /** Shingle hashes whose document frequency exceeds `maxDf` — the
+    * stop-shingle set the Jaccard verification excludes from
+    * intersection counts.
+    */
+  private[operators] def hotShingles(df: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     maxDf: Int): DataFrame =
+    hashedShingles(df, idCol, textCol, n)
+      .groupBy(col("h")).agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf).select(col("h"))
+
+  /** Exact-Jaccard verification with a caller-supplied stop-shingle set
+    * `hot` (one column `h`): lets [[DedupIndex]] substitute the list it
+    * froze at build time, so a probe never re-scans the corpus texts.
+    */
+  private[operators] def verifyExactJaccardWith(df: DataFrame, idCol: String,
+                                                textCol: String, cand: DataFrame,
+                                                n: Int, threshold: Double,
+                                                hot: DataFrame): DataFrame = {
     // Exact verification of the candidate set only — and replicating
     // ngramJaccardPairs' semantics EXACTLY, including the maxDf
     // stop-shingle rule (hot shingles excluded from the intersection
@@ -247,10 +272,7 @@ object Dedup {
     // to avoid hot shingles. Every step runs in the hashed-shingle
     // domain (no string shingle is ever built anywhere in d3, modulo
     // the 2^-64 collision noted on hashedShingles): the shingle
-    // explode runs over the (tiny) candidate subset, and only the
-    // hot-shingle document-frequency pass touches the full corpus (its
-    // output, shingles with df > maxDf, is small on natural corpora
-    // and anti-joins the candidates).
+    // explode runs over the (tiny) candidate subset.
     val candDocs = cand
       .select(explode(array(col("i"), col("j"))).as("cand_doc")).distinct()
     val candSh = hashedShingles(
@@ -259,9 +281,6 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = candSh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val hot = hashedShingles(df, idCol, textCol, n)
-      .groupBy(col("h")).agg(count_distinct(col("doc")).as("df"))
-      .filter(col("df") > maxDf).select(col("h"))
     // no broadcast HINT: the hot set is tiny on natural corpora (AQE
     // broadcasts it by itself) but its size is corpus-dependent and a
     // forced broadcast would be the unbounded-collect failure mode at

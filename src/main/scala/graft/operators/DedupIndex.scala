@@ -18,8 +18,10 @@ import org.apache.spark.storage.StorageLevel
   *     range-clustered on the join key (at warehouse scale this is a
   *     `bucketBy(bh)` table, making the probe join shuffle-free on the
   *     index side; plain parquet keeps the local round self-contained).
-  *   - `meta/`   — one row (n, bands, rows): the shingle width and
-  *     banding scheme the index was built with. Probes derive their
+  *   - `hot/`    — the stop-shingle list (shingle hashes with build-time
+  *     df > maxDf), frozen at build so probes never re-scan the corpus.
+  *   - `meta/`   — one row (n, bands, rows, maxDf): the shingle width
+  *     and banding scheme the index was built with. Probes derive their
   *     parameters FROM the index — a batch probed under a different
   *     scheme would silently find nothing, so the scheme rides with
   *     the data it describes.
@@ -40,14 +42,22 @@ object DedupIndex {
 
   /** Fingerprint `docs` and write the band index (overwriting `path`).
     * The one full-corpus job; everything after is probe + append.
+    * Alongside the bands it freezes the stop-shingle list (shingle
+    * hashes with document frequency > `maxDf` in THIS corpus) under
+    * `hot/` — the df pass is the other full-corpus scan verification
+    * needs, and paying it here is what lets every later probe touch
+    * only the batch, the index, and the candidates.
     */
   def build(docs: DataFrame, path: String,
             idCol: String = "doc_id", textCol: String = "text",
-            n: Int = 3, bands: Int = 16, rows: Int = 8): Unit = {
+            n: Int = 3, bands: Int = 16, rows: Int = 8,
+            maxDf: Int = 100): Unit = {
     val spark = docs.sparkSession
     writeBands(docs, path, idCol, textCol, n, bands, rows, overwrite = true)
+    Dedup.hotShingles(docs, idCol, textCol, n, maxDf)
+      .write.mode("overwrite").parquet(s"$path/hot")
     import spark.implicits._
-    Seq((n, bands, rows)).toDF("n", "bands", "rows")
+    Seq((n, bands, rows, maxDf)).toDF("n", "bands", "rows", "maxDf")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -56,10 +66,13 @@ object DedupIndex {
     * contract: appending the same doc twice yields duplicate band rows
     * (harmless for candidate generation — pairs are distinct()ed — but
     * wasteful; dedup the batch first, that is the point of the probe).
+    * The stop-shingle list is NOT updated — it stays frozen at the
+    * build-time corpus (see [[probePairs]]); recompute it by rebuilding
+    * during periodic compaction if batch content drifts.
     */
   def append(spark: SparkSession, path: String, docs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val (n, bands, rows) = meta(spark, path)
+    val (n, bands, rows, _) = meta(spark, path)
     writeBands(docs, path, idCol, textCol, n, bands, rows, overwrite = false)
   }
 
@@ -73,12 +86,12 @@ object DedupIndex {
       .parquet(s"$path/bands")
   }
 
-  /** The (n, bands, rows) scheme the index was built with — one row of
-    * metadata, bounded by construction.
+  /** The (n, bands, rows, maxDf) scheme the index was built with — one
+    * row of metadata, bounded by construction.
     */
-  def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
+  def meta(spark: SparkSession, path: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
   }
 
   /** Near-dup pairs involving `batch`: batch docs colliding with an
@@ -89,14 +102,20 @@ object DedupIndex {
     * Join shape at scale: the batch's band rows BROADCAST against one
     * streaming scan of the stored index — the index is never shuffled,
     * never re-fingerprinted, and the candidate set (not the corpus)
-    * pays the verification. Output is canonical (i, j, jaccard) with
-    * i < j.
+    * pays the verification. The stop-shingle list comes from the index
+    * (frozen at build), so NOTHING here scans the corpus texts: `texts`
+    * is only read through a candidate-doc semi-join. Frozen-list
+    * semantics: a shingle whose df crosses `maxDf` only after build is
+    * still counted — the operational choice (stable verdicts across
+    * batches) — so probe output can deviate from the all-at-once
+    * answer exactly on those late-crossing shingles, and nowhere else.
+    * Output is canonical (i, j, jaccard) with i < j.
     */
   def probePairs(spark: SparkSession, path: String, batch: DataFrame,
                  texts: DataFrame, withinBatch: Boolean = true,
-                 threshold: Double = 0.8, maxDf: Int = 100,
+                 threshold: Double = 0.8,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (n, bands, rows) = meta(spark, path)
+    val (n, bands, rows, _) = meta(spark, path)
     val batchBands = Dedup.bandRows(
         Dedup.minhashSignatures(batch, idCol, textCol, n, bands * rows),
         bands, rows)
@@ -116,7 +135,8 @@ object DedupIndex {
               col("x.doc") < col("y.doc"))
           .select(col("x.doc").as("i"), col("y.doc").as("j")))
     val cand = candRaw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    Dedup.verifyExactJaccard(texts, idCol, textCol, cand, n, threshold, maxDf)
+    Dedup.verifyExactJaccardWith(texts, idCol, textCol, cand, n, threshold,
+      hot = spark.read.parquet(s"$path/hot"))
   }
 
   /** Build `path` once per (dataDir, corpus variant, scheme) and reuse
@@ -126,13 +146,13 @@ object DedupIndex {
     */
   def ensure(spark: SparkSession, dataDir: String, variant: String,
              corpus: => DataFrame, n: Int = 3, bands: Int = 16,
-             rows: Int = 8): String = {
+             rows: Int = 8, maxDf: Int = 100): String = {
     val tag = (s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$variant" +
-      s"-n$n-b$bands-r$rows-v1")
+      s"-n$n-b$bands-r$rows-d$maxDf-v2")
     val path = s"${sys.props("java.io.tmpdir")}/graft-dedupidx/$tag"
     this.synchronized {
       if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
-        build(corpus, path, n = n, bands = bands, rows = rows)
+        build(corpus, path, n = n, bands = bands, rows = rows, maxDf = maxDf)
     }
     path
   }

@@ -186,10 +186,11 @@ object DedupQueries extends QueryModule {
     (s, dir) => {
       val d = docs(s, dir)
       val path = DedupIndex.ensure(s, dir, "lt250",
-        d.filter(col("doc_id") < 250), n = 3, bands = 16, rows = 8)
+        d.filter(col("doc_id") < 250), n = 3, bands = 16, rows = 8,
+        maxDf = 100)
       DedupIndex.probePairs(s, path,
           batch = d.filter(col("doc_id") >= 250), texts = d,
-          withinBatch = true, threshold = 0.8, maxDf = 100)
+          withinBatch = true, threshold = 0.8)
         .orderBy(col("i"), col("j"))
     },
     Some(crossSplitJaccardOracle),

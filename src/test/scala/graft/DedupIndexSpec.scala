@@ -49,12 +49,39 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(probed == expectB2)
   }
 
+  test("the stop-shingle list is frozen at build and applied at probe") {
+    val s = spark
+    import s.implicits._
+    // Same discriminating corpus as DedupSpec's hot-shingle test: the
+    // "common hot phrase" shingle has df=121 > maxDf=20 at BUILD time,
+    // and the 1000/1001 near-dup pair (split across corpus and batch
+    // here) also shares it. A probe that ignored the stored list would
+    // count the hot shingle in the intersection and report 0.857
+    // (12/14); a probe that recomputed df over only the visible texts
+    // slice could drop below the threshold. The frozen list gives
+    // exactly d2's answer: 10/12 = 0.833333.
+    val corpus = ((0 until 120).map { i =>
+      val tail = Seq.tabulate(12)(k => s"w${i}x$k").mkString(" ")
+      (i.toLong, s"common hot phrase $tail")
+    } :+ (1000L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 common hot phrase"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1001L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 common hot phrase"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    DedupIndex.build(corpus, s"$dir/idx", maxDf = 20)
+    val got = DedupIndex.probePairs(spark, s"$dir/idx", batch = batch,
+        texts = corpus.unionByName(batch))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1000L, 1001L, 0.833333)), s"got $got")
+  }
+
   test("probe derives the banding scheme from the index meta") {
     val d = docs
     val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
     DedupIndex.build(d.filter(col("doc_id") < 250), s"$dir/idx",
       n = 2, bands = 8, rows = 4)
-    assert(DedupIndex.meta(spark, s"$dir/idx") == ((2, 8, 4)))
+    assert(DedupIndex.meta(spark, s"$dir/idx") == ((2, 8, 4, 100)))
     // 2-gram shingles at 8x4 banding: a DIFFERENT pair set than the
     // 3-gram default — matching it proves the probe read the scheme
     // from meta rather than assuming defaults.

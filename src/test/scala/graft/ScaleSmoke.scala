@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.operators.{Dedup, SequencePack, Similarity}
+import graft.operators.{Dedup, DedupIndex, SequencePack, Similarity}
 
 /** Scaling study
   * (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [mode] [sfDir]"`,
@@ -93,6 +93,19 @@ object ScaleSmoke {
         3, 16, 8, 0.8, maxDf = maxDf).count())
       time("d4_simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
       time("s3_cosine_neardup")(Similarity.cosineNearDupPairs(emb, 0.9).count())
+      // the incremental-ingest shape: index build is the one full-corpus
+      // job (scales with corpus); the probe of a FIXED 500-doc batch
+      // should scale with the index SCAN, not with re-fingerprinting
+      time("d6_index_build") {
+        DedupIndex.build(docs, s"$tmp/idx", maxDf = maxDf)
+        spark.read.parquet(s"$tmp/idx/bands").count()
+      }
+      val batch = t.documents.filter(col("doc_id") < 500)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      time("d6_probe_500")(DedupIndex.probePairs(spark, s"$tmp/idx",
+        batch = batch, texts = docs.unionByName(batch),
+        withinBatch = false).count())
       time("s2_lsh_topk")(Similarity.lshTopK(emb,
         emb.filter(col("vec_id") < 10), 5).count())
       time("x2_sequence_packing")(SequencePack.withPackAssignment(
