@@ -30,20 +30,9 @@ case class MinHashSig(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  private val P = 2147483647L // 2^31 − 1, Mersenne prime
+  private val P = MinHashFamily.P
   // same params as Dedup.minhashParams: a ∈ [1, p−1], b ∈ [0, p−1]
-  private lazy val (as, bs) = {
-    val rnd = new scala.util.Random(42)
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      a(i) = 1L + rnd.nextInt((P - 1).toInt).toLong
-      b(i) = rnd.nextInt(P.toInt).toLong
-      i += 1
-    }
-    (a, b)
-  }
+  private lazy val (as, bs) = MinHashFamily.params(numHashes)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true

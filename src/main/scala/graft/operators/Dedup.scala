@@ -220,12 +220,43 @@ object Dedup {
     * hashes must agree bit-for-bit for an index built yesterday to
     * match a batch probed today.
     */
-  private[operators] def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private[graft] def bandRows(sigs: DataFrame, bands: Int, rows: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
     }
-    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val keep = carry.map(col)
+    sigs.select(col("doc") +: keep :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(col("doc") +: keep :+ col("bk.band").as("band") :+
+        col("bk.bh").as("bh"): _*)
+  }
+
+  /** Adds `sigCol` = the MinHash signature computed per ROW via the
+    * native `minhash_row` expression — no explode, no groupBy, so it
+    * runs inside a stateless STREAMING projection (the batch
+    * [[minhashSignatures]] aggregate can't). Bit-equal to the batch
+    * signature for the same text (same shingle hashing, same seed-42
+    * family; min is multiplicity-insensitive — MinHashRowSpec asserts
+    * equality over the documents table). Docs shorter than `n` words
+    * get a NULL signature (the batch path emits no row for them);
+    * callers filter those out before banding — a null sig would band
+    * to a constant bucket and collide with every other null.
+    */
+  private[graft] def withMinhashSignature(df: DataFrame, textCol: String,
+                                          sigCol: String, n: Int = 3,
+                                          numHashes: Int = 128): DataFrame = {
+    // __ws materialized first: a lambda over the raw split(...)
+    // expression re-evaluates the regex per element (the 25x pitfall
+    // documented on `tokenized`)
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    df.withColumn("__ws", words)
+      .withColumn("__sh", transform(
+        when(size(col("__ws")) >= n,
+          sequence(lit(1), size(col("__ws")) - (n - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => xxhash64((0 until n).map(o => element_at(col("__ws"), i + o)): _*)))
+      .withColumn(sigCol, call_function("minhash_row", col("__sh"), lit(numHashes)))
+      .drop("__ws", "__sh")
   }
 
   /** Exact n-gram-Jaccard verification of a candidate pair set against

@@ -18,6 +18,9 @@ import org.apache.spark.storage.StorageLevel
   *     range-clustered on the join key (at warehouse scale this is a
   *     `bucketBy(bh)` table, making the probe join shuffle-free on the
   *     index side; plain parquet keeps the local round self-contained).
+  *   - `sigs/`   — the full (doc, sig) signatures, for probes that
+  *     verify by signature agreement instead of corpus texts (the
+  *     streaming probe, [[graft.streaming.StreamingDedupIndex]]).
   *   - `hot/`    — the stop-shingle list (shingle hashes with build-time
   *     df > maxDf), frozen at build so probes never re-scan the corpus.
   *   - `meta/`   — one row (n, bands, rows, maxDf): the shingle width
@@ -79,11 +82,22 @@ object DedupIndex {
   private def writeBands(docs: DataFrame, path: String, idCol: String,
                          textCol: String, n: Int, bands: Int, rows: Int,
                          overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, bands * rows)
-    Dedup.bandRows(sigs, bands, rows)
-      .sortWithinPartitions(col("band"), col("bh"))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .parquet(s"$path/bands")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // full signatures ride along (docs × bands·rows longs): the
+      // streaming probe estimates Jaccard from signature agreement —
+      // exact shingle verification needs corpus TEXTS, which a stream
+      // must not re-scan per microbatch. Sigs BEFORE bands: a torn
+      // append then leaves bands ⊆ sigs (an unreferenced sig is inert;
+      // a band row with no sig would silently drop its candidate in
+      // the streaming verify join).
+      sigs.write.mode(mode).parquet(s"$path/sigs")
+      Dedup.bandRows(sigs, bands, rows)
+        .sortWithinPartitions(col("band"), col("bh"))
+        .write.mode(mode).parquet(s"$path/bands")
+    } finally sigs.unpersist()
   }
 
   /** The (n, bands, rows, maxDf) scheme the index was built with — one
@@ -141,17 +155,19 @@ object DedupIndex {
 
   /** Build `path` once per (dataDir, corpus variant, scheme) and reuse
     * across calls and JVMs — the ingest-path contract ([[IvfIndex.ensure]]
-    * is the serving-path sibling). `_SUCCESS` under `bands/` marks a
-    * complete build (at scale: an object-store manifest).
+    * is the serving-path sibling). `_SUCCESS` under `meta/` — the LAST
+    * artifact [[build]] writes — marks a complete build (at scale: an
+    * object-store manifest). Bump the trailing version when the layout
+    * changes, or a cached older-layout index shadows the new one.
     */
   def ensure(spark: SparkSession, dataDir: String, variant: String,
              corpus: => DataFrame, n: Int = 3, bands: Int = 16,
              rows: Int = 8, maxDf: Int = 100): String = {
     val tag = (s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$variant" +
-      s"-n$n-b$bands-r$rows-d$maxDf-v2")
+      s"-n$n-b$bands-r$rows-d$maxDf-v3")
     val path = s"${sys.props("java.io.tmpdir")}/graft-dedupidx/$tag"
     this.synchronized {
-      if (!new java.io.File(s"$path/bands/_SUCCESS").exists())
+      if (!new java.io.File(s"$path/meta/_SUCCESS").exists())
         build(corpus, path, n = n, bands = bands, rows = rows, maxDf = maxDf)
     }
     path

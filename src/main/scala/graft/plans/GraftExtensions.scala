@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, LshSig, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, LshSig, MinHashRow, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -60,6 +60,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(hs) takes 1 argument")
         SimHash64(args.head): Expression
+      }),
+    (
+      FunctionIdentifier("minhash_row"),
+      new ExpressionInfo(classOf[MinHashRow].getName, "minhash_row"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_row(hs, numHashes) takes 2 arguments")
+        val n = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "minhash_row numHashes must be a literal")
+        }
+        MinHashRow(args.head, n): Expression
       }),
     (
       FunctionIdentifier("lsh_sig"),

@@ -129,5 +129,66 @@ object StreamingQueries extends QueryModule {
       "append-mode StreamExecution; oracle replays the batch groupBy " +
       "plus the analytic emission frontier max(ts) - 1h")
 
-  override def queries: Seq[CatalogQuery] = Seq(streamClean, streamHourly)
+  /** The d6 incremental-dedup flow as a STREAM: documents with id >=
+    * 250 replayed through the file source, probed against the at-rest
+    * MinHash band index built from the id < 250 corpus (same `ensure`
+    * site as d6 — one build serves both rows). Verification is the
+    * signature-agreement estimator (stderr ~0.03 at k=128), so the
+    * emitted pair set is decided by thresholding est_jaccard at 0.5 —
+    * deterministic here because the corpus's exact-J distribution is
+    * bimodal (planted pairs >= 0.9, background <= 0.07, both > 20
+    * sigma from 0.5), which is what lets an estimator-verified row
+    * carry an EXACT-Jaccard DuckDB oracle. Only (i, j) is emitted:
+    * est_jaccard itself is engine-seeded (minhash family) and not
+    * DuckDB-replayable.
+    */
+  private val streamIndexProbe = CatalogQuery(
+    "st3_streaming_index_probe",
+    (s: SparkSession, dir: String) => {
+      val docs = Tables(s, dir).documents
+      val path = graft.operators.DedupIndex.ensure(s, dir, "lt250",
+        docs.filter(col("doc_id") < 250), n = 3, bands = 16, rows = 8,
+        maxDf = 100)
+      val src = s.readStream
+        .schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") >= 250)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
+      val m = graft.streaming.StreamingDedupIndex.matches(s, path, src,
+        tsCol = "ts", horizon = "1 hour", minEstJaccard = 0.5)
+      val name = "graft_st3_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = m.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name)
+        .select(least(col("doc"), col("match_doc")).as("i"),
+          greatest(col("doc"), col("match_doc")).as("j"))
+        .orderBy(col("i"), col("j"))
+    },
+    // exact cross-split Jaccard pairs; no stop-shingle CTE — the
+    // signature path has no maxDf concept (and the testdata has no
+    // hot shingles for it to matter)
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+           |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT i, j
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = i
+           |JOIN sizes sb ON sb.doc_id = j
+           |WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
+           |  AND i < 250 AND j >= 250
+           |ORDER BY i, j""".stripMargin),
+    doc = "Streaming incremental dedup: the firehose probed against " +
+      "the at-rest band index via stream-static joins, signature-" +
+      "agreement verification, graded against exact cross-split pairs")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(streamClean, streamHourly, streamIndexProbe)
 }
