@@ -68,14 +68,28 @@ object Dedup {
     * the regex split per array element — O(words²) per doc, measured
     * 25x slower at sf0.1.
     */
-  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    df.select(col(idCol).as("doc"), words.as("ws"))
-  }
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), wordsOf(textCol).as("ws"))
 
-  private def shingleIdx(n: Int): Column =
-    when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
+  /** THE tokenizer: whitespace split, empty tokens dropped. Single
+    * definition shared by every batch and streaming signature path —
+    * the stream/index band-hash agreement (MinHashRowSpec) depends on
+    * all of them tokenizing identically, so this must not be copied.
+    */
+  private[graft] def wordsOf(textCol: String): Column =
+    filter(split(col(textCol), "\\s+"), w => w =!= "")
+
+  private def shingleIdx(n: Int, ws: Column = col("ws")): Column =
+    when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
+
+  /** The hashed-shingle array over a MATERIALIZED words column named
+    * `ws` (materialized first per the 25x pitfall above): one xxhash64
+    * per n-gram, no shingle string ever built.
+    */
+  private def hashedShingleArr(ws: String, n: Int): Column =
+    transform(shingleIdx(n, col(ws)), i =>
+      xxhash64((0 until n).map(o => element_at(col(ws), i + o)): _*))
 
   /** Per-occurrence (doc, shingle) rows — repeated shingles NOT
     * deduplicated. Consumers that are multiplicity-insensitive (a
@@ -159,8 +173,7 @@ object Dedup {
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame =
     tokenized(df, idCol, textCol)
-      .select(col("doc"), explode(transform(shingleIdx(n), i =>
-        xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*))).as("h"))
+      .select(col("doc"), explode(hashedShingleArr("ws", n)).as("h"))
 
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 128): DataFrame = {
@@ -245,16 +258,10 @@ object Dedup {
   private[graft] def withMinhashSignature(df: DataFrame, textCol: String,
                                           sigCol: String, n: Int = 3,
                                           numHashes: Int = 128): DataFrame = {
-    // __ws materialized first: a lambda over the raw split(...)
-    // expression re-evaluates the regex per element (the 25x pitfall
-    // documented on `tokenized`)
-    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
-    df.withColumn("__ws", words)
-      .withColumn("__sh", transform(
-        when(size(col("__ws")) >= n,
-          sequence(lit(1), size(col("__ws")) - (n - 1)))
-          .otherwise(array().cast("array<int>")),
-        i => xxhash64((0 until n).map(o => element_at(col("__ws"), i + o)): _*)))
+    // same wordsOf/hashedShingleArr trees as the batch path — the
+    // bit-equality contract rides on sharing them, not re-stating them
+    df.withColumn("__ws", wordsOf(textCol))
+      .withColumn("__sh", hashedShingleArr("__ws", n))
       .withColumn(sigCol, call_function("minhash_row", col("__sh"), lit(numHashes)))
       .drop("__ws", "__sh")
   }
@@ -334,8 +341,7 @@ object Dedup {
     */
   private def tokenHashes(df: DataFrame, idCol: String, textCol: String,
                           hash: Column => Column): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+    df.select(col(idCol).as("doc"), explode(wordsOf(textCol)).as("w"))
       .withColumn("h", hash(col("w")))
 
   /** Engine-portable 64-bit token hash: the first 16 hex chars of

@@ -113,10 +113,16 @@ object DedupIndex {
     * batch-internal collisions — all exact-verified against `texts`,
     * which must cover every doc either side can name (indexed + batch).
     *
-    * Join shape at scale: the batch's band rows BROADCAST against one
-    * streaming scan of the stored index — the index is never shuffled,
-    * never re-fingerprinted, and the candidate set (not the corpus)
-    * pays the verification. The stop-shingle list comes from the index
+    * Join shape at scale: the index is never shuffled on its own
+    * account, never re-fingerprinted, and the candidate set (not the
+    * corpus) pays the verification. The batch side is deliberately NOT
+    * hint-broadcast: a forced broadcast bypasses AQE's size check and
+    * must materialize the whole batch band relation on the driver —
+    * the unbounded-collect failure mode verifyExactJaccardWith
+    * documents — and nothing enforces a "tiny batch" precondition
+    * (d6's own batch is the larger half of its corpus). Unhinted, AQE
+    * broadcasts a genuinely small batch from its observed size and
+    * degrades a large one to a shuffle join instead of an OOM. The stop-shingle list comes from the index
     * (frozen at build), so NOTHING here scans the corpus texts: `texts`
     * is only read through a candidate-doc semi-join. Frozen-list
     * semantics: a shingle whose df crosses `maxDf` only after build is
@@ -136,7 +142,7 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val indexBands = spark.read.parquet(s"$path/bands")
     val cross = indexBands.as("x")
-      .join(broadcast(batchBands.as("y")),
+      .join(batchBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") =!= col("y.doc"))
       .select(least(col("x.doc"), col("y.doc")).as("i"),
@@ -153,23 +159,23 @@ object DedupIndex {
       hot = spark.read.parquet(s"$path/hot"))
   }
 
-  /** Build `path` once per (dataDir, corpus variant, scheme) and reuse
+  /** Build once per (dataDir content, corpus variant, scheme) and reuse
     * across calls and JVMs — the ingest-path contract ([[IvfIndex.ensure]]
-    * is the serving-path sibling). `_SUCCESS` under `meta/` — the LAST
-    * artifact [[build]] writes — marks a complete build (at scale: an
-    * object-store manifest). Bump the trailing version when the layout
-    * changes, or a cached older-layout index shadows the new one.
+    * is the serving-path sibling). Staleness, atomicity, and the
+    * cross-JVM build race are [[IndexCache]]'s contract: the key
+    * fingerprints the source data, and builds commit by directory
+    * rename. `_SUCCESS` under `meta/` — the LAST artifact [[build]]
+    * writes — marks a complete build. Bump the trailing version when
+    * the layout changes, or a cached older-layout index shadows the
+    * new one.
     */
   def ensure(spark: SparkSession, dataDir: String, variant: String,
              corpus: => DataFrame, n: Int = 3, bands: Int = 16,
              rows: Int = 8, maxDf: Int = 100): String = {
     val tag = (s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$variant" +
       s"-n$n-b$bands-r$rows-d$maxDf-v3")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-dedupidx/$tag"
-    this.synchronized {
-      if (!new java.io.File(s"$path/meta/_SUCCESS").exists())
-        build(corpus, path, n = n, bands = bands, rows = rows, maxDf = maxDf)
+    IndexCache.ensure("graft-dedupidx", dataDir, tag, "meta/_SUCCESS") { scratch =>
+      build(corpus, scratch, n = n, bands = bands, rows = rows, maxDf = maxDf)
     }
-    path
   }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.io.File
+
+/** Build-once / reuse-many cache for local index-at-rest artifacts
+  * ([[DedupIndex.ensure]], [[IvfIndex.ensure]]), hardened beyond a bare
+  * completion-marker check in two ways:
+  *
+  *   1. The cache key includes a fingerprint of the source data's file
+  *      metadata (paths, lengths, mtimes), so regenerated testdata MISSES
+  *      the cache and rebuilds instead of silently serving yesterday's
+  *      fingerprints — a stale index would surface as an inexplicable
+  *      oracle mismatch two gate rows away from the actual cause.
+  *   2. Builds land in a unique scratch dir and are renamed into place.
+  *      Directory rename is atomic on a local filesystem, so concurrent
+  *      JVMs (the Verify gate racing an sbt test run) can both build:
+  *      one rename wins, the loser discards its scratch dir, and readers
+  *      only ever observe complete indexes. `this.synchronized` still
+  *      serializes within a JVM to avoid duplicate work; the rename is
+  *      what makes the cross-JVM race safe, which a JVM-local lock
+  *      cannot. At warehouse scale the same protocol is "write to a
+  *      staging prefix, commit via manifest swap".
+  */
+private[graft] object IndexCache {
+
+  /** Returns the path of a complete index for (`family`, `tag`, current
+    * content of `dataDir`), running `build` into a scratch dir first if
+    * no complete index exists. `marker` is the relative path of the LAST
+    * artifact `build` writes (its existence == build complete).
+    */
+  def ensure(family: String, dataDir: String, tag: String, marker: String)
+            (build: String => Unit): String = {
+    val path =
+      s"${sys.props("java.io.tmpdir")}/$family/$tag-${fingerprint(dataDir)}"
+    this.synchronized {
+      if (!new File(s"$path/$marker").exists()) {
+        val scratch = s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}"
+        build(scratch)
+        if (!new File(scratch).renameTo(new File(path)))
+          deleteRecursively(new File(scratch)) // lost a cross-JVM race; a complete index already sits at path
+      }
+    }
+    path
+  }
+
+  private def fingerprint(dataDir: String): String = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.sortBy(_.getName).toSeq.flatMap(walk)).getOrElse(Nil)
+      else Seq(f)
+    val listing = walk(new File(dataDir))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -75,18 +75,17 @@ object IvfIndex {
     Similarity.probeRank(corpus, probes, k)
   }
 
-  /** Build `path` once per (dataDir, index params) and reuse it across
-    * calls and JVMs — the serving-path contract. The `_SUCCESS` marker
-    * is the build-complete check (at scale: an object-store manifest).
+  /** Build once per (dataDir content, index params) and reuse across
+    * calls and JVMs — the serving-path contract. Staleness, atomicity,
+    * and the cross-JVM build race are [[IndexCache]]'s contract (key
+    * fingerprints the source data; builds commit by directory rename,
+    * at scale: an object-store manifest swap).
     */
   def ensure(spark: SparkSession, dataDir: String, vecs: => DataFrame,
              nlist: Int = 16, maxIter: Int = 10, sampleMod: Int = 1): String = {
     val tag = s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-n$nlist-i$maxIter-m$sampleMod-v1"
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$tag"
-    this.synchronized {
-      if (!new java.io.File(s"$path/corpus/_SUCCESS").exists())
-        build(vecs, path, nlist, maxIter, sampleMod)
+    IndexCache.ensure("graft-ivf", dataDir, tag, "corpus/_SUCCESS") { scratch =>
+      build(vecs, scratch, nlist, maxIter, sampleMod)
     }
-    path
   }
 }

@@ -67,6 +67,6 @@ object StreamingDedup {
 
   private def withTokenHashes(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("__toks", filter(split(col(textCol), "\\s+"), w => w =!= ""))
+      .withColumn("__toks", graft.operators.Dedup.wordsOf(textCol))
       .withColumn("__hs", transform(col("__toks"), t => xxhash64(t)))
 }

@@ -51,8 +51,7 @@ object StreamingDedupIndex {
     // tree — with the tokenization re-evaluated per array element —
     // into a Filter at the scan, recomputing every signature in
     // quadratic form (measured 8.9s vs 0.6s on a 4750-doc microbatch).
-    val enough = stream.filter(
-      size(filter(split(col(textCol), "\\s+"), w => w =!= "")) >= n)
+    val enough = stream.filter(size(Dedup.wordsOf(textCol)) >= n)
     val signed = Dedup.withMinhashSignature(enough, textCol, "sig", n, k)
       .select(col(idCol).as("doc"), col("sig"), col(tsCol).as("__ts"))
     val banded = Dedup.bandRows(signed, bands, rows, carry = Seq("sig", "__ts"))
