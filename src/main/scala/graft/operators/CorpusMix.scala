@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus mixing and splitting for training pipelines:
@@ -83,5 +84,54 @@ object CorpusMix {
       case ((name, bound), acc) => when(h < lit(thresholdHex(bound)), name).otherwise(acc)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Deterministic global shuffle for training order: adds
+    * `shuffle_key` (the keyed hash with the id as tiebreak, so the
+    * order is total and engine-portable) and `shuffle_pos`, the row's
+    * 0-based position in that order. Reproducible under retry for the
+    * same reason as [[stratifiedSample]], and changing `salt` draws a
+    * fresh independent permutation — the per-epoch reshuffle.
+    *
+    * The position is [[SequencePack]]'s distributed prefix sum over a
+    * constant weight (range-partition the hash order, per-partition
+    * offsets) — NOT a global `row_number` window, which moves the
+    * whole corpus into a single task and is the canonical 100 TB
+    * scale-killer.
+    */
+  def withShufflePosition(df: DataFrame, idCol: String,
+                          salt: String = "shuf1"): DataFrame =
+    SequencePack.withPackAssignment(
+        df.withColumn("shuffle_key",
+            concat(hashHex(col(idCol), salt), lit("-"),
+              col(idCol).cast("string")))
+          .withColumn("__one", lit(1L)),
+        "shuffle_key", "__one", maxTokens = Long.MaxValue)
+      .withColumnRenamed("start_tok", "shuffle_pos")
+      .drop("__one", "pack_id", "n_boundary_crossings")
+
+  /** Keep at most `k` rows per stratum, chosen by the keyed hash (id
+    * as tiebreak) — the per-domain/per-source cap a web-corpus
+    * assembly applies so no single source dominates the mix. Adds
+    * `cap_rank`, the 1-based position within the stratum's hash order.
+    * Deterministic under retry, and NESTED in `k`: the hash order per
+    * stratum is fixed, so raising a source's budget only ADDS rows —
+    * it never churns documents already kept (CorpusMixSpec asserts
+    * this, the same property the sampler has in its rate).
+    *
+    * Plan shape: one hash-partitioned window per stratum, so each
+    * stratum's rows rank inside one task. Right when strata are many
+    * and balanced (the per-domain case); for a pathologically hot
+    * stratum plus small `k`, an aggregator path (top-k by hash per
+    * stratum, O(strata · k) state, cf. TopKAggregator) replaces the
+    * full per-stratum sort.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int,
+                    salt: String = "cap1"): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashHex(col(idCol), salt), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= k)
   }
 }

@@ -127,6 +127,45 @@ object TextAnalysis {
         (-col("best.neg")).as("score"))
   }
 
+  /** Within-document repetition signals — the Gopher-style filters for
+    * boilerplate and degenerate text: fraction of duplicate words
+    * (1 − distinct/total), and 2-gram repetition (duplicate-occurrence
+    * fraction plus the share of the single most frequent 2-gram).
+    * Word-level features are one in-row projection (`array_distinct`,
+    * codegen'd); gram features go through one explode and two keyed
+    * aggregations — shuffle O(doc · distinct grams) with map-side
+    * combine, and every key includes the doc id, so there is no hot
+    * key at any corpus size. Docs shorter than 2 words emit zero gram
+    * counts/ratios rather than nulls (left join + coalesce).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("dup_word_ratio", when(col("n_tokens") > 0,
+        round(lit(1.0) -
+          size(array_distinct(col("ws"))).cast("double") / col("n_tokens"), 6))
+        .otherwise(0.0))
+    val grams = base.select(col("doc"), explode(transform(
+      when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ",
+        element_at(col("ws"), i), element_at(col("ws"), i + 1)))).as("g"))
+    val gramStats = grams.groupBy(col("doc"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_2grams"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6)
+          .as("dup_2gram_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top_2gram_ratio"))
+    base.drop("ws")
+      .join(gramStats, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"), col("dup_word_ratio"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("dup_2gram_ratio"), lit(0.0)).as("dup_2gram_ratio"),
+        coalesce(col("top_2gram_ratio"), lit(0.0)).as("top_2gram_ratio"))
+  }
+
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
     * character codepoints — the incremental-update-friendly fingerprint

@@ -104,5 +104,44 @@ object PipelineQueries extends QueryModule {
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
     doc = "Two-stage salted hot-key aggregation vs the plain groupBy oracle")
 
-  override def queries: Seq[CatalogQuery] = Seq(mix, pack, saltedAgg)
+  /** The permutation itself is the contract: the oracle recomputes the
+    * exact md5-keyed order with a row_number window (fine at oracle
+    * scale), while the engine side ranks via the distributed prefix
+    * sum — so a wrong position anywhere flips the row red.
+    */
+  private val shuffle = CatalogQuery(
+    "x4_corpus_shuffle",
+    (s: SparkSession, dir: String) =>
+      CorpusMix.withShufflePosition(Tables(s, dir).documents, "doc_id")
+        .select(col("doc_id").as("doc"), col("shuffle_pos"))
+        .orderBy(col("doc")),
+    Some("""SELECT doc_id AS doc,
+           |  CAST(row_number() OVER (ORDER BY
+           |    substr(md5(concat('shuf1:', CAST(doc_id AS VARCHAR))), 1, 8)
+           |      || '-' || CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+           |    AS shuffle_pos
+           |FROM documents ORDER BY doc""".stripMargin),
+    doc = "Deterministic global corpus shuffle: reproducible keyed-hash " +
+      "training order via distributed prefix sum, no global window")
+
+  private val sourceCap = CatalogQuery(
+    "x5_source_cap",
+    (s: SparkSession, dir: String) =>
+      CorpusMix.capPerStratum(Tables(s, dir).documents, "doc_id", "source",
+          k = 10)
+        .select(col("doc_id").as("doc"), col("source"), col("cap_rank"))
+        .orderBy(col("doc")),
+    Some("""WITH r AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY
+           |      substr(md5(concat('cap1:', CAST(doc_id AS VARCHAR))), 1, 8),
+           |      doc_id) AS rk
+           |  FROM documents)
+           |SELECT doc_id AS doc, source, CAST(rk AS BIGINT) AS cap_rank
+           |FROM r WHERE rk <= 10 ORDER BY doc""".stripMargin),
+    doc = "Per-source document cap (k=10 by keyed hash): no source " +
+      "dominates the mix; kept set is stable and nested in k")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(mix, pack, saltedAgg, shuffle, sourceCap)
 }

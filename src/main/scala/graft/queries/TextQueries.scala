@@ -123,6 +123,38 @@ object TextQueries extends QueryModule {
     doc = "Reference scalar functions (trim/substring/concat/length) + " +
       "the native token_count Catalyst expression")
 
+  private val repetition = CatalogQuery(
+    "t6_repetition",
+    (s, dir) => TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           |    CASE WHEN len(ws) > 0
+           |         THEN round(1.0 - len(list_distinct(ws))*1.0/len(ws), 6)
+           |         ELSE 0.0 END AS dup_word_ratio
+           |  FROM toks),
+           |g AS (
+           |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+           |  FROM toks, unnest(range(1, len(ws))) t(i)),
+           |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+           |gs AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           |    round(1.0 - count(*)*1.0/sum(c), 6) AS dup_2gram_ratio,
+           |    round(max(c)*1.0/sum(c), 6) AS top_2gram_ratio
+           |  FROM gc GROUP BY 1)
+           |SELECT b.doc_id AS doc, b.n_tokens, b.dup_word_ratio,
+           |  coalesce(gs.n_2grams, 0) AS n_2grams,
+           |  coalesce(gs.dup_2gram_ratio, 0.0) AS dup_2gram_ratio,
+           |  coalesce(gs.top_2gram_ratio, 0.0) AS top_2gram_ratio
+           |FROM base b LEFT JOIN gs ON gs.doc_id = b.doc_id
+           |ORDER BY doc""".stripMargin),
+    doc = "Gopher-style repetition signals: duplicate-word fraction, " +
+      "duplicate-2-gram fraction, top-2-gram share")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(stats, quality, langid, fingerprint, scalars)
+    Seq(stats, quality, langid, fingerprint, scalars, repetition)
 }

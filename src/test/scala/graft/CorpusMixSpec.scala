@@ -80,4 +80,43 @@ class CorpusMixSpec extends SparkSpecBase {
       .select($"split").as[String].head()
     assert(one == two)
   }
+
+  test("withShufflePosition is the exact keyed-hash permutation") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).toDF("id")
+    val got = CorpusMix.withShufflePosition(df, "id")
+      .select($"id", $"shuffle_key", $"shuffle_pos")
+      .as[(Long, String, Long)].collect()
+    // positions are a bijection onto [0, N)
+    assert(got.map(_._3).sorted.toSeq == (0L until 3000L).toSeq)
+    // and agree with the sort order of the key (the oracle's window form)
+    val byKey = got.sortBy(_._2).map(_._1).toSeq
+    val byPos = got.sortBy(_._3).map(_._1).toSeq
+    assert(byKey == byPos)
+    // a different salt draws a genuinely different permutation
+    val other = CorpusMix.withShufflePosition(df, "id", salt = "epoch2")
+      .select($"id", $"shuffle_pos").as[(Long, Long)].collect().toMap
+    val same = got.count { case (id, _, p) => other(id) == p }
+    assert(same < 30, s"salts should decorrelate, $same/3000 positions equal")
+  }
+
+  test("capPerStratum bounds every stratum and is nested in k") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).map(i => (i, s"src${i % 7}"))
+      .toDF("id", "source")
+    val k10 = CorpusMix.capPerStratum(df, "id", "source", k = 10)
+    val counts = k10.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.size == 7 && counts.values.forall(_ == 10L))
+    assert(k10.agg(max($"cap_rank")).as[Long].head() == 10L)
+    // nested: the k=10 kept set contains the k=4 kept set exactly
+    val k4 = CorpusMix.capPerStratum(df, "id", "source", k = 4)
+      .select($"id").as[Long].collect().toSet
+    val k10ids = k10.select($"id").as[Long].collect().toSet
+    assert(k4.subsetOf(k10ids) && k4.size == 28)
+    // a cap above the stratum size keeps everything
+    assert(CorpusMix.capPerStratum(df, "id", "source", k = 500).count() == 2000L)
+  }
 }

@@ -46,6 +46,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
   }
 
+  test("repetitionStats: hand-computed ratios, short docs emit zeros") {
+    val out = TextAnalysis.repetitionStats(
+      df((1L, "a a a a"),       // grams: 3x "a a" -> dup 2/3, top 1
+        (2L, "a b c"),          // grams: "a b","b c" -> dup 0, top 1/2
+        (3L, "x"),              // no grams
+        (4L, "")),              // no tokens at all
+      "doc_id", "text").orderBy(col("doc")).collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 4 && r1.getDouble(2) == 0.75) // 1 - 1/4
+    assert(r1.getLong(3) == 3)
+    assert(r1.getDouble(4) == 0.666667 && r1.getDouble(5) == 1.0)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 3 && r2.getDouble(2) == 0.0)
+    assert(r2.getLong(3) == 2)
+    assert(r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.5)
+    for (i <- Seq(2, 3)) {
+      assert(out(i).getLong(3) == 0L)
+      assert(out(i).getDouble(4) == 0.0 && out(i).getDouble(5) == 0.0)
+      assert(!out(i).anyNull)
+    }
+  }
+
   test("empty and whitespace-only docs score 0, never null or an error") {
     // guarded divisions: an unguarded /0 would throw on ANSI sessions
     // and null-drop otherwise — poison for a long-running stream
