@@ -166,6 +166,36 @@ object TextAnalysis {
         coalesce(col("top_2gram_ratio"), lit(0.0)).as("top_2gram_ratio"))
   }
 
+  /** PII patterns for [[redactPii]], shared with its tests and cited in
+    * the t7 oracle. Deliberately conservative RE2-compatible syntax (no
+    * lookaround): Spark replays them under java.util.regex and DuckDB
+    * under RE2, and the subset below means the SAME matches on both.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Regex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing — the redaction stage a web-corpus clean runs before
+    * training: emails, phone numbers, and IPv4 literals replaced with
+    * typed placeholders, plus per-document match counts (the audit
+    * trail a compliance review asks for). One single-pass projection of
+    * codegen'd regexp functions — parquet-scan speed, like the rest of
+    * this module. Replacement order (emails, then phones, then IPs) is
+    * fixed so overlapping matches (an IP as an email's host part)
+    * resolve identically on every engine.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"),
+        regexp_count(col("t"), lit(EmailRegex)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PhoneRegex)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(Ipv4Regex)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRegex, "<EMAIL>"),
+            PhoneRegex, "<PHONE>"),
+          Ipv4Regex, "<IP>").as("redacted"))
+
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
     * character codepoints — the incremental-update-friendly fingerprint

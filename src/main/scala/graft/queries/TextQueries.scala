@@ -155,6 +155,52 @@ object TextQueries extends QueryModule {
     doc = "Gopher-style repetition signals: duplicate-word fraction, " +
       "duplicate-2-gram fraction, top-2-gram share")
 
+  /** The corpus carries no PII, so the query unions four PLANTED rows
+    * (ids far above any real doc_id) whose redactions are hand-known
+    * and replayed in the oracle's VALUES — without them the row would
+    * pass vacuously with every count at 0 and nothing falsifiable.
+    */
+  private val pii = CatalogQuery(
+    "t7_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "contact bob@example.com or alice@web.co for details"),
+        (1000002L, "call 555-123-4567 or 555.987.6543 now"),
+        (1000003L, "server at 10.0.0.1 and 192.168.1.254 replied"),
+        (1000004L, "mixed a@b.io 1.2.3.4 777-888-9999"))
+        .toDF("doc_id", "text")
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      TextAnalysis.redactPii(all, "doc_id", "text").orderBy(col("doc"))
+    },
+    Some("""WITH allrows AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (1000001, 'contact bob@example.com or alice@web.co for details'),
+           |    (1000002, 'call 555-123-4567 or 555.987.6543 now'),
+           |    (1000003, 'server at 10.0.0.1 and 192.168.1.254 replied'),
+           |    (1000004, 'mixed a@b.io 1.2.3.4 777-888-9999')
+           |  ) v(doc_id, text))
+           |SELECT CAST(doc_id AS BIGINT) AS doc,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |    AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text,
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           |    AS BIGINT) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+           |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+           |    AS redacted
+           |FROM allrows ORDER BY doc""".stripMargin),
+    doc = "PII scrubbing: emails/phones/IPv4 redacted with typed " +
+      "placeholders + per-doc counts; planted rows make it falsifiable")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(stats, quality, langid, fingerprint, scalars, repetition)
+    Seq(stats, quality, langid, fingerprint, scalars, repetition, pii)
 }

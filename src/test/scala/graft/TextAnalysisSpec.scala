@@ -68,6 +68,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("redactPii replaces emails/phones/IPs with placeholders and counts them") {
+    val out = TextAnalysis.redactPii(
+      df((1L, "mail bob@example.com and alice@web.co today"),
+        (2L, "call 555-123-4567 or 555.987.6543"),
+        (3L, "hosts 10.0.0.1 and 192.168.1.254"),
+        (4L, "mixed a@b.io 1.2.3.4 777-888-9999"),
+        (5L, "nothing sensitive here 12345")),
+      "doc_id", "text").orderBy(col("doc")).collect()
+    assert(out(0).getLong(1) == 2 &&
+      out(0).getString(4) == "mail <EMAIL> and <EMAIL> today")
+    assert(out(1).getLong(2) == 2 &&
+      out(1).getString(4) == "call <PHONE> or <PHONE>")
+    assert(out(2).getLong(3) == 2 &&
+      out(2).getString(4) == "hosts <IP> and <IP>")
+    assert(out(3).getLong(1) == 1 && out(3).getLong(2) == 1 &&
+      out(3).getLong(3) == 1 &&
+      out(3).getString(4) == "mixed <EMAIL> <IP> <PHONE>")
+    assert(out(4).getLong(1) == 0 && out(4).getLong(2) == 0 &&
+      out(4).getLong(3) == 0 &&
+      out(4).getString(4) == "nothing sensitive here 12345")
+  }
+
   test("empty and whitespace-only docs score 0, never null or an error") {
     // guarded divisions: an unguarded /0 would throw on ANSI sessions
     // and null-drop otherwise — poison for a long-running stream
