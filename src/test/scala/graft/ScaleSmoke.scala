@@ -3,12 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.operators.{Dedup, DedupIndex, SequencePack, Similarity}
+import graft.operators.{CorpusMix, Dedup, DedupIndex, SequencePack, Similarity, TextAnalysis}
 
 /** Scaling study
-  * (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [mode] [sfDir]"`,
+  * (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [mode] [sfDir] [ops]"`,
   * mults comma-separated, default "1,3,10"; mode `dense` (default) or
-  * `tagged`): replicates the sf0.1 corpus `mult` times with offset
+  * `tagged`; `ops` an optional comma-list restricting which operators
+  * run, for refreshing a subset of the study without re-running the
+  * heavy dedup decade): replicates the sf0.1 corpus `mult` times with offset
   * ids, materializes it to parquet, and times the heaviest operators
   * against the scan at each size, emitting one JSON line per
   * (mult, op) — `{"scale":M,"op":"...","sec":S,"rows":N}` — so a
@@ -30,6 +32,8 @@ object ScaleSmoke {
     require(mode == "dense" || mode == "tagged",
       s"mode must be 'dense' or 'tagged', got '$mode'")
     val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
+    val opsFilter = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val t = graft.core.Tables(spark, dir)
@@ -72,11 +76,13 @@ object ScaleSmoke {
       val emb = spark.read.parquet(s"$tmp/emb")
 
       def time(name: String)(body: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val n = body
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"scale":$mult,"op":"$name","sec":$sec%.3f,"rows":$n}""")
-        spark.catalog.clearCache()
+        if (opsFilter.forall(_.contains(name))) {
+          val t0 = System.nanoTime()
+          val n = body
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"scale":$mult,"op":"$name","sec":$sec%.3f,"rows":$n}""")
+          spark.catalog.clearCache()
+        }
       }
 
       // dense replication multiplies every shingle's df by mult, so the
@@ -112,6 +118,27 @@ object ScaleSmoke {
         docs.select(col("doc_id"),
           graft.operators.TextAnalysis.wordCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", maxTokens = 2048).count())
+      // per-doc text ops and the corpus-assembly pair: aggregates over
+      // every output column defeat count-only column pruning, so the
+      // timed run pays the actual regex/gram/prefix-sum work
+      time("t6_repetition") {
+        TextAnalysis.repetitionStats(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n"), sum(col("n_2grams")),
+            sum(col("top_2gram_ratio"))).head.getLong(0)
+      }
+      time("t7_redaction") {
+        TextAnalysis.redactPii(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n"), sum(length(col("redacted")) +
+            col("n_emails") + col("n_phones") + col("n_ips")))
+          .head.getLong(0)
+      }
+      time("x4_shuffle_pos") {
+        CorpusMix.withShufflePosition(docs, "doc_id")
+          .agg(count(lit(1)).as("n"), max(col("shuffle_pos")))
+          .head.getLong(0)
+      }
+      time("x5_source_cap")(
+        CorpusMix.capPerStratum(docs, "doc_id", "source", k = 10).count())
       time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
         .reduce(_ union _)
         .groupBy(col("l_returnflag"))
