@@ -52,6 +52,40 @@ object Dedup {
   def pruneNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("j")), col(idCol) === col("j"), "left_anti")
 
+  /** Train/eval DECONTAMINATION report: for every training doc sharing
+    * at least one word n-gram with the eval set, the number of shared
+    * (doc, shingle) matches and of distinct eval docs hit — the overlap
+    * audit run before training so benchmark text does not leak into the
+    * corpus (long n, default 8: short n-grams collide by chance; an
+    * 8-gram shared verbatim is memorization-grade overlap).
+    *
+    * Scale shape: the EVAL side is small by contract (a benchmark
+    * suite), so its shingle set is explicitly `broadcast()` — the right
+    * call here precisely because the contract bounds it, unlike d6's
+    * ingest batch where nothing does and the hint would be the
+    * unbounded-collect failure mode. The 100 TB train side is never
+    * shuffled wholesale: the check rides the train scan as a broadcast
+    * hash join, and the one shuffle (groupBy doc) carries only the
+    * matched rows.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame =
+    shingles(train, idCol, textCol, n)
+      .join(broadcast(shingles(eval, idCol, textCol, n)
+        .select(col("shingle"), col("doc").as("eval_doc"))), Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
+
+  /** The consuming form: training rows with every contaminated doc
+    * dropped. One extra anti-join.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame =
+    train.join(contaminationReport(train, eval, idCol, textCol, n)
+      .select(col("doc")), col(idCol) === col("doc"), "left_anti")
+
   /** Word n-gram shingle set per document: (id, shingle) rows, distinct.
     * Guarded so a doc shorter than n words yields no shingles (Spark's
     * `sequence(1, k)` would count DOWN for k < 1 and corrupt indices).

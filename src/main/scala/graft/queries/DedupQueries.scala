@@ -198,6 +198,41 @@ object DedupQueries extends QueryModule {
       "MinHash band index (build-once corpus fingerprints), plus " +
       "batch-internal pairs; exact-verified")
 
+  /** Train = doc_id < 450, eval = the last 50 docs: the planted
+    * near-dup pairs that straddle that boundary make 4 training docs
+    * share verbatim 8-grams with eval — real, falsifiable contamination
+    * (an empty report would also pass the oracle, but then the planted
+    * pairs would have to have vanished from the testdata).
+    */
+  private val decontamination = CatalogQuery(
+    "d7_decontamination",
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+          train = d.filter(col("doc_id") < 450),
+          eval = d.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+           |  FROM toks, unnest(range(1, len(ws)-6)) t(i)),
+           |tr AS (SELECT * FROM sh WHERE doc_id < 450),
+           |ev AS (SELECT * FROM sh WHERE doc_id >= 450)
+           |SELECT tr.doc_id AS doc,
+           |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
+           |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+           |FROM tr JOIN ev ON tr.s = ev.s
+           |GROUP BY 1 ORDER BY doc""".stripMargin),
+    doc = "Train/eval decontamination audit: training docs sharing " +
+      "verbatim 8-grams with the eval split (broadcast eval shingles)")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(exact, ngram, minhash, simhash, pipeline, incremental)
+    Seq(exact, ngram, minhash, simhash, pipeline, incremental,
+      decontamination)
 }

@@ -107,6 +107,33 @@ class DedupSpec extends SparkSpecBase {
     assert(d3 == d2, s"d3 $d3 != d2 $d2")
   }
 
+  test("contaminationReport flags exactly the overlapping docs; decontaminate drops them") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // shares 8-gram w/ eval 100
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // shares w/ eval 101
+      (3L, "totally unrelated words about nothing at all here now"),
+      (4L, "short doc")) // < 8 words: no shingles, never flagged
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "zero one two three four five six seven eight done"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (102L, "some other benchmark text with its own eight grams inside"))
+      .toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 8)
+      .orderBy($"doc").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: "one..eight" window shared (2 alignments in train x 1 in
+    // eval intersect on one 8-gram); doc 2: identical 9-word doc -> two
+    // shared 8-grams, one eval doc each
+    assert(report.map(_._1) == Seq(1L, 2L))
+    assert(report(0) == ((1L, 1L, 1L)))
+    assert(report(1) == ((2L, 2L, 1L)))
+    val kept = Dedup.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._

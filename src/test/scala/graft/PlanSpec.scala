@@ -22,6 +22,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), "map-side partial aggregation expected")
   }
 
+  test("d7: the bounded eval shingle set broadcasts; the train side never sort-merges") {
+    val p = plan("d7_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval shingles are small by contract and must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here means the train side is being shuffled wholesale")
+  }
+
   test("q4: dimension is filtered BEFORE broadcast, fact side never shuffles") {
     val p = plan("q4_brand_revenue_broadcast")
     assert(p.contains("BroadcastHashJoin"))
@@ -31,8 +39,8 @@ class PlanSpec extends SparkSpecBase {
 
   test("no pair-finding query ever plans a cartesian product") {
     for (q <- Seq("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
-        "d4_simhash_dedup", "d6_incremental_dedup", "s2_ann_lsh_topk",
-        "s3_cosine_neardup", "s4_ann_ivf_topk")) {
+        "d4_simhash_dedup", "d6_incremental_dedup", "d7_decontamination",
+        "s2_ann_lsh_topk", "s3_cosine_neardup", "s4_ann_ivf_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
