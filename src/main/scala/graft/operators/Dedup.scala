@@ -79,12 +79,19 @@ object Dedup {
         count_distinct(col("eval_doc")).as("n_eval_docs"))
 
   /** The consuming form: training rows with every contaminated doc
-    * dropped. One extra anti-join.
+    * dropped. NOT the report minus its counts: dropping needs only the
+    * distinct contaminated ids, so this is a broadcast SEMI join (each
+    * train shingle row emitted at most once — no per-eval-doc row
+    * multiplication, no count_distinct Expand) plus the anti-join.
     */
   def decontaminate(train: DataFrame, eval: DataFrame,
-                    idCol: String, textCol: String, n: Int = 8): DataFrame =
-    train.join(contaminationReport(train, eval, idCol, textCol, n)
-      .select(col("doc")), col(idCol) === col("doc"), "left_anti")
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val contaminated = shingles(train, idCol, textCol, n)
+      .join(broadcast(shingles(eval, idCol, textCol, n).select(col("shingle"))),
+        Seq("shingle"), "left_semi")
+      .select(col("doc")).distinct()
+    train.join(contaminated, col(idCol) === col("doc"), "left_anti")
+  }
 
   /** Word n-gram shingle set per document: (id, shingle) rows, distinct.
     * Guarded so a doc shorter than n words yields no shingles (Spark's
@@ -113,7 +120,13 @@ object Dedup {
   private[graft] def wordsOf(textCol: String): Column =
     filter(split(col(textCol), "\\s+"), w => w =!= "")
 
-  private def shingleIdx(n: Int, ws: Column = col("ws")): Column =
+  /** Guarded n-gram start-index sequence over a materialized words
+    * column (empty for docs shorter than n — `sequence(1, k)` counts
+    * DOWN for k < 1 and would corrupt indices). Shared with every
+    * n-gram consumer, TextAnalysis.repetitionStats included — the
+    * guard must not be copied for the same reason [[wordsOf]] must not.
+    */
+  private[graft] def shingleIdx(n: Int, ws: Column = col("ws")): Column =
     when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
 

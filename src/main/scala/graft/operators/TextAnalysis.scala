@@ -139,15 +139,19 @@ object TextAnalysis {
     * counts/ratios rather than nulls (left join + coalesce).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // persisted: base feeds BOTH the gram branch and the final join's
+    // left side — AQE plans the two independently (zero ReusedExchange),
+    // so without the persist the scan + regex tokenization run twice,
+    // the dominant cost at scale (same contract as Dedup's self-joins)
     val base = df.select(col(idCol).as("doc"), words(col(textCol)).as("ws"))
       .withColumn("n_tokens", size(col("ws")).cast("long"))
       .withColumn("dup_word_ratio", when(col("n_tokens") > 0,
         round(lit(1.0) -
           size(array_distinct(col("ws"))).cast("double") / col("n_tokens"), 6))
         .otherwise(0.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = base.select(col("doc"), explode(transform(
-      when(size(col("ws")) >= 2, sequence(lit(1), size(col("ws")) - 1))
-        .otherwise(array().cast("array<int>")),
+      Dedup.shingleIdx(2, col("ws")),
       i => concat_ws(" ",
         element_at(col("ws"), i), element_at(col("ws"), i + 1)))).as("g"))
     val gramStats = grams.groupBy(col("doc"), col("g"))
@@ -180,21 +184,24 @@ object TextAnalysis {
     * typed placeholders, plus per-document match counts (the audit
     * trail a compliance review asks for). One single-pass projection of
     * codegen'd regexp functions — parquet-scan speed, like the rest of
-    * this module. Replacement order (emails, then phones, then IPs) is
-    * fixed so overlapping matches (an IP as an email's host part)
-    * resolve identically on every engine.
+    * this module. Replacement is sequential (emails, then phones, then
+    * IPs) and each count is taken on the stage's INPUT text, so every
+    * count equals the number of placeholders that stage inserted — an
+    * audit can reconcile counts against markers exactly. (Counting
+    * everything on the raw text would double-book overlaps: a
+    * digit-and-hyphen email local part like 555-123-4567@x.com is
+    * consumed whole by the email pass, and must not also count as a
+    * phone.)
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("__t1", regexp_replace(col("t"), EmailRegex, "<EMAIL>"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PhoneRegex, "<PHONE>"))
       .select(col("doc"),
         regexp_count(col("t"), lit(EmailRegex)).cast("long").as("n_emails"),
-        regexp_count(col("t"), lit(PhoneRegex)).cast("long").as("n_phones"),
-        regexp_count(col("t"), lit(Ipv4Regex)).cast("long").as("n_ips"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("t"), EmailRegex, "<EMAIL>"),
-            PhoneRegex, "<PHONE>"),
-          Ipv4Regex, "<IP>").as("redacted"))
+        regexp_count(col("__t1"), lit(PhoneRegex)).cast("long").as("n_phones"),
+        regexp_count(col("__t2"), lit(Ipv4Regex)).cast("long").as("n_ips"),
+        regexp_replace(col("__t2"), Ipv4Regex, "<IP>").as("redacted"))
 
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the

@@ -198,23 +198,29 @@ object DedupQueries extends QueryModule {
       "MinHash band index (build-once corpus fingerprints), plus " +
       "batch-internal pairs; exact-verified")
 
-  /** Train = doc_id < 450, eval = the last 50 docs: the planted
-    * near-dup pairs that straddle that boundary make 4 training docs
-    * share verbatim 8-grams with eval — real, falsifiable contamination
-    * (an empty report would also pass the oracle, but then the planted
-    * pairs would have to have vanished from the testdata).
+  /** Eval = the last 50 doc ids AT ANY sf (split derived from
+    * max(doc_id), one bounded metadata-class read — a hardcoded id
+    * boundary would make "eval" 91% of the corpus at sf0.1 and invert
+    * the operator's own small-eval broadcast contract). At the gate's
+    * sf0.01 this is doc_id >= 450, where the planted near-dup pairs
+    * straddling the boundary make 4 training docs share verbatim
+    * 8-grams with eval — real, falsifiable contamination (an empty
+    * report would also pass the oracle, but then the planted pairs
+    * would have to have vanished from the testdata).
     */
   private val decontamination = CatalogQuery(
     "d7_decontamination",
     (s, dir) => {
       val d = docs(s, dir)
+      val split = d.agg(max(col("doc_id"))).head.getLong(0) - 49L
       Dedup.contaminationReport(
-          train = d.filter(col("doc_id") < 450),
-          eval = d.filter(col("doc_id") >= 450),
+          train = d.filter(col("doc_id") < split),
+          eval = d.filter(col("doc_id") >= split),
           "doc_id", "text", n = 8)
         .orderBy(col("doc"))
     },
-    Some("""WITH toks AS (
+    Some("""WITH split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+           |toks AS (
            |  SELECT doc_id,
            |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
            |  FROM documents),
@@ -222,8 +228,8 @@ object DedupQueries extends QueryModule {
            |  SELECT DISTINCT doc_id,
            |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
            |  FROM toks, unnest(range(1, len(ws)-6)) t(i)),
-           |tr AS (SELECT * FROM sh WHERE doc_id < 450),
-           |ev AS (SELECT * FROM sh WHERE doc_id >= 450)
+           |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+           |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
            |SELECT tr.doc_id AS doc,
            |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
            |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs

@@ -168,7 +168,9 @@ object TextQueries extends QueryModule {
         (1000001L, "contact bob@example.com or alice@web.co for details"),
         (1000002L, "call 555-123-4567 or 555.987.6543 now"),
         (1000003L, "server at 10.0.0.1 and 192.168.1.254 replied"),
-        (1000004L, "mixed a@b.io 1.2.3.4 777-888-9999"))
+        (1000004L, "mixed a@b.io 1.2.3.4 777-888-9999"),
+        // consumed whole by the email pass: must NOT also count a phone
+        (1000005L, "call 555-123-4567@corp.example now"))
         .toDF("doc_id", "text")
       val all = docs(s, dir).select(col("doc_id"), col("text"))
         .unionByName(planted)
@@ -181,23 +183,32 @@ object TextQueries extends QueryModule {
            |    (1000001, 'contact bob@example.com or alice@web.co for details'),
            |    (1000002, 'call 555-123-4567 or 555.987.6543 now'),
            |    (1000003, 'server at 10.0.0.1 and 192.168.1.254 replied'),
-           |    (1000004, 'mixed a@b.io 1.2.3.4 777-888-9999')
-           |  ) v(doc_id, text))
+           |    (1000004, 'mixed a@b.io 1.2.3.4 777-888-9999'),
+           |    (1000005, 'call 555-123-4567@corp.example now')
+           |  ) v(doc_id, text)),
+           |staged AS (
+           |  SELECT doc_id, text,
+           |    regexp_replace(text,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |      '<EMAIL>', 'g') AS t1
+           |  FROM allrows),
+           |staged2 AS (
+           |  SELECT *, regexp_replace(t1,
+           |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g') AS t2
+           |  FROM staged)
            |SELECT CAST(doc_id AS BIGINT) AS doc,
            |  CAST(len(regexp_extract_all(text,
            |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
            |    AS BIGINT) AS n_emails,
-           |  CAST(len(regexp_extract_all(text,
+           |  CAST(len(regexp_extract_all(t1,
            |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
-           |  CAST(len(regexp_extract_all(text,
+           |  CAST(len(regexp_extract_all(t2,
            |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
            |    AS BIGINT) AS n_ips,
-           |  regexp_replace(regexp_replace(regexp_replace(text,
-           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+           |  regexp_replace(t2,
            |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
            |    AS redacted
-           |FROM allrows ORDER BY doc""".stripMargin),
+           |FROM staged2 ORDER BY doc""".stripMargin),
     doc = "PII scrubbing: emails/phones/IPv4 redacted with typed " +
       "placeholders + per-doc counts; planted rows make it falsifiable")
 

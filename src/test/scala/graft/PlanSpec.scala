@@ -54,7 +54,7 @@ class PlanSpec extends SparkSpecBase {
     // dominant cost — assert the cache scan is actually in the plan.
     try {
       for (q <- Seq("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
-          "d4_simhash_dedup", "s3_cosine_neardup")) {
+          "d4_simhash_dedup", "s3_cosine_neardup", "t6_repetition")) {
         assert(plan(q).contains("InMemoryTableScan"),
           s"$q lost its persisted shared relation")
       }

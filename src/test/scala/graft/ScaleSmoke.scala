@@ -75,7 +75,11 @@ object ScaleSmoke {
       val docs = spark.read.parquet(s"$tmp/docs")
       val emb = spark.read.parquet(s"$tmp/emb")
 
+      val opNames = scala.collection.mutable.Set[String]()
       def time(name: String)(body: => Long): Unit = {
+        opNames += name // every op registers, filtered or not, so a
+                        // misspelled filter entry fails loudly below
+                        // instead of silently measuring nothing
         if (opsFilter.forall(_.contains(name))) {
           val t0 = System.nanoTime()
           val n = body
@@ -145,6 +149,13 @@ object ScaleSmoke {
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
         .count())
+
+      opsFilter.foreach { f =>
+        val unknown = f -- opNames
+        require(unknown.isEmpty,
+          s"unknown ops in filter: ${unknown.mkString(",")}; " +
+            s"known: ${opNames.toSeq.sorted.mkString(",")}")
+      }
 
       // the 10x replicas are hundreds of MB — don't accumulate them
       val root = java.nio.file.Paths.get(tmp)

@@ -74,7 +74,8 @@ class TextAnalysisSpec extends SparkSpecBase {
         (2L, "call 555-123-4567 or 555.987.6543"),
         (3L, "hosts 10.0.0.1 and 192.168.1.254"),
         (4L, "mixed a@b.io 1.2.3.4 777-888-9999"),
-        (5L, "nothing sensitive here 12345")),
+        (5L, "nothing sensitive here 12345"),
+        (6L, "call 555-123-4567@corp.example now")),
       "doc_id", "text").orderBy(col("doc")).collect()
     assert(out(0).getLong(1) == 2 &&
       out(0).getString(4) == "mail <EMAIL> and <EMAIL> today")
@@ -88,6 +89,10 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(4).getLong(1) == 0 && out(4).getLong(2) == 0 &&
       out(4).getLong(3) == 0 &&
       out(4).getString(4) == "nothing sensitive here 12345")
+    // the email pass consumes the whole token, so no phone is counted:
+    // every count reconciles with the placeholders actually inserted
+    assert(out(5).getLong(1) == 1 && out(5).getLong(2) == 0 &&
+      out(5).getString(4) == "call <EMAIL> now")
   }
 
   test("empty and whitespace-only docs score 0, never null or an error") {
