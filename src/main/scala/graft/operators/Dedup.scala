@@ -52,6 +52,50 @@ object Dedup {
   def pruneNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("j")), col(idCol) === col("j"), "left_anti")
 
+  /** Connected components over an undirected near-dup pair graph
+    * (i, j): one (doc, cluster) row per doc appearing in a pair, with
+    * `cluster` = the smallest doc id in its component. This is the
+    * TRANSITIVE closure [[pruneNearDuplicates]] deliberately skips:
+    * clustering keeps exactly one survivor per chain a~b~c (the min),
+    * where the greedy per-edge rule drops both b and c.
+    *
+    * Min-label propagation: labels start at self and take the min over
+    * in-neighbors each round until fixpoint — O(component diameter)
+    * rounds of one shuffle join + aggregate. Near-dup components are
+    * overwhelmingly tiny cliques/chains (diameter ≤ 3), so the round
+    * count is bounded by the data's cluster shape, not corpus size;
+    * for adversarial diameters the star-contraction variants
+    * (large-star/small-star) cut rounds to O(log n) on the same plan
+    * skeleton. Labels are eagerly `localCheckpoint`ed per round —
+    * an iterative DataFrame otherwise stacks every round's lineage
+    * into one plan and re-optimizes it all each iteration. The
+    * fixpoint test collects one COUNT per round (bounded driver data).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbor = edges
+          .join(labels.select(col("node").as("src"), col("lab").as("nlab")),
+            Seq("src"))
+          .select(col("dst").as("node"), col("nlab").as("lab"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
+          .filter(col("lab") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc"), col("lab").as("cluster"))
+    } finally edges.unpersist()
+  }
+
   /** Train/eval DECONTAMINATION report: for every training doc sharing
     * at least one word n-gram with the eval set, the number of shared
     * (doc, shingle) matches and of distinct eval docs hit — the overlap

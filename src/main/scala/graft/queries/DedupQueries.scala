@@ -238,7 +238,50 @@ object DedupQueries extends QueryModule {
     doc = "Train/eval decontamination audit: training docs sharing " +
       "verbatim 8-grams with the eval split (broadcast eval shingles)")
 
+  /** d8's oracle = d2's exact pair SQL extended with a RECURSIVE
+    * label-propagation CTE: every reachable label flows along edges
+    * until fixpoint (UNION-distinct recursion terminates), and the min
+    * per node is the component's smallest id — an implementation of
+    * connected components entirely independent of the engine's
+    * iterative join loop.
+    */
+  private val clusterOracle = exactJaccardOracle
+    .replaceFirst("WITH ", "WITH RECURSIVE ")
+    .replace(
+      """GROUP BY 1, 2)
+        |SELECT i, j,
+        |       round(c*1.0/(sa.sz + sb.sz - c), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = i
+        |JOIN sizes sb ON sb.doc_id = j
+        |WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
+        |ORDER BY i, j""".stripMargin,
+      """GROUP BY 1, 2),
+        |good AS (
+        |  SELECT i, j FROM common
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8),
+        |e AS (SELECT i AS src, j AS dst FROM good
+        |      UNION ALL SELECT j AS src, i AS dst FROM good),
+        |lbl AS (
+        |  SELECT DISTINCT src AS node, src AS lab FROM e
+        |  UNION
+        |  SELECT e.dst AS node, l.lab AS lab FROM lbl l JOIN e ON e.src = l.node)
+        |SELECT node AS doc, CAST(min(lab) AS BIGINT) AS cluster
+        |FROM lbl GROUP BY node ORDER BY doc""".stripMargin)
+
+  private val clusters = CatalogQuery(
+    "d8_dedup_clusters",
+    (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100))
+      .orderBy(col("doc")),
+    Some(clusterOracle),
+    doc = "Transitive near-dup clusters: connected components over the " +
+      "Jaccard>=0.8 pair graph via iterative min-label propagation")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, minhash, simhash, pipeline, incremental,
-      decontamination)
+      decontamination, clusters)
 }

@@ -134,6 +134,19 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Seq(3L, 4L))
   }
 
+  test("connectedComponents labels transitive chains with the component min") {
+    val s = spark
+    import s.implicits._
+    // a 4-chain (needs 3 propagation rounds: the min travels one hop
+    // per round), a disjoint pair, and a triangle with a redundant edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._
