@@ -68,10 +68,21 @@ object Dedup {
     * (large-star/small-star) cut rounds to O(log n) on the same plan
     * skeleton. Labels are eagerly `localCheckpoint`ed per round —
     * an iterative DataFrame otherwise stacks every round's lineage
-    * into one plan and re-optimizes it all each iteration. The
-    * fixpoint test collects one COUNT per round (bounded driver data).
+    * into one plan and re-optimizes it all each iteration. Checkpoint
+    * blocks live OUTSIDE the CacheManager (`clearCache()` cannot free
+    * them), so each superseded round's snapshot is unpersisted
+    * explicitly once the next round lands; the final snapshot backs
+    * the returned DataFrame and is reclaimed by the ContextCleaner
+    * when the caller drops it. The fixpoint test collects one COUNT
+    * per round (bounded driver data).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // the checkpointed RDD behind a localCheckpoint'ed DataFrame, for
+    // explicit unpersist — df.rdd would wrap it in a NEW deserializing
+    // RDD whose unpersist frees nothing
+    def snapshotRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -90,6 +101,7 @@ object Dedup {
         changed = next
           .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
           .filter(col("lab") =!= col("old")).count()
+        snapshotRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next
       }
       labels.select(col("node").as("doc"), col("lab").as("cluster"))

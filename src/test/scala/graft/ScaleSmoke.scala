@@ -125,13 +125,6 @@ object ScaleSmoke {
       // per-doc text ops and the corpus-assembly pair: aggregates over
       // every output column defeat count-only column pruning, so the
       // timed run pays the actual regex/gram/prefix-sum work
-      // components over the pair graph: in dense mode every doc is a
-      // mult-clique, so component count stays ~constant while component
-      // SIZE grows with mult — the iterative loop's stress axis
-      time("d8_components") {
-        Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id",
-          "text", 3, 0.8, maxDf = maxDf)).count()
-      }
       time("t6_repetition") {
         TextAnalysis.repetitionStats(docs, "doc_id", "text")
           .agg(count(lit(1)).as("n"), sum(col("n_2grams")),
@@ -150,6 +143,15 @@ object ScaleSmoke {
       }
       time("x5_source_cap")(
         CorpusMix.capPerStratum(docs, "doc_id", "source", k = 10).count())
+      // components over the pair graph: in dense mode every doc is a
+      // mult-clique, so component count stays ~constant while component
+      // SIZE grows with mult — the iterative loop's stress axis. A
+      // plain count() suffices: every round is already materialized by
+      // the eager per-round checkpoint, so nothing prunes away
+      time("d8_components") {
+        Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id",
+          "text", 3, 0.8, maxDf = maxDf)).count()
+      }
       time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
         .reduce(_ union _)
         .groupBy(col("l_returnflag"))
