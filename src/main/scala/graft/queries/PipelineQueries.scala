@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.{CorpusMix, SequencePack, Skew}
+import graft.operators.{CorpusMix, Dedup, SequencePack, Skew, TextAnalysis}
 
 /** Catalog entries for the corpus-assembly operators — the steps
   * between a cleaned corpus and a training run: mixing weights +
@@ -142,6 +142,81 @@ object PipelineQueries extends QueryModule {
     doc = "Per-source document cap (k=10 by keyed hash): no source " +
       "dominates the mix; kept set is stable and nested in k")
 
+  /** The whole corpus→training-set assembly in ONE query — the
+    * composition a user of this library actually runs: exact dedup,
+    * near-dup pruning, quality filtering, split assignment, per-
+    * (lang, split) doc and token counts. Every stage is individually
+    * oracled elsewhere (d1/d2/d5, t2, x1); this row proves they
+    * COMPOSE without semantic drift, replayed end-to-end in one
+    * independent DuckDB pipeline.
+    */
+  private val trainingSet = CatalogQuery(
+    "x6_training_set",
+    (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents
+      val cleaned = Dedup.pruneNearDuplicates(
+        Dedup.dropExactDuplicates(d, "doc_id", "text"), "doc_id",
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100))
+      val scored = TextAnalysis.withQuality(cleaned, "text")
+        .filter(col("quality") >= 0.75)
+      CorpusMix.withSplit(scored, "doc_id")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"), col("split"))
+    },
+    Some("""WITH keep_exact AS (
+           |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+           |toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |         FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id i, b.doc_id j, count(*) c
+           |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |near_dup_j AS (
+           |  SELECT DISTINCT j FROM pairs
+           |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+           |  WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8),
+           |clean AS (
+           |  SELECT * FROM documents
+           |  WHERE doc_id IN (SELECT keep_id FROM keep_exact)
+           |    AND doc_id NOT IN (SELECT j FROM near_dup_j)),
+           |f AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS fws,
+           |    len(regexp_replace(text, '[^.,!?;:]', '', 'g'))*1.0/len(text)
+           |      AS punct_ratio
+           |  FROM clean),
+           |g AS (
+           |  SELECT doc_id, lang, CAST(len(fws) AS BIGINT) AS n_tokens,
+           |    punct_ratio,
+           |    len(list_filter(fws, w -> list_contains(['the','a','of','to','and'], w)))
+           |      *1.0/len(fws) AS stop_ratio
+           |  FROM f),
+           |q AS (
+           |  SELECT doc_id, lang, n_tokens FROM g
+           |  WHERE round(0.5*least(1.0, n_tokens/50.0) + 0.25*(1.0-punct_ratio)
+           |        + 0.25*least(1.0, 4.0*stop_ratio), 6) >= 0.75),
+           |sp AS (
+           |  SELECT lang, n_tokens,
+           |    CASE WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)
+           |              < 'cccccccc' THEN 'train'
+           |         WHEN substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)
+           |              < 'e6666666' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM q)
+           |SELECT lang, split, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "End-to-end training-set assembly: exact dedup -> near-dup " +
+      "prune -> quality >= 0.75 -> train/val/test split -> corpus stats")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(mix, pack, saltedAgg, shuffle, sourceCap)
+    Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet)
 }
