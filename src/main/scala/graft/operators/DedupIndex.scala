@@ -140,6 +140,15 @@ object DedupIndex {
         Dedup.minhashSignatures(batch, idCol, textCol, n, bands * rows),
         bands, rows)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try probePairsImpl(spark, path, batchBands, texts, withinBatch,
+      threshold, idCol, textCol, n)
+    finally batchBands.unpersist(blocking = false)
+  }
+
+  private def probePairsImpl(spark: SparkSession, path: String,
+                             batchBands: DataFrame, texts: DataFrame,
+                             withinBatch: Boolean, threshold: Double,
+                             idCol: String, textCol: String, n: Int): DataFrame = {
     val indexBands = spark.read.parquet(s"$path/bands")
     val cross = indexBands.as("x")
       .join(batchBands.as("y"),
@@ -155,8 +164,17 @@ object DedupIndex {
               col("x.doc") < col("y.doc"))
           .select(col("x.doc").as("i"), col("y.doc").as("j")))
     val cand = candRaw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    Dedup.verifyExactJaccardWith(texts, idCol, textCol, cand, n, threshold,
-      hot = spark.read.parquet(s"$path/hot"))
+    // Eagerly materialize the (tiny) verified pairs, then free the probe
+    // intermediates: this is a recurring per-ingest-batch call, so cached
+    // batchBands/cand blocks would otherwise accumulate across batches in
+    // a long-lived session until eviction pressure. The checkpoint
+    // snapshot backing the returned DataFrame is reclaimed by the
+    // ContextCleaner once the caller drops it (same contract as
+    // [[Dedup.connectedComponents]]'s final snapshot).
+    try Dedup.verifyExactJaccardWith(texts, idCol, textCol, cand, n,
+        threshold, hot = spark.read.parquet(s"$path/hot"))
+      .localCheckpoint(true)
+    finally cand.unpersist(blocking = false)
   }
 
   /** Build once per (dataDir content, corpus variant, scheme) and reuse

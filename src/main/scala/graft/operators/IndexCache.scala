@@ -36,8 +36,25 @@ private[graft] object IndexCache {
       if (!new File(s"$path/$marker").exists()) {
         val scratch = s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}"
         build(scratch)
-        if (!new File(scratch).renameTo(new File(path)))
-          deleteRecursively(new File(scratch)) // lost a cross-JVM race; a complete index already sits at path
+        if (!new File(scratch).renameTo(new File(path))) {
+          // A failed rename is only benign if what occupies `path` is a
+          // COMPLETE index (lost cross-JVM race). A marker-less occupant
+          // (stale partial copy, older layout, external interference)
+          // must be cleared and the rename retried — discarding the
+          // fresh build there would return a broken index forever.
+          if (new File(s"$path/$marker").exists())
+            deleteRecursively(new File(scratch))
+          else {
+            deleteRecursively(new File(path))
+            if (!new File(scratch).renameTo(new File(path))) {
+              val rescued = new File(s"$path/$marker").exists()
+              deleteRecursively(new File(scratch))
+              if (!rescued)
+                sys.error(s"IndexCache: cannot install index at $path " +
+                  "(occupied by an unremovable non-index directory)")
+            }
+          }
+        }
       }
     }
     path

@@ -32,7 +32,7 @@ object DedupQueries extends QueryModule {
     * results are identical rows on this data).
     */
   private val exactJaccardOracle =
-    """WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
            |              FROM documents),
            |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
            |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
@@ -90,7 +90,8 @@ object DedupQueries extends QueryModule {
       Dedup.simhashPairsPortable(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("i"), col("j")),
     Some("""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+           |  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS w
            |  FROM documents),
            |th AS (
            |  SELECT doc_id,
@@ -142,7 +143,7 @@ object DedupQueries extends QueryModule {
     },
     Some("""WITH keep_exact AS (
            |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
-           |toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
            |         FROM documents),
            |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
            |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),

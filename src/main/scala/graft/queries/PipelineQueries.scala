@@ -168,7 +168,7 @@ object PipelineQueries extends QueryModule {
     },
     Some("""WITH keep_exact AS (
            |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
-           |toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+           |toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
            |         FROM documents),
            |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
            |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),

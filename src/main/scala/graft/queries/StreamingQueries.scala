@@ -105,10 +105,15 @@ object StreamingQueries extends QueryModule {
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        // total as an integral sum of floor(value*100): floor(v*100) is
+        // one deterministic IEEE op per row and long addition is
+        // order-independent, so the hash compare cannot flip on an
+        // ulp-boundary the way round(sum(double), 2) could when Spark
+        // and DuckDB sum in different orders.
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("total_value"))
+          sum(floor(col("value") * 100)).as("total_value_c"))
         .select(col("window.start").as("hour"), col("event_type"),
-          col("n_events"), col("total_value"))
+          col("n_events"), col("total_value_c"))
       val name = "graft_st2_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = agg.writeStream.format("memory").queryName(name)
@@ -120,9 +125,11 @@ object StreamingQueries extends QueryModule {
            |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
            |g AS (
            |  SELECT date_trunc('hour', ts) AS hour, event_type,
-           |    count(*) AS n_events, round(sum(value), 2) AS total_value
+           |    count(*) AS n_events,
+           |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+           |      AS total_value_c
            |  FROM events GROUP BY 1, 2)
-           |SELECT hour, event_type, n_events, total_value
+           |SELECT hour, event_type, n_events, total_value_c
            |FROM g, wm WHERE hour + INTERVAL 1 HOUR <= w
            |ORDER BY hour, event_type""".stripMargin),
     doc = "Watermarked hourly windowed aggregation through a real " +
@@ -170,7 +177,7 @@ object StreamingQueries extends QueryModule {
     // exact cross-split Jaccard pairs; no stop-shingle CTE — the
     // signature path has no maxDf concept (and the testdata has no
     // hot shingles for it to matter)
-    Some("""WITH toks AS (SELECT doc_id, string_split_regex(text,'\s+') AS ws
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
            |              FROM documents),
            |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
            |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
