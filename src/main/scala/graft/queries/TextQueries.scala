@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.TextAnalysis
+import graft.operators.{LanguageModel, TextAnalysis}
 
 /** Catalog entries for the text-analysis operators over `documents`.
   * All four are pure projections with exact integer/rational arithmetic,
@@ -212,6 +212,51 @@ object TextQueries extends QueryModule {
     doc = "PII scrubbing: emails/phones/IPv4 redacted with typed " +
       "placeholders + per-doc counts; planted rows make it falsifiable")
 
+  /** Scores are integral micronats (see [[LanguageModel.bigramNll]]'s
+    * determinism argument); the one float op per distinct bigram is a
+    * single `ln` over identical integer-derived doubles in both
+    * engines, floored into the integer domain before any summation.
+    */
+  private val lmScore = CatalogQuery(
+    "t8_lm_score",
+    (s, dir) => LanguageModel.bigramNll(docs(s, dir))
+      .orderBy(col("doc")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |occ AS (
+           |  SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+           |  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+           |vocab AS (
+           |  SELECT lang, count(DISTINCT w) AS v
+           |  FROM (SELECT lang, unnest(ws) AS w FROM toks) GROUP BY lang),
+           |docbg AS (
+           |  SELECT doc_id, lang, w1, w2, count(*) AS m FROM occ GROUP BY 1,2,3,4),
+           |model AS (
+           |  SELECT lang, w1, w2, CAST(sum(m) AS BIGINT) AS c12
+           |  FROM docbg GROUP BY 1,2,3),
+           |heads AS (
+           |  SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+           |  FROM model GROUP BY 1,2),
+           |scored AS (
+           |  SELECT d.doc_id AS doc, d.lang,
+           |    CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(d.m * CAST(-floor(
+           |      ln((mo.c12 + 1.0)/(h.c1 + vo.v)) * 1e6) AS BIGINT))
+           |      AS BIGINT) AS nll_micro
+           |  FROM docbg d
+           |  JOIN model mo ON d.lang = mo.lang AND d.w1 = mo.w1 AND d.w2 = mo.w2
+           |  JOIN heads h ON d.lang = h.lang AND d.w1 = h.w1
+           |  JOIN vocab vo ON d.lang = vo.lang
+           |  GROUP BY 1, 2)
+           |SELECT doc, lang, n_bigrams, nll_micro,
+           |  CAST(nll_micro // n_bigrams AS BIGINT) AS avg_nll_micro
+           |FROM scored ORDER BY doc""".stripMargin),
+    doc = "Corpus-trained per-language add-1 bigram LM: per-doc NLL in " +
+      "integral micronats (the CCNet/KenLM perplexity-filter signal)")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(stats, quality, langid, fingerprint, scalars, repetition, pii)
+    Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
+      lmScore)
 }
