@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.{LanguageModel, TextAnalysis}
+import graft.operators.{LanguageModel, TextAnalysis, TfIdf}
 
 /** Catalog entries for the text-analysis operators over `documents`.
   * All four are pure projections with exact integer/rational arithmetic,
@@ -256,7 +256,36 @@ object TextQueries extends QueryModule {
     doc = "Corpus-trained per-language add-1 bigram LM: per-doc NLL in " +
       "integral micronats (the CCNet/KenLM perplexity-filter signal)")
 
+  private val keywords = CatalogQuery(
+    "t9_tfidf_keywords",
+    (s, dir) => TfIdf.topKeywords(docs(s, dir), k = 3)
+      .orderBy(col("doc"), col("rank")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, w AS term, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2),
+           |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id AS doc, tf.term,
+           |    CAST(tf.tf AS BIGINT) AS tf, dfx.df,
+           |    CAST(tf.tf * CAST(floor(ln(n.n*1.0/dfx.df) * 1e6) AS BIGINT)
+           |      AS BIGINT) AS score_micro
+           |  FROM tf JOIN dfx USING (term), n),
+           |ranked AS (
+           |  SELECT *, CAST(row_number() OVER (
+           |      PARTITION BY doc ORDER BY score_micro DESC, term ASC)
+           |    AS INT) AS rank
+           |  FROM scored)
+           |SELECT doc, rank, term, tf, df, score_micro
+           |FROM ranked WHERE rank <= 3 ORDER BY doc, rank""".stripMargin),
+    doc = "Top-3 TF-IDF keywords per document (integral micro-idf, " +
+      "term-ASC tie-break): topic tagging / boilerplate spotting")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore)
+      lmScore, keywords)
 }
