@@ -533,4 +533,57 @@ object Dedup {
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3): DataFrame =
     simhashBlockPairs(simhashFingerprintsPortable(df, idCol, textCol), maxHamming)
+
+  /** Duplicated-substring coverage — the sequence-level dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (the d7 decontamination row's within-corpus sibling): for
+    * each document, how many `n`-gram positions carry a gram that also
+    * appears in ANOTHER document, and how many token positions those
+    * duplicated grams cover. A pipeline clips or drops the covered
+    * spans; `n_covered / n_tokens` is the per-doc "verbatim overlap
+    * with the rest of the corpus" fraction. Cross-doc only — within-doc
+    * repetition is t6's signal ([[TextAnalysis.repetitionStats]]).
+    *
+    * Scale shape: grams live in the hashed domain (one xxhash64 per
+    * position, no gram strings — same rationale as the MinHash path;
+    * the DuckDB oracle replays the string domain, identical absent a
+    * 64-bit collision). Duplication is min(doc) ≠ max(doc) per gram —
+    * two scalar aggregates, no countDistinct expansion. The dup-gram
+    * set filters occurrences via LEFT SEMI join on the gram hash — a
+    * key-equality semi join whose output is bounded by the occurrence
+    * side, so a corpus-wide hot gram cannot generate a d² pair blowup
+    * (there is deliberately NO pair enumeration anywhere). Coverage is
+    * an explode of at most n positions per surviving occurrence,
+    * deduplicated by (doc, position) — interval union as a distinct,
+    * the shuffle-native form.
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val toks = tokenized(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = toks
+      .select(col("doc"), explode(transform(shingleIdx(n), i =>
+        struct(i.as("i"),
+          xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*)
+            .as("h")))).as("g"))
+      .select(col("doc"), col("g.i").as("i"), col("g.h").as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dup = occ.groupBy("h")
+      .agg(min(col("doc")).as("d0"), max(col("doc")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
+    val dupOcc = occ.join(dup, Seq("h"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perDoc = dupOcc.groupBy("doc").agg(count(lit(1)).as("n_dup_ngrams"))
+    val covered = dupOcc
+      .select(col("doc"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc").agg(count(lit(1)).as("n_covered"))
+    toks.select(col("doc"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc"), "left")
+      .join(covered, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+  }
 }

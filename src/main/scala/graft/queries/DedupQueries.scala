@@ -282,7 +282,44 @@ object DedupQueries extends QueryModule {
     doc = "Transitive near-dup clusters: connected components over the " +
       "Jaccard>=0.8 pair graph via iterative min-label propagation")
 
+  /** Spark runs in the hashed-gram domain (xxhash64 per position); the
+    * oracle replays the string domain — identical counts absent a
+    * 64-bit collision, which is also exactly what makes the row
+    * falsifiable for the hashed path.
+    */
+  private val dupCoverage = CatalogQuery(
+    "d9_dup_ngram_coverage",
+    (s, dir) => Dedup.dupNgramCoverage(docs(s, dir), n = 8)
+      .orderBy(col("doc")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, i,
+           |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram
+           |  FROM toks, unnest(range(1, len(ws)-6)) AS t(i)),
+           |dup AS (SELECT gram FROM g GROUP BY gram
+           |        HAVING min(doc_id) <> max(doc_id)),
+           |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_ngrams
+           |       FROM g JOIN dup USING (gram) GROUP BY 1),
+           |docc AS (
+           |  SELECT DISTINCT doc_id, p
+           |  FROM g JOIN dup USING (gram), unnest(range(i, i+8)) AS u(p)),
+           |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+           |        FROM docc GROUP BY 1)
+           |SELECT t.doc_id AS doc, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           |  coalesce(pd.n_dup_ngrams, 0) AS n_dup_ngrams,
+           |  coalesce(cov.n_covered, 0) AS n_covered
+           |FROM toks t
+           |LEFT JOIN pd ON pd.doc_id = t.doc_id
+           |LEFT JOIN cov ON cov.doc_id = t.doc_id
+           |ORDER BY doc""".stripMargin),
+    doc = "Sequence-level dedup signal (Lee et al.): per-doc count of " +
+      "8-gram positions duplicated in another doc and the token " +
+      "positions they cover")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, minhash, simhash, pipeline, incremental,
-      decontamination, clusters)
+      decontamination, clusters, dupCoverage)
 }
