@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.{CorpusMix, Dedup, SequencePack, Skew, TextAnalysis}
+import graft.operators.{Chunking, CorpusMix, Dedup, SequencePack, Skew, TextAnalysis}
 
 /** Catalog entries for the corpus-assembly operators — the steps
   * between a cleaned corpus and a training run: mixing weights +
@@ -217,6 +217,38 @@ object PipelineQueries extends QueryModule {
     doc = "End-to-end training-set assembly: exact dedup -> near-dup " +
       "prune -> quality >= 0.75 -> train/val/test split -> corpus stats")
 
+  /** 32-token windows, stride 24 (8 tokens of carried context). The
+    * geometry is closed-form, so the oracle replays it exactly —
+    * including the reassembled chunk text, which pins tokenization,
+    * slicing, and join-with-space byte for byte.
+    */
+  private val chunks = CatalogQuery(
+    "x7_chunk_overlap",
+    (s, dir) => Chunking.chunkDocs(Tables(s, dir).documents,
+        chunkTokens = 32, stride = 24)
+      .orderBy(col("doc"), col("chunk_id")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |base AS (SELECT doc_id, ws, len(ws) AS n FROM toks
+           |         WHERE len(ws) >= 1),
+           |c AS (SELECT doc_id, ws, n,
+           |        CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23)//24 + 1 END
+           |          AS nchunks
+           |      FROM base),
+           |e AS (SELECT doc_id, ws, n, CAST(cid AS BIGINT) AS chunk_id
+           |      FROM c, unnest(range(0, nchunks)) AS t(cid))
+           |SELECT doc_id AS doc, chunk_id,
+           |  CAST(chunk_id*24 + 1 AS BIGINT) AS start_tok,
+           |  CAST(least(32, n - chunk_id*24) AS BIGINT) AS n_tokens,
+           |  list_aggregate(
+           |    ws[(chunk_id*24 + 1):(chunk_id*24 + least(32, n - chunk_id*24))],
+           |    'string_agg', ' ') AS chunk_text
+           |FROM e ORDER BY doc, chunk_id""".stripMargin),
+    doc = "Overlapping context-window chunking (32-token windows, " +
+      "stride 24): row-local explode, no shuffle; exact text replay")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet)
+    Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks)
 }
