@@ -78,6 +78,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("chunkDocs plans zero exchanges — the row-local claim, literally") {
+    // the catalog x7 row adds a total ORDER BY for the oracle hash;
+    // the operator itself must not shuffle at all
+    val p = graft.operators.Chunking
+      .chunkDocs(graft.core.Tables(spark, sf("sf0.01")).documents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must stay row-local:\n$p")
+  }
+
+  test("corpus-statistics queries never enumerate pairs") {
+    for (q <- Seq("t8_lm_score", "d9_dup_ngram_coverage")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("t9's one nested loop is the single-row corpus-size broadcast, by design") {
+    assert(plan("t9_tfidf_keywords").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("corpus-statistics shared relations read from cache (persist guard)") {
+    // t8: docbg/model feed both the model cascade and the scoring join;
+    // t9: tf feeds df and the idf join; d9: occ feeds dup-set and the
+    // semi join — AQE plans each consumer independently, so a lost
+    // persist silently recomputes the dominant aggregate.
+    try {
+      for (q <- Seq("t8_lm_score", "t9_tfidf_keywords",
+          "d9_dup_ngram_coverage")) {
+        assert(plan(q).contains("InMemoryTableScan"),
+          s"$q lost its persisted shared relation")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("salted join equals direct join and spreads a hot key across buckets") {
     val s = spark
     import s.implicits._
