@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.GraftSession
-import graft.operators.{CorpusMix, Dedup, DedupIndex, SequencePack, Similarity, TextAnalysis}
+import graft.operators.{Chunking, CorpusMix, Dedup, DedupIndex, LanguageModel, SequencePack, Similarity, TextAnalysis, TfIdf}
 
 /** Scaling study
   * (run: `sbt "Test/runMain graft.ScaleSmoke [mults] [mode] [sfDir] [ops]"`,
@@ -134,6 +134,32 @@ object ScaleSmoke {
         TextAnalysis.redactPii(docs, "doc_id", "text")
           .agg(count(lit(1)).as("n"), sum(length(col("redacted")) +
             col("n_emails") + col("n_phones") + col("n_ips")))
+          .head.getLong(0)
+      }
+      // corpus-statistics ops: model/df tables stay vocabulary-sized in
+      // dense mode (same distinct grams, counts scaled) and grow with
+      // the corpus in tagged mode — the two regimes bracket real growth
+      time("t8_lm_score") {
+        LanguageModel.bigramNll(docs)
+          .agg(count(lit(1)).as("n"), sum(col("nll_micro")))
+          .head.getLong(0)
+      }
+      time("t9_tfidf") {
+        TfIdf.topKeywords(docs)
+          .agg(count(lit(1)).as("n"), sum(col("score_micro")))
+          .head.getLong(0)
+      }
+      // dense mode is d9's worst case by construction: every gram is
+      // cross-doc duplicated, so the semi join passes EVERY occurrence
+      // and coverage is total — the upper envelope of the span explode
+      time("d9_dup_coverage") {
+        Dedup.dupNgramCoverage(docs)
+          .agg(count(lit(1)).as("n"), sum(col("n_covered")))
+          .head.getLong(0)
+      }
+      time("x7_chunking") {
+        Chunking.chunkDocs(docs)
+          .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))))
           .head.getLong(0)
       }
       time("x4_shuffle_pos") {
