@@ -134,4 +134,35 @@ object CorpusMix {
     df.withColumn("cap_rank", row_number().over(w).cast("long"))
       .filter(col("cap_rank") <= k)
   }
+
+  /** [[capPerStratum]]'s token-budget sibling: keep rows per stratum
+    * while the cumulative `tokensCol` total — accumulated in keyed-hash
+    * order — stays within `budget`. This is how a mixing recipe is
+    * actually specified ("20 B tokens of code, 5 B of forum text"):
+    * budgets are in tokens, not documents, because document length
+    * varies by orders of magnitude across sources. Adds `cum_tokens`,
+    * the inclusive per-stratum prefix sum.
+    *
+    * Same determinism contract as the count cap: the hash fixes each
+    * stratum's order, so the kept set is reproducible under retry and
+    * NESTED in the budget — raising a stratum's budget only adds
+    * documents, never churns ones already kept. Same plan shape and
+    * the same documented hot-stratum caveat too: one window per
+    * stratum ranks inside one task, right when strata are many and
+    * balanced; when one stratum is most of the corpus, the two-level
+    * distributed prefix sum ([[SequencePack.withPackAssignment]],
+    * keyed by the same hash) computes the identical cumulative sum
+    * without a single-task sort, and the budget filter applies to its
+    * running total unchanged.
+    */
+  def capTokensPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                          tokensCol: String, budget: Long,
+                          salt: String = "tok1"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashHex(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -534,6 +534,44 @@ object Dedup {
                            maxHamming: Int = 3): DataFrame =
     simhashBlockPairs(simhashFingerprintsPortable(df, idCol, textCol), maxHamming)
 
+  /** Collapse every near-dup cluster to its best exemplar. Greedy
+    * pair-pruning ([[pruneNearDuplicates]]) and min-label clustering
+    * ([[connectedComponents]]) both keep an ARBITRARY survivor (lowest
+    * id); a curation pipeline wants the best one — highest quality
+    * score, longest, most recent crawl — which this selects per
+    * transitive cluster. `scores` is any (doc, score) relation
+    * ([[TextAnalysis.qualityScore]] in the d10 row); exemplar = argmax
+    * by (score desc, doc asc), so ties are deterministic. Docs in no
+    * pair are their own singleton cluster and keep themselves.
+    *
+    * Scale shape: the cluster labels come from the checkpointed
+    * min-label loop; everything after is one left join (corpus ⋈
+    * labels — labels bounded by clustered docs, typically a small
+    * fraction), one join to scores on the doc key, and a row_number
+    * window partitioned by cluster — near-dup clusters are tiny
+    * cliques/chains, so every window partition is a handful of rows.
+    * Output is one row per INPUT doc (doc, cluster, keep_doc, kept),
+    * so the "drop non-exemplars" step is `filter(kept = 1)` and the
+    * audit trail ("which doc replaced mine") is the same relation.
+    */
+  def clusterExemplars(df: DataFrame, pairs: DataFrame, scores: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs)
+    val all = df.select(col(idCol).as("doc"))
+      .join(comp, Seq("doc"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc")))
+    val keep = all.join(scores, Seq("doc"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("score").desc, col("doc").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc").as("keep_doc"))
+    all.join(keep, Seq("cluster"))
+      .select(col("doc"), col("cluster"), col("keep_doc"),
+        (col("doc") === col("keep_doc")).cast("int").as("kept"))
+  }
+
   /** Duplicated-substring coverage — the sequence-level dedup signal of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (the d7 decontamination row's within-corpus sibling): for

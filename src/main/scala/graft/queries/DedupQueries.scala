@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{CatalogQuery, QueryModule, Tables}
-import graft.operators.{Dedup, DedupIndex}
+import graft.operators.{Dedup, DedupIndex, TextAnalysis}
 
 /** Catalog entries for the dedup operator family over `documents`.
   * ALL five rows are hash-checked against independent DuckDB replays:
@@ -319,7 +319,79 @@ object DedupQueries extends QueryModule {
       "8-gram positions duplicated in another doc and the token " +
       "positions they cover")
 
+  /** Falsifiable against the naive lowest-id rule by construction: at
+    * sf0.01, 14 of the clusters' exemplars are NOT the min id (the
+    * planted near-dup copies perturb quality both ways), so an
+    * implementation that silently reverted to "keep first" flips the
+    * row red.
+    */
+  private val canonical = CatalogQuery(
+    "d10_cluster_canonical",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val scores = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc"), col("quality").as("score"))
+      Dedup.clusterExemplars(d,
+          Dedup.ngramJaccardPairs(d, "doc_id", "text",
+            n = 3, threshold = 0.8, maxDf = 100),
+          scores)
+        .orderBy(col("doc"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+           |          FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2),
+           |good AS (SELECT i, j FROM pairs
+           |         JOIN sizes sa ON sa.doc_id = i
+           |         JOIN sizes sb ON sb.doc_id = j
+           |         WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8),
+           |e AS (SELECT i AS src, j AS dst FROM good
+           |      UNION ALL SELECT j AS src, i AS dst FROM good),
+           |lbl AS (SELECT DISTINCT src AS node, src AS lab FROM e
+           |        UNION
+           |        SELECT e.dst AS node, l.lab AS lab
+           |        FROM lbl l JOIN e ON e.src = l.node),
+           |comp AS (SELECT node, min(lab) AS cluster FROM lbl GROUP BY node),
+           |f AS (SELECT doc_id,
+           |        list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws,
+           |        len(regexp_replace(text, '[^.,!?;:]', '', 'g'))*1.0/len(text)
+           |          AS punct_ratio
+           |      FROM documents),
+           |g AS (SELECT doc_id, len(ws) AS n_tokens, punct_ratio,
+           |        len(list_filter(ws,
+           |          w -> list_contains(['the','a','of','to','and'], w)))
+           |          *1.0/len(ws) AS stop_ratio
+           |      FROM f),
+           |q AS (SELECT doc_id AS doc,
+           |        round(0.5*least(1.0, n_tokens/50.0) + 0.25*(1.0-punct_ratio)
+           |              + 0.25*least(1.0, 4.0*stop_ratio), 6) AS quality
+           |      FROM g),
+           |allr AS (SELECT d.doc_id AS doc, coalesce(c.cluster, d.doc_id) AS cluster
+           |         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+           |keep AS (SELECT cluster, doc AS keep_doc FROM (
+           |           SELECT a.cluster, a.doc,
+           |             row_number() OVER (PARTITION BY a.cluster
+           |               ORDER BY q.quality DESC, a.doc ASC) AS rn
+           |           FROM allr a JOIN q ON q.doc = a.doc)
+           |         WHERE rn = 1)
+           |SELECT a.doc, CAST(a.cluster AS BIGINT) AS cluster,
+           |       CAST(k.keep_doc AS BIGINT) AS keep_doc,
+           |       CAST(a.doc = k.keep_doc AS INT) AS kept
+           |FROM allr a JOIN keep k USING (cluster)
+           |ORDER BY doc""".stripMargin),
+    doc = "Best-exemplar selection per transitive near-dup cluster " +
+      "(argmax quality, doc-asc ties): keep the best copy, not an " +
+      "arbitrary one; singletons keep themselves")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, minhash, simhash, pipeline, incremental,
-      decontamination, clusters, dupCoverage)
+      decontamination, clusters, dupCoverage, canonical)
 }

@@ -249,6 +249,42 @@ object PipelineQueries extends QueryModule {
     doc = "Overlapping context-window chunking (32-token windows, " +
       "stride 24): row-local explode, no shuffle; exact text replay")
 
+  /** Budget 2000 tokens per lang at the gate's sf0.01 — roughly half
+    * of each lang's corpus, so both the keep and the drop sides are
+    * exercised and every lang's kept total lands just under budget
+    * (1956–1994 of 2000), which pins the prefix-sum cutoff exactly.
+    */
+  private val tokenBudget = CatalogQuery(
+    "x8_token_budget",
+    (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.wordCount(col("text")).as("n_tokens"))
+      CorpusMix.capTokensPerStratum(d, "doc_id", "lang", "n_tokens",
+          budget = 2000L)
+        .select(col("doc_id").as("doc"), col("lang"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))
+           |      AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY
+           |      substr(md5(concat('tok1:', CAST(doc_id AS VARCHAR))), 1, 8),
+           |      doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT doc_id AS doc, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+           |FROM r WHERE cum <= 2000 ORDER BY doc""".stripMargin),
+    doc = "Per-language token budget (2000): keyed-hash order, keep " +
+      "while the cumulative token count fits — mixing recipes are " +
+      "specified in tokens, not documents")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks)
+    Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
+      tokenBudget)
 }

@@ -119,4 +119,28 @@ class CorpusMixSpec extends SparkSpecBase {
     // a cap above the stratum size keeps everything
     assert(CorpusMix.capPerStratum(df, "id", "source", k = 500).count() == 2000L)
   }
+
+  test("capTokensPerStratum respects the budget, is nested, and sums exactly") {
+    val s = spark
+    import s.implicits._
+    // token weights 1..40 per stratum so budgets cut mid-stream
+    val df = (0L until 80L).map(i => (i, s"g${i % 2}", i % 40 + 1))
+      .toDF("id", "grp", "toks")
+    val b100 = CorpusMix.capTokensPerStratum(df, "id", "grp", "toks", 100L)
+    val sums = b100.groupBy($"grp").agg(sum($"toks").as("t"), max($"cum_tokens").as("m"))
+      .as[(String, Long, Long)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (_, t, m) =>
+      assert(t <= 100L && t == m, "inclusive prefix sum must equal the kept total")
+    }
+    // every kept row's cum is within budget; the NEXT doc would overflow:
+    // adding any dropped doc of that stratum breaks the budget or the order
+    val b50 = CorpusMix.capTokensPerStratum(df, "id", "grp", "toks", 50L)
+      .select($"id").as[Long].collect().toSet
+    val b100ids = b100.select($"id").as[Long].collect().toSet
+    assert(b50.subsetOf(b100ids), "budgets must be nested")
+    // a budget above the stratum total keeps everything
+    assert(CorpusMix.capTokensPerStratum(df, "id", "grp", "toks", 1000000L)
+      .count() == 80L)
+  }
 }
