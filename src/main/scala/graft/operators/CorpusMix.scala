@@ -165,4 +165,37 @@ object CorpusMix {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Fractional-epoch mixture materialization: each row is emitted
+    * `floor(e)` times plus one more with probability `frac(e)`, where
+    * `e` is its stratum's epoch weight — how published mixing recipes
+    * ("2.5 epochs of wiki, 0.5 of web") become a physical training
+    * corpus. Copies are tagged 0-based in `rep`, so downstream salts
+    * (the per-epoch shuffle) can decorrelate them.
+    *
+    * Subsumes [[stratifiedSample]] at e < 1 (floor 0 + Bernoulli) and
+    * generalizes it upward; the fractional draw is the SAME keyed-hash
+    * construction, so it is reproducible under retry and NESTED in e:
+    * raising a stratum's epochs only adds copies (the fixed draw just
+    * clears a higher threshold — CorpusMixSpec asserts both). Plan
+    * shape: a pure per-row generate, zero shuffle — replication
+    * happens where the row already lives, never through an exchange.
+    */
+  def withEpochs(df: DataFrame, idCol: String, strataCol: String,
+                 epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+                 salt: String = "epoch1"): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
+      s"epoch weights must be non-negative: $epochs / $defaultEpochs")
+    def perStratum(f: Double => Column): Column =
+      epochs.foldLeft(f(defaultEpochs)) { case (acc, (stratum, e)) =>
+        when(col(strataCol) === stratum, f(e)).otherwise(acc)
+      }
+    val copies = perStratum(e => lit(e.toLong)) +
+      when(hashHex(col(idCol), salt) <
+        perStratum(e => lit(thresholdHex(e - e.toLong))), 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

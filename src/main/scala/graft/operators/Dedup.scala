@@ -134,6 +134,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_shingles"),
         count_distinct(col("eval_doc")).as("n_eval_docs"))
 
+  /** [[contaminationReport]] for eval sets too big to broadcast as a
+    * HASH RELATION: the same audit behind a Bloom-filter prefilter.
+    *
+    * The broadcast variant holds every eval shingle string in each
+    * executor's hash map — tens of bytes per entry, so a 100M-shingle
+    * eval suite (a full benchmark battery) blows the broadcast budget.
+    * A Bloom filter over the same set costs ~1.2 BYTES per entry at 1%
+    * false positives, and probing it is a scalar filter that rides the
+    * train-side scan. Only the survivors — true matches plus the fpp
+    * sliver of the train shingle stream — enter the exact join, which
+    * is deliberately NOT broadcast: it shuffles just that sliver
+    * against the eval shingles, so nothing here ever needs the eval
+    * set to fit in one executor's memory at once.
+    *
+    * The exact join removes every Bloom false positive, so the output
+    * EQUALS [[contaminationReport]] bit-for-bit (DedupSpec asserts
+    * this even at fpp = 0.5, where false positives are guaranteed) —
+    * which is also why d11 can carry d7's oracle.
+    *
+    * The filter itself (`spark.util.sketch.BloomFilter`) is built
+    * DISTRIBUTED (one partial per partition, tree-merged), collected
+    * once at its fixed bit-array size, and re-broadcast — driver
+    * memory is bounded by the bloom's bits, never by the eval set.
+    */
+  def contaminationReportBloom(train: DataFrame, eval: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val evalSh = shingles(eval, idCol, textCol, n)
+      .select(col("shingle"), col("doc").as("eval_doc"))
+    val expected = math.max(evalSh.count(), 1L)
+    val bloom =
+      train.sparkSession.sparkContext.broadcast(
+        evalSh.stat.bloomFilter("shingle", expected, fpp))
+    val mightContain = udf((s: String) => bloom.value.mightContainString(s))
+    shingles(train, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))
+      .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
   /** The consuming form: training rows with every contaminated doc
     * dropped. NOT the report minus its counts: dropping needs only the
     * distinct contaminated ids, so this is a broadcast SEMI join (each

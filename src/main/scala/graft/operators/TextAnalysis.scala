@@ -203,6 +203,34 @@ object TextAnalysis {
         regexp_count(col("__t2"), lit(Ipv4Regex)).cast("long").as("n_ips"),
         regexp_replace(col("__t2"), Ipv4Regex, "<IP>").as("redacted"))
 
+  private val TagRegex = "<[^>]*>"
+
+  /** Markup normalization — the first pass a web-crawl corpus takes
+    * before any quality/dedup signal: HTML tags stripped, the five
+    * ubiquitous entities decoded, whitespace runs collapsed. One
+    * codegen'd projection per row, no shuffle anywhere — at 100 TB
+    * this rides the ingest scan at I/O speed, exactly like t7.
+    *
+    * Order is load-bearing: tags first (entity decode can't mint a
+    * tag), `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;`
+    * and not `<` (the standard single-decode rule; both engines'
+    * `replace` is a single non-recursive left-to-right pass, which is
+    * what makes this oracle-able), entities before the whitespace
+    * collapse so `&nbsp;` participates in it.
+    */
+  def normalizeMarkup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val unentity = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(regexp_replace(col("t"), TagRegex, " ")) {
+        case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch))
+      }
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"),
+        regexp_count(col("t"), lit(TagRegex)).cast("long").as("n_tags"),
+        trim(regexp_replace(unentity, "[ \\t\\r\\n]+", " ")).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast("long"))
+  }
+
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
     * character codepoints — the incremental-update-friendly fingerprint

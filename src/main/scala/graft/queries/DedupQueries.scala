@@ -209,35 +209,58 @@ object DedupQueries extends QueryModule {
     * report would also pass the oracle, but then the planted pairs
     * would have to have vanished from the testdata).
     */
+  private val decontaminationOracle =
+    """WITH split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+      |  FROM toks, unnest(range(1, len(ws)-6)) t(i)),
+      |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+      |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
+      |SELECT tr.doc_id AS doc,
+      |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
+      |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.s = ev.s
+      |GROUP BY 1 ORDER BY doc""".stripMargin
+
+  private def evalSplit(s: SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    val split = d.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    (d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split))
+  }
+
   private val decontamination = CatalogQuery(
     "d7_decontamination",
     (s, dir) => {
-      val d = docs(s, dir)
-      val split = d.agg(max(col("doc_id"))).head.getLong(0) - 49L
-      Dedup.contaminationReport(
-          train = d.filter(col("doc_id") < split),
-          eval = d.filter(col("doc_id") >= split),
-          "doc_id", "text", n = 8)
+      val (train, eval) = evalSplit(s, dir)
+      Dedup.contaminationReport(train, eval, "doc_id", "text", n = 8)
         .orderBy(col("doc"))
     },
-    Some("""WITH split AS (SELECT max(doc_id) - 49 AS b FROM documents),
-           |toks AS (
-           |  SELECT doc_id,
-           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
-           |  FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
-           |  FROM toks, unnest(range(1, len(ws)-6)) t(i)),
-           |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
-           |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
-           |SELECT tr.doc_id AS doc,
-           |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
-           |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
-           |FROM tr JOIN ev ON tr.s = ev.s
-           |GROUP BY 1 ORDER BY doc""".stripMargin),
+    Some(decontaminationOracle),
     doc = "Train/eval decontamination audit: training docs sharing " +
       "verbatim 8-grams with the eval split (broadcast eval shingles)")
+
+  /** d11 = d7 behind the Bloom prefilter — the exact-verify join strips
+    * every false positive, so the output is bit-identical to d7's and
+    * the row carries the SAME oracle. What the gate then catches is the
+    * scale path itself: a bloom built over the wrong column, a probe
+    * hashing differently than the build, or a verify join dropped "as
+    * redundant" all flip this row red while leaving d7 green.
+    */
+  private val decontaminationBloom = CatalogQuery(
+    "d11_bloom_decontamination",
+    (s, dir) => {
+      val (train, eval) = evalSplit(s, dir)
+      Dedup.contaminationReportBloom(train, eval, "doc_id", "text", n = 8)
+        .orderBy(col("doc"))
+    },
+    Some(decontaminationOracle),
+    doc = "d7's audit via Bloom prefilter + exact verify — the path for " +
+      "eval sets too large to broadcast as a hash relation")
 
   /** d8's oracle = d2's exact pair SQL extended with a RECURSIVE
     * label-propagation CTE: every reachable label flows along edges
@@ -393,5 +416,6 @@ object DedupQueries extends QueryModule {
 
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, minhash, simhash, pipeline, incremental,
-      decontamination, clusters, dupCoverage, canonical)
+      decontamination, decontaminationBloom, clusters, dupCoverage,
+      canonical)
 }

@@ -284,7 +284,38 @@ object PipelineQueries extends QueryModule {
       "while the cumulative token count fits — mixing recipes are " +
       "specified in tokens, not documents")
 
+  /** Epoch weights exercising every branch: upsample with a fractional
+    * tail (src1 at 2.5), pure-Bernoulli downsample (src3 at 0.5), hard
+    * drop (src5 at 0), and the integral default 1.0 (everything else —
+    * threshold "00000000", so the fractional draw never fires).
+    */
+  private val epochs = CatalogQuery(
+    "x9_mixture_epochs",
+    (s: SparkSession, dir: String) => {
+      CorpusMix.withEpochs(
+          Tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          epochs = Map("src1" -> 2.5, "src3" -> 0.5, "src5" -> 0.0))
+        .select(col("doc_id").as("doc"), col("source"), col("rep"))
+        .orderBy(col("doc"), col("rep"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, source,
+           |    CASE source WHEN 'src1' THEN 2 WHEN 'src3' THEN 0
+           |      WHEN 'src5' THEN 0 ELSE 1 END
+           |    + CASE WHEN substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           |        < CASE source WHEN 'src1' THEN '80000000'
+           |            WHEN 'src3' THEN '80000000' ELSE '00000000' END
+           |      THEN 1 ELSE 0 END AS copies
+           |  FROM documents)
+           |SELECT doc_id AS doc, source, CAST(t.rep AS BIGINT) AS rep
+           |FROM c, unnest(range(copies)) AS t(rep)
+           |ORDER BY doc, rep""".stripMargin),
+    doc = "Fractional-epoch mixture: 2.5 epochs of src1, 0.5 of src3, " +
+      "src5 dropped, 1.0 elsewhere — keyed-hash fractional copies, " +
+      "zero-shuffle row-local replication")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget)
+      tokenBudget, epochs)
 }

@@ -509,7 +509,45 @@ object Relational extends QueryModule {
     doc = "Typed Aggregator[Double, boundedSeq, Seq] top-k per group " +
       "(SURVEY §2.9 incremental Juice)")
 
+  /** lag/lead over the per-customer order timeline — the offset-window
+    * family q8's running frame doesn't touch. Same scale shape as any
+    * partitioned window: one shuffle on the partition key, sort within
+    * partitions; no window spans a whole partition's history in memory
+    * beyond the sort itself. Gaps are day-diffs on DATE-truncated
+    * timestamps on BOTH sides (Spark datediff and DuckDB
+    * date_diff('day') agree only in the date domain), -1 for a
+    * customer's first/last order so the gate never hash-compares nulls.
+    */
+  private val q18 = CatalogQuery(
+    "q18_order_gaps",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val d = to_date($"o_orderdate")
+      t(s, dir).orders
+        .filter($"o_custkey" <= 200)
+        .select($"o_custkey", $"o_orderkey",
+          coalesce(datediff(d, lag(d, 1).over(w)), lit(-1))
+            .cast("long").as("days_since_prev"),
+          coalesce(datediff(lead(d, 1).over(w), d), lit(-1))
+            .cast("long").as("days_until_next"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           | CAST(coalesce(date_diff('day',
+           |   lag(CAST(o_orderdate AS DATE)) OVER w,
+           |   CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev,
+           | CAST(coalesce(date_diff('day',
+           |   CAST(o_orderdate AS DATE),
+           |   lead(CAST(o_orderdate AS DATE)) OVER w), -1) AS BIGINT) AS days_until_next
+           |FROM orders
+           |WHERE o_custkey <= 200
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    doc = "Per-customer order inter-arrival gaps via lag/lead offset windows")
+
   override def queries: Seq[CatalogQuery] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q15b, q16, q17)
+      q15, q15b, q16, q17, q18)
 }

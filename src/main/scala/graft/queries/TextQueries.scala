@@ -285,7 +285,58 @@ object TextQueries extends QueryModule {
     doc = "Top-3 TF-IDF keywords per document (integral micro-idf, " +
       "term-ASC tie-break): topic tagging / boilerplate spotting")
 
+  /** Planted rows carry what the corpus lacks (tags, entities, the
+    * double-encoded `&amp;lt;`, whitespace runs), so every branch of
+    * the normalizer is exercised under the hash gate — on the clean
+    * testdata alone t10 would be an expensive identity map and a
+    * regression could hide behind it.
+    */
+  private val normalize = CatalogQuery(
+    "t10_normalize_markup",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "<p>Hello <b>world</b></p>"),
+        (1000002L, "a &amp;amp; b &lt;tag&gt; c &quot;q&quot; &#39;s&#39;"),
+        (1000003L, "  lots\t\tof\n\nspace   here  "),
+        (1000004L, "&nbsp;pad&nbsp;"),
+        (1000005L, "<a href=\"x?a=1&amp;b=2\">link</a> tail"))
+        .toDF("doc_id", "text")
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      TextAnalysis.normalizeMarkup(all, "doc_id", "text")
+        .orderBy(col("doc"))
+    },
+    Some("""WITH allrows AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (1000001, '<p>Hello <b>world</b></p>'),
+           |    (1000002, 'a &amp;amp; b &lt;tag&gt; c &quot;q&quot; &#39;s&#39;'),
+           |    (1000003, '  lots' || chr(9) || chr(9) || 'of' || chr(10) ||
+           |      chr(10) || 'space   here  '),
+           |    (1000004, '&nbsp;pad&nbsp;'),
+           |    (1000005, '<a href="x?a=1&amp;b=2">link</a> tail')
+           |  ) v(doc_id, text))
+           |SELECT CAST(doc_id AS BIGINT) AS doc,
+           |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+           |  trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |    '[ \t\r\n]+', ' ', 'g')) AS clean,
+           |  CAST(len(trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |    '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+           |FROM allrows ORDER BY doc""".stripMargin),
+    doc = "Markup normalization: HTML tags stripped, entities decoded " +
+      "once, whitespace collapsed; planted rows exercise every branch")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords)
+      lmScore, keywords, normalize)
 }

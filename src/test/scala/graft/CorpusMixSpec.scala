@@ -143,4 +143,36 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(CorpusMix.capTokensPerStratum(df, "id", "grp", "toks", 1000000L)
       .count() == 80L)
   }
+
+  test("withEpochs replicates by stratum weight and nests in the weight") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i < 2000) "up" else "down"))
+      .toDF("id", "stratum")
+    val out = CorpusMix.withEpochs(df, "id", "stratum",
+      Map("up" -> 2.5, "down" -> 0.25))
+    val counts = out.groupBy($"stratum").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // 2000*2.5 = 5000 expected, 2000*0.25 = 500 expected; hash is uniform
+    assert(math.abs(counts("up") - 5000L) < 150, s"got ${counts("up")}")
+    assert(math.abs(counts("down") - 500L) < 150, s"got ${counts("down")}")
+    // every up-row appears at least floor(2.5)=2 times, tagged 0..copies-1
+    val perDoc = out.filter($"stratum" === "up")
+      .groupBy($"id").agg(count(lit(1)).as("n"), max($"rep").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    assert(perDoc.forall { case (_, n, mx) => (n == 2 || n == 3) && mx == n - 1 })
+    // deterministic under re-execution
+    val again = CorpusMix.withEpochs(df, "id", "stratum",
+      Map("up" -> 2.5, "down" -> 0.25))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // nested: raising a weight only ADDS copies (same salt, higher threshold)
+    def keyset(e: Double) =
+      CorpusMix.withEpochs(df, "id", "stratum", Map("down" -> e), 0.0)
+        .select($"id", $"rep").as[(Long, Long)].collect().toSet
+    val (lo, hi) = (keyset(0.25), keyset(1.75))
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // weight 0 drops the stratum entirely
+    assert(CorpusMix.withEpochs(df, "id", "stratum", Map("down" -> 0.0))
+      .filter($"stratum" === "down").count() == 0L)
+  }
 }

@@ -134,6 +134,22 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Seq(3L, 4L))
   }
 
+  test("bloom decontamination equals the broadcast report, even at fpp=0.5") {
+    val half = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val train = docs.filter(col("doc_id") < half)
+    val eval = docs.filter(col("doc_id") >= half)
+    val exact = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 8)
+      .orderBy("doc").collect().toSeq
+    // fpp=0.5 guarantees bloom false positives stream into the verify
+    // join; the exact join must strip every one of them
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.contaminationReportBloom(
+          train, eval, "doc_id", "text", n = 8, fpp = fpp)
+        .orderBy("doc").collect().toSeq
+      assert(bloom == exact, s"bloom path diverged at fpp=$fpp")
+    }
+  }
+
   test("connectedComponents labels transitive chains with the component min") {
     val s = spark
     import s.implicits._

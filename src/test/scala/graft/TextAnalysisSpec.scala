@@ -95,6 +95,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       out(5).getString(4) == "call <EMAIL> now")
   }
 
+  test("normalizeMarkup strips tags, decodes entities once, collapses space") {
+    val out = TextAnalysis.normalizeMarkup(df(
+        (1L, "<p>Hello <b>world</b></p>"),
+        (2L, "a &amp;amp; b &lt;x&gt; c"), // double-encoded amp: ONE decode
+        (3L, "  runs\t\tof\n\nspace  "),
+        (4L, "&nbsp;pad&nbsp;"),
+        (5L, "plain text untouched"),
+        (6L, "")), "doc_id", "text")
+      .orderBy(col("doc")).collect()
+    assert(out(0).getLong(1) == 4 && out(0).getString(2) == "Hello world")
+    // &amp;amp; -> &amp; (literal), &lt;x&gt; -> <x> (not re-stripped:
+    // tags were removed BEFORE entity decode)
+    assert(out(1).getLong(1) == 0 && out(1).getString(2) == "a &amp; b <x> c")
+    assert(out(2).getString(2) == "runs of space")
+    assert(out(3).getString(2) == "pad")
+    assert(out(4).getString(2) == "plain text untouched")
+    assert(out(5).getString(2) == "" && out(5).getLong(3) == 0L)
+    assert(out.forall(r => r.getLong(3) == r.getString(2).length.toLong))
+  }
+
   test("empty and whitespace-only docs score 0, never null or an error") {
     // guarded divisions: an unguarded /0 would throw on ANSI sessions
     // and null-drop otherwise — poison for a long-running stream
