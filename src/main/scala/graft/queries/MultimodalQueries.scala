@@ -43,5 +43,68 @@ object MultimodalQueries extends QueryModule {
     doc = "Binary-column blob pipeline with partition-batched (stub) " +
       "decode; byte-arithmetic features replayed exactly by DuckDB")
 
-  override def queries: Seq[CatalogQuery] = Seq(features)
+  private def stubFeatures(s: SparkSession, dir: String) = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    Multimodal.extractFeatures(
+      Multimodal.asBlobs(docs, "doc_id", "content"), Multimodal.StubDecoder)
+  }
+
+  /** Stride-3 frame sampling — the video-pipeline keep-every-Nth
+    * primitive on the stub's frame count. Row-local explode, zero
+    * shuffle; the oracle replays frames = bytes/1024 + 1 and the
+    * stride walk with range().
+    */
+  private val frameSample = CatalogQuery(
+    "m2_frame_sample",
+    (s: SparkSession, dir: String) =>
+      Multimodal.sampleFrames(stubFeatures(s, dir), stride = 3)
+        .select(col("blob_id"), col("frames").cast("long").as("frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("blob_id"), col("frame_idx")),
+    Some("""WITH f AS (
+           |  SELECT doc_id AS blob_id,
+           |    len(list_filter(string_split(text, ''), c -> c <> ''))//1024 + 1
+           |      AS frames
+           |  FROM documents)
+           |SELECT blob_id, CAST(frames AS BIGINT) AS frames,
+           |  CAST(t.i AS BIGINT) AS frame_idx
+           |FROM f, unnest(range(0, frames, 3)) t(i)
+           |ORDER BY blob_id, frame_idx""".stripMargin),
+    doc = "Frame sampling: every 3rd frame index per blob (explode over " +
+      "a stride sequence, row-local)")
+
+  /** Area-interpolation resize of the decoded 4-bin vector to 2 bins —
+    * what an image resize does per channel, on the stub's histogram.
+    * Emitted as scalars (vec_r0/vec_r1): the driver's hash compare
+    * cannot sort array columns. ASCII text keeps bins 2-3 empty, so
+    * vec_r1 = 0 pins the high-bin path while vec_r0 carries signal.
+    */
+  private val resize = CatalogQuery(
+    "m3_resize_vec",
+    (s: SparkSession, dir: String) =>
+      Multimodal.resizeVec(stubFeatures(s, dir), dim = 2)
+        .select(col("blob_id"),
+          round(element_at(col("vec_resized"), 1), 4).as("vec_r0"),
+          round(element_at(col("vec_resized"), 2), 4).as("vec_r1"))
+        .orderBy(col("blob_id")),
+    Some("""WITH bytes AS (
+           |  SELECT doc_id AS blob_id,
+           |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+           |                   c -> CAST(unicode(c) AS BIGINT)) AS bs
+           |  FROM documents),
+           |hist AS (
+           |  SELECT blob_id,
+           |    len(list_filter(bs, b -> b//64 = 0))*1.0 AS h0,
+           |    len(list_filter(bs, b -> b//64 = 1))*1.0 AS h1,
+           |    len(list_filter(bs, b -> b//64 = 2))*1.0 AS h2,
+           |    len(list_filter(bs, b -> b//64 = 3))*1.0 AS h3
+           |  FROM bytes)
+           |SELECT blob_id, round((h0+h1)/2, 4) AS vec_r0,
+           |  round((h2+h3)/2, 4) AS vec_r1
+           |FROM hist ORDER BY blob_id""".stripMargin),
+    doc = "Resize plumbing: 4-bin decoded vector rebinned to 2 by area " +
+      "interpolation, emitted as scalars")
+
+  override def queries: Seq[CatalogQuery] = Seq(features, frameSample, resize)
 }

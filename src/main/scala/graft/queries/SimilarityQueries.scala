@@ -164,5 +164,42 @@ object SimilarityQueries extends QueryModule {
       "partition pruning, exact re-rank); emits rank-1, which must " +
       "equal DuckDB's brute-force top-1")
 
-  override def queries: Seq[CatalogQuery] = Seq(brute, lsh, nearDup, ivf)
+  /** The audit emits order-free per-vector maxima only (scale, q
+    * range, max |dequant err|) — no summation whose order could differ
+    * between engines — and the quantizer rounds via the explicit
+    * `floor(x/s + 0.5)`, never the engine `round` (tie-breaking
+    * differs). That is what lets an int8 quantization row carry a full
+    * hash oracle.
+    */
+  private val quant = CatalogQuery(
+    "s5_int8_quantize",
+    (s: SparkSession, dir: String) =>
+      graft.operators.Quantize.int8Audit(emb(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id")),
+    Some("""WITH e AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |s AS (
+           |  SELECT vec_id, v,
+           |    list_max(list_transform(v, x -> abs(x)))/127 AS scale
+           |  FROM e)
+           |SELECT vec_id, round(scale, 9) AS scale,
+           |  CAST(len(v) AS BIGINT) AS n_dims,
+           |  CASE WHEN scale = 0 THEN 0 ELSE
+           |    CAST(list_min(list_transform(v, x -> floor(x/scale + 0.5)))
+           |      AS BIGINT) END AS qmin,
+           |  CASE WHEN scale = 0 THEN 0 ELSE
+           |    CAST(list_max(list_transform(v, x -> floor(x/scale + 0.5)))
+           |      AS BIGINT) END AS qmax,
+           |  CASE WHEN scale = 0 THEN 0.0 ELSE
+           |    round(list_max(list_transform(v,
+           |      x -> abs(x - floor(x/scale + 0.5)*scale))), 9) END
+           |    AS max_abs_err
+           |FROM s ORDER BY vec_id""".stripMargin),
+    doc = "Symmetric per-vector int8 quantization audit: scale, q " +
+      "range, max dequantization error — the 4x embedding storage cut")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(brute, lsh, nearDup, ivf, quant)
 }

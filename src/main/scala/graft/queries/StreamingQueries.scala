@@ -196,6 +196,61 @@ object StreamingQueries extends QueryModule {
       "the at-rest band index via stream-static joins, signature-" +
       "agreement verification, graded against exact cross-split pairs")
 
+  /** a2's streaming twin — MERGING session state under append mode,
+    * the stateful shape st2's fixed windows don't exercise (a late
+    * event can fuse two open sessions; fixed windows never merge). A
+    * session stops growing once the watermark passes its window end
+    * (= last event + gap): no on-time event can extend it, so append
+    * emits exactly the sessions with session_end + gap <= max(ts) -
+    * delay, and the oracle applies that frontier to a2's lag/cumsum
+    * replay analytically.
+    */
+  private val streamSessions = CatalogQuery(
+    "st4_streaming_sessionize",
+    (s: SparkSession, dir: String) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          (col("w.end") - expr("INTERVAL 30 minutes")).as("session_end"),
+          col("n_events"))
+      val name = "graft_st4_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+           |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |b AS (SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                    > INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |s AS (SELECT user_id, ts,
+           |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM b),
+           |g AS (SELECT user_id, min(ts) AS session_start,
+           |        max(ts) AS session_end, count(*) AS n_events
+           |      FROM s GROUP BY user_id, sid)
+           |SELECT user_id, session_start, session_end, n_events
+           |FROM g, wm WHERE session_end + INTERVAL 30 MINUTE <= w
+           |ORDER BY user_id, session_start""".stripMargin),
+    doc = "Gap sessionization through a real append-mode " +
+      "StreamExecution (merging session state); oracle = a2's replay " +
+      "plus the analytic emission frontier")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(streamClean, streamHourly, streamIndexProbe)
+    Seq(streamClean, streamHourly, streamIndexProbe, streamSessions)
 }
