@@ -113,6 +113,34 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("row-local operators plan zero exchanges before their oracle sort") {
+    // t10 normalize, x9 epoch replication, s5 quantize audit, m2 frame
+    // sampling: all pure per-row work — the ONLY exchange each catalog
+    // row may contain is the final ORDER BY's range partitioning (plus
+    // its AQE shuffle read), never a hash exchange from a stray
+    // groupBy/join/window
+    for (q <- Seq("t10_normalize_markup", "x9_mixture_epochs",
+        "s5_int8_quantize", "m2_frame_sample", "m3_resize_vec")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q must not hash-shuffle — per-row operator:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q must not join:\n$p")
+    }
+  }
+
+  test("d11: bloom survivors verify in a shuffled join, never a broadcast") {
+    // the point of the bloom path is that the eval side does NOT have
+    // to fit a broadcast hash relation — the exact-verify join must
+    // shuffle (ShuffledHashJoin via the hint), and the bloom probe
+    // must sit on the train scan side as a plain Filter
+    val p = plan("d11_bloom_decontamination")
+    assert(p.contains("ShuffledHashJoin"),
+      s"d11 verify join must be the shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"d11 must not broadcast the eval shingles:\n$p")
+  }
+
   test("salted join equals direct join and spreads a hot key across buckets") {
     val s = spark
     import s.implicits._

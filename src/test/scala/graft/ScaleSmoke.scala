@@ -178,6 +178,27 @@ object ScaleSmoke {
         Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id",
           "text", 3, 0.8, maxDf = maxDf)).count()
       }
+      // decontamination, both paths, against a FIXED 500-doc eval set:
+      // the claim under test is that cost scales with the train-side
+      // SCAN (the bloom probe / broadcast join rides it) while the
+      // eval side stays constant
+      val evalSet = t.documents.filter(col("doc_id") >= 4500)
+      time("d7_decontam_broadcast")(Dedup.contaminationReport(
+        docs, evalSet, "doc_id", "text", n = 8).count())
+      time("d11_decontam_bloom")(Dedup.contaminationReportBloom(
+        docs, evalSet, "doc_id", "text", n = 8).count())
+      time("s5_int8_quantize") {
+        graft.operators.Quantize.int8Audit(emb, "vec_id", "embedding")
+          .agg(count(lit(1)).as("n"), sum(col("max_abs_err")),
+            sum(col("qmax"))).head.getLong(0)
+      }
+      time("t10_normalize") {
+        TextAnalysis.normalizeMarkup(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars_clean")),
+            sum(col("n_tags"))).head.getLong(0)
+      }
+      time("x9_epochs")(CorpusMix.withEpochs(docs, "doc_id", "source",
+        Map("src1" -> 2.5, "src3" -> 0.5, "src5" -> 0.0)).count())
       time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
         .reduce(_ union _)
         .groupBy(col("l_returnflag"))
