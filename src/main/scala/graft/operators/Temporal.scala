@@ -61,6 +61,46 @@ object Temporal {
       .filter(col("__side") === 1).drop("__t", "__side", "__carry")
   }
 
+  /** Interval-follow count: for each left row, how many right rows of
+    * the same `key` fall in `(leftTime, leftTime + windowMicros]` —
+    * the attribution primitive ("clicks within 30 min of the view").
+    *
+    * The naive formulation is an inequality join, which Spark can only
+    * plan as a nested loop — quadratic per key, the canonical 100 TB
+    * incident. This is the BANDED decomposition instead: both sides
+    * bucket time by the window length, every right match of a left row
+    * lives in the left row's bucket or the next one, so each left row
+    * expands to exactly 2 (key, bucket) probes and the join is a plain
+    * shuffled EQUI-join on (key, bucket) with the exact interval
+    * predicate as a post-filter (PlanSpec asserts no nested loop).
+    * Candidate volume is bounded by rows-per-(key, window-width) — the
+    * data's actual temporal density, not its total size.
+    *
+    * Zero-match left rows are kept at n_follow = 0 (left-outer shape);
+    * time arithmetic runs in integral micros on both sides of the
+    * oracle, never float.
+    */
+  def intervalFollowCount(left: DataFrame, right: DataFrame, key: String,
+                          leftId: String, leftTime: String, rightTime: String,
+                          windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    val l = left.select(col(key), col(leftId),
+        unix_micros(col(leftTime)).as("__lt"))
+      .withColumn("__b", explode(array(
+        floor(col("__lt") / windowMicros),
+        floor(col("__lt") / windowMicros) + 1)))
+    val r = right.select(col(key).as("__rk"),
+        unix_micros(col(rightTime)).as("__rt"))
+      .withColumn("__b", floor(col("__rt") / windowMicros))
+    l.join(r,
+        l("__b") === r("__b") && col(key) === col("__rk") &&
+          col("__rt") > col("__lt") &&
+          col("__rt") <= col("__lt") + windowMicros,
+        "left_outer")
+      .groupBy(col(key), col(leftId))
+      .agg(count(col("__rt")).as("n_follow"))
+  }
+
   /** Gap-based sessions via Spark's native session_window: events of
     * one user belong to one session while consecutive gaps stay at or
     * under `gap` (an event exactly `gap` later still merges — the

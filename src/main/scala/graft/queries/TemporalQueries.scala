@@ -102,5 +102,37 @@ object TemporalQueries extends QueryModule {
     doc = "Typed JSON extraction (from_json with declared schema) + " +
       "aggregation over the extracted field")
 
-  override def queries: Seq[CatalogQuery] = Seq(asof, sessions, json)
+  /** The oracle writes the join the natural (inequality) way — DuckDB
+    * handles that fine at gate scale — while the engine runs the
+    * banded equi-join decomposition; the hash compare proves the
+    * decomposition exact, boundary semantics included.
+    */
+  private val intervalFollow = CatalogQuery(
+    "a4_interval_follow",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      Temporal.intervalFollowCount(
+          left = e.filter(col("event_type") === "view"),
+          right = e.filter(col("event_type") === "click"),
+          key = "user_id", leftId = "event_id",
+          leftTime = "ts", rightTime = "ts",
+          windowMicros = 30L * 60 * 1000000)
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id,
+           |  CAST(count(c.ts) AS BIGINT) AS n_follow
+           |FROM (SELECT * FROM events WHERE event_type = 'view') v
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON c.user_id = v.user_id
+           |  AND CAST(c.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+           |  AND CAST(c.ts AS TIMESTAMP) <=
+           |      CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+           |GROUP BY v.user_id, v.event_id
+           |ORDER BY v.event_id""".stripMargin),
+    doc = "Attribution interval join: clicks within 30 min after each " +
+      "view, banded into a shuffled equi-join on (user, time bucket) — " +
+      "never a nested loop")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(asof, sessions, json, intervalFollow)
 }

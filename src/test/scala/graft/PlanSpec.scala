@@ -129,6 +129,12 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("a4: the interval join is banded into an equi-join, never a nested loop") {
+    val p = plan("a4_interval_follow")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"a4 must plan the banded equi-join:\n$p")
+  }
+
   test("d11: bloom survivors verify in a shuffled join, never a broadcast") {
     // the point of the bloom path is that the eval side does NOT have
     // to fit a broadcast hash relation — the exact-verify join must

@@ -124,6 +124,31 @@ class TemporalSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("intervalFollowCount equals the brute-force inequality join") {
+    val s = spark
+    import s.implicits._
+    // events straddling bucket boundaries: window = 30 min, so bucket
+    // edges at 0/30/60...; include exact-boundary matches (strict >,
+    // inclusive <= W) and cross-bucket matches
+    val views = Seq((1L, 100L, ts(0)), (1L, 101L, ts(29)), (1L, 102L, ts(58)),
+        (2L, 103L, ts(10)), (3L, 104L, ts(0)))
+      .toDF("user_id", "event_id", "ts")
+    val clicks = Seq((1L, ts(0)), (1L, ts(30)), (1L, ts(59)), (1L, ts(88)),
+        (1L, ts(89)), (2L, ts(41)))
+      .toDF("user_id", "ts")
+    val got = Temporal.intervalFollowCount(views, clicks, "user_id",
+        "event_id", "ts", "ts", windowMicros = 30L * 60 * 1000000)
+      .orderBy($"event_id")
+      .select($"event_id", $"n_follow").as[(Long, Long)].collect().toSeq
+    // brute force per view: clicks with t_v < t_c <= t_v + 30
+    // 100@0: clicks at 30 (boundary, kept) -> 1 (0 excluded: strict >)
+    // 101@29: 30, 59 -> 2;  102@58: 59, 88 -> 2
+    // 103@10: user 2 click at 41 is 31 min later -> 0
+    // 104: user 3 has no clicks -> 0
+    assert(got == Seq((100L, 1L), (101L, 2L), (102L, 2L), (103L, 0L),
+      (104L, 0L)))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark
     import s.implicits._
