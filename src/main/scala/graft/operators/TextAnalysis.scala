@@ -231,6 +231,31 @@ object TextAnalysis {
       .withColumn("n_chars_clean", length(col("clean")).cast("long"))
   }
 
+  /** Encoding-sanity signals — the cheap filters a crawl pipeline runs
+    * before any model-based scoring: non-ASCII ratio (mojibake and
+    * wrong-charset detection), control characters (binary sniffing),
+    * and the Unicode replacement char U+FFFD (a decoder already gave
+    * up upstream). Pure per-row regex counts, rides the scan.
+    *
+    * Ratios are emitted in integral parts-per-million (count * 1e6 /
+    * chars, floored): one exact integer division per row, so the row
+    * hash-compares without float-rounding hazards.
+    */
+  def encodingStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = length(col("t"))
+    val nonAscii = regexp_count(col("t"), lit("[^\\x00-\\x7F]"))
+    val ctl = regexp_count(col("t"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .select(col("doc"),
+        chars.cast("long").as("n_chars"),
+        nonAscii.cast("long").as("n_non_ascii"),
+        ctl.cast("long").as("n_control"),
+        regexp_count(col("t"), lit("�")).cast("long").as("n_replacement"),
+        when(chars === 0, lit(0L))
+          .otherwise(floor(nonAscii * lit(1000000L) / chars)).cast("long")
+          .as("non_ascii_ppm"))
+  }
+
   /** Content fingerprints: md5 hex (exact-dedup key, engine-portable)
     * and a Karp-Rabin rolling hash (base 31 mod 1e9+7) folded over the
     * character codepoints — the incremental-update-friendly fingerprint

@@ -547,7 +547,73 @@ object Relational extends QueryModule {
            |ORDER BY o_custkey, o_orderkey""".stripMargin),
     doc = "Per-customer order inter-arrival gaps via lag/lead offset windows")
 
+  /** Explicit GROUPING SETS — the general form q10's ROLLUP and q16's
+    * CUBE are sugar over: two independent one-dimension breakdowns
+    * plus the grand total in ONE aggregation pass (a single Expand +
+    * shuffle, not three scans unioned). grouping_id disambiguates a
+    * real NULL group value from a rolled-up dimension.
+    */
+  private val q19 = CatalogQuery(
+    "q19_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir).orders
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total_price"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           | CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority)
+           |   AS BIGINT) AS gid,
+           | count(*) AS n_orders,
+           | round(sum(o_totalprice), 2) AS total_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY gid, o_orderstatus NULLS FIRST,
+           |  o_orderpriority NULLS FIRST""".stripMargin),
+    doc = "Explicit GROUPING SETS: two one-dimension breakdowns + grand " +
+      "total in one Expand pass, grouping_id emitted")
+
+  /** The ranking window family q8 (running frame) and q18 (offsets)
+    * don't touch: dense_rank over a tying key (date — tied rows share
+    * a rank, no tiebreak by design), ntile and percent_rank over the
+    * TOTAL order (ties broken by key) — ntile's bucket assignment is
+    * positional, so only a total order makes it deterministic enough
+    * to hash-compare across engines.
+    */
+  private val q20 = CatalogQuery(
+    "q20_rank_family",
+    (s, dir) => {
+      import s.implicits._
+      val tie = Window.partitionBy($"o_orderstatus").orderBy($"o_orderdate")
+      val total = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir).orders
+        .filter($"o_custkey" <= 50)
+        .select($"o_orderstatus", $"o_orderkey",
+          dense_rank().over(tie).as("date_dense_rank"),
+          ntile(4).over(total).as("quartile"),
+          round(percent_rank().over(total), 9).as("pct_rank"))
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+           | CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+           |   ORDER BY o_orderdate) AS INT) AS date_dense_rank,
+           | CAST(ntile(4) OVER w AS INT) AS quartile,
+           | round(percent_rank() OVER w, 9) AS pct_rank
+           |FROM orders WHERE o_custkey <= 50
+           |WINDOW w AS (PARTITION BY o_orderstatus
+           |  ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+    doc = "Ranking windows: dense_rank (tying key), ntile(4) and " +
+      "percent_rank (total order)")
+
   override def queries: Seq[CatalogQuery] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q15b, q16, q17, q18)
+      q15, q15b, q16, q17, q18, q19, q20)
 }

@@ -336,7 +336,52 @@ object TextQueries extends QueryModule {
     doc = "Markup normalization: HTML tags stripped, entities decoded " +
       "once, whitespace collapsed; planted rows exercise every branch")
 
+  /** Planted rows again carry what the corpus lacks: multibyte text,
+    * control bytes, U+FFFD. NB the ppm division is exact double math
+    * on both sides (long/long promotes to double in Spark and DuckDB
+    * alike), so the floor is engine-portable.
+    */
+  private val encoding = CatalogQuery(
+    "t11_encoding_stats",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "café naïve 日本語 text"),
+        (1000002L, "binary\u0001sniff\u0002here"),
+        (1000003L, "bad decode �� mark"),
+        (1000004L, ""),
+        (1000005L, "pure ascii stays clean"))
+        .toDF("doc_id", "text")
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      TextAnalysis.encodingStats(all, "doc_id", "text").orderBy(col("doc"))
+    },
+    Some("""WITH allrows AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (1000001, 'café naïve 日本語 text'),
+           |    (1000002, 'binary' || chr(1) || 'sniff' || chr(2) || 'here'),
+           |    (1000003, 'bad decode �� mark'),
+           |    (1000004, ''),
+           |    (1000005, 'pure ascii stays clean')
+           |  ) v(doc_id, text))
+           |SELECT CAST(doc_id AS BIGINT) AS doc,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT)
+           |    AS n_non_ascii,
+           |  CAST(len(regexp_extract_all(text,
+           |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+           |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+           |    AS n_replacement,
+           |  CASE WHEN len(text) = 0 THEN 0 ELSE
+           |    CAST(floor(len(regexp_extract_all(text, '[^\x00-\x7F]'))
+           |      * 1000000 / len(text)) AS BIGINT) END AS non_ascii_ppm
+           |FROM allrows ORDER BY doc""".stripMargin),
+    doc = "Encoding sanity: non-ASCII/control/U+FFFD counts + integral " +
+      "ppm ratio; planted multibyte/control rows make it falsifiable")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords, normalize)
+      lmScore, keywords, normalize, encoding)
 }

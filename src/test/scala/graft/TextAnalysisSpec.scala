@@ -115,6 +115,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.forall(r => r.getLong(3) == r.getString(2).length.toLong))
   }
 
+  test("encodingStats counts non-ascii/control/replacement; ppm floors") {
+    val out = TextAnalysis.encodingStats(df(
+        (1L, "café"),              // 1 non-ascii of 4 chars -> 250000 ppm
+        (2L, "a\u0001b\u001Fc\t"), // 2 control (tab is NOT control here)
+        (3L, "x�y"),
+        (4L, "")), "doc_id", "text")
+      .orderBy(col("doc")).collect()
+    assert(out(0).getLong(2) == 1 && out(0).getLong(5) == 250000L)
+    assert(out(1).getLong(3) == 2 && out(1).getLong(2) == 0)
+    assert(out(2).getLong(4) == 1)
+    assert(out(3).getLong(1) == 0 && out(3).getLong(5) == 0L)
+  }
+
   test("empty and whitespace-only docs score 0, never null or an error") {
     // guarded divisions: an unguarded /0 would throw on ANSI sessions
     // and null-drop otherwise — poison for a long-running stream
