@@ -251,6 +251,58 @@ object StreamingQueries extends QueryModule {
       "StreamExecution (merging session state); oracle = a2's replay " +
       "plus the analytic emission frontier")
 
+  /** a4's STREAM-STREAM twin: views and clicks as two live streams,
+    * inner-joined on user + an event-time range — the last Structured
+    * Streaming join shape the engine hadn't exercised (st3 joins
+    * stream to STATIC). Both sides are watermarked, and the range
+    * condition is what lets Spark bound the join state: a buffered
+    * view can be evicted once the click watermark passes viewTs + 30
+    * min, so state is O(watermark window), not O(stream history) —
+    * the property that makes this runnable on an unbounded 100 TB/day
+    * ingest. Inner-join emission doesn't wait on the watermark (it
+    * only drives eviction), so the availableNow replay emits exactly
+    * the batch-join pair set and the oracle is the plain inequality
+    * join on the same micros-truncated timestamps.
+    */
+  private val streamAttribution = CatalogQuery(
+    "st5_stream_stream_join",
+    (s: SparkSession, dir: String) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def stream(kind: String, alias: String) = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${alias}_user"),
+          col("event_id").as(s"${alias}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+      val joined = stream("view", "v").join(stream("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"))
+      val name = "graft_st5_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name)
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           |FROM (SELECT * FROM events WHERE event_type = 'view') v
+           |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           |  ON c.user_id = v.user_id
+           |  AND CAST(c.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+           |  AND CAST(c.ts AS TIMESTAMP) <=
+           |      CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+           |ORDER BY view_id, click_id""".stripMargin),
+    doc = "Stream-stream attribution join (views x clicks, event-time " +
+      "range bounds the state); emits exactly the batch pair set")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(streamClean, streamHourly, streamIndexProbe, streamSessions)
+    Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
+      streamAttribution)
 }
