@@ -613,7 +613,45 @@ object Relational extends QueryModule {
     doc = "Ranking windows: dense_rank (tying key), ntile(4) and " +
       "percent_rank (total order)")
 
+  /** Correlated-subquery semantics ("orders above their status's
+    * average price"), DECORRELATED the way the 100 TB plan wants it:
+    * aggregate once per group, broadcast the tiny per-group table,
+    * filter on the scan — never a re-executed per-row subquery. The
+    * comparison runs entirely in long cents (price*100 exact at 2
+    * decimals): `pc * n > sum_pc` is the rational form of
+    * `price > avg`, so no float summation order can flip a boundary
+    * row on either engine.
+    */
+  private val q21 = CatalogQuery(
+    "q21_above_group_avg",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+        .select($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100).cast("long").as("pc"))
+      val g = o.groupBy($"o_orderstatus")
+        .agg(sum($"pc").as("sum_pc"), count(lit(1)).as("n"))
+      o.join(broadcast(g), Seq("o_orderstatus"))
+        .filter($"pc" * $"n" > $"sum_pc")
+        .select($"o_orderstatus", $"o_orderkey", $"pc")
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+           |  FROM orders)
+           |SELECT o_orderstatus, o_orderkey, pc
+           |FROM (
+           |  SELECT o_orderstatus, o_orderkey, pc,
+           |    sum(pc) OVER (PARTITION BY o_orderstatus) AS sum_pc,
+           |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+           |  FROM o)
+           |WHERE pc * n > sum_pc
+           |ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+    doc = "Correlated subquery decorrelated: group-aggregate once, " +
+      "broadcast, filter on the scan; exact long-cents comparison")
+
   override def queries: Seq[CatalogQuery] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q15b, q16, q17, q18, q19, q20)
+      q15, q15b, q16, q17, q18, q19, q20, q21)
 }
