@@ -133,6 +133,44 @@ object TemporalQueries extends QueryModule {
       "view, banded into a shuffled equi-join on (user, time bucket) — " +
       "never a nested loop")
 
+  /** 6-hour LOCF grid over each user's span. (user_id, ts) is unique in
+    * the testdata, so the carried row is well-defined; grid points
+    * start at ceil(min), so no output is null. The oracle replays the
+    * carry with DuckDB's NATIVE ASOF JOIN — an independent
+    * implementation of the semantics the engine builds from a window
+    * pass. Grid timestamps are built by plain-TIMESTAMP interval
+    * arithmetic in the oracle (to_timestamp would detour through
+    * TIMESTAMPTZ and the session zone).
+    */
+  private val resample = CatalogQuery(
+    "a5_grid_resample",
+    (s, dir) =>
+      Temporal.resampleLocf(
+          Tables(s, dir).events
+            .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+          "user_id", "ts", carryCols = Seq("event_id", "value"),
+          stepSec = 21600L)
+        .orderBy(col("user_id"), col("grid_ts")),
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+           |  FROM events),
+           |bounds AS (
+           |  SELECT user_id,
+           |    (epoch_us(min(ts))//1000000 + 21599)//21600*21600 AS lo,
+           |    (epoch_us(max(ts))//1000000)//21600*21600 AS hi
+           |  FROM e GROUP BY user_id),
+           |grid AS (
+           |  SELECT user_id,
+           |    TIMESTAMP '1970-01-01' + t.g * INTERVAL 1 SECOND AS grid_ts
+           |  FROM bounds, unnest(range(lo, hi + 1, 21600)) t(g))
+           |SELECT g.user_id, g.grid_ts,
+           |  e.event_id AS asof_event_id, e.value AS asof_value
+           |FROM grid g ASOF JOIN e
+           |  ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+           |ORDER BY g.user_id, g.grid_ts""".stripMargin),
+    doc = "LOCF resampling to a 6-hour grid per user; the engine's " +
+      "window-pass carry vs DuckDB's native ASOF JOIN")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(asof, sessions, json, intervalFollow)
+    Seq(asof, sessions, json, intervalFollow, resample)
 }

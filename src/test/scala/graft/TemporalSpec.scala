@@ -149,6 +149,25 @@ class TemporalSpec extends SparkSpecBase {
       (104L, 0L)))
   }
 
+  test("resampleLocf aligns the grid to step multiples and carries forward") {
+    val s = spark
+    import s.implicits._
+    // step = 600s (10 min); events at minutes 5, 12, 47 → grid at 10,
+    // 20, 30, 40 (ceil(5m)=10m .. floor(47m)=40m), carrying 5,12,12,12
+    val events = Seq((1L, ts(5), 50.0), (1L, ts(12), 51.0), (1L, ts(47), 52.0),
+        (2L, ts(0), 60.0)) // exactly on a grid point: lo == hi == 0
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.resampleLocf(events, "user_id", "ts",
+        carryCols = Seq("value"), stepSec = 600L)
+      .orderBy($"user_id", $"grid_ts")
+      .select($"user_id", $"grid_ts", $"asof_value")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, ts(10), 50.0), (1L, ts(20), 51.0), (1L, ts(30), 51.0),
+      (1L, ts(40), 51.0),
+      (2L, ts(0), 60.0)))
+  }
+
   test("sessionize merges events within the gap and splits across it") {
     val s = spark
     import s.implicits._
