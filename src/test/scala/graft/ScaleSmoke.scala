@@ -199,6 +199,23 @@ object ScaleSmoke {
       }
       time("x9_epochs")(CorpusMix.withEpochs(docs, "doc_id", "source",
         Map("src1" -> 2.5, "src3" -> 0.5, "src5" -> 0.0)).count())
+      // temporal ops over events replicated with OFFSET user ids
+      // (disjoint keys -> linear growth, the honest "more users" proxy);
+      // materialized like docs/emb so the timed run pays a real scan
+      val evPath = s"$tmp/ev"
+      (0 until mult).map(r => t.events.select(
+          (col("user_id") + lit(r * 1000000L)).as("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("value")))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(evPath)
+      val ev = spark.read.parquet(evPath)
+      time("a4_interval_follow")(graft.operators.Temporal.intervalFollowCount(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        "user_id", "event_id", "ts", "ts", 30L * 60 * 1000000).count())
+      time("a5_resample")(graft.operators.Temporal.resampleLocf(
+        ev.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", Seq("event_id", "value"), stepSec = 21600L).count())
       time("q15b_approx_pct")((0 until mult).map(_ => t.lineitem)
         .reduce(_ union _)
         .groupBy(col("l_returnflag"))
