@@ -155,7 +155,10 @@ class TemporalSpec extends SparkSpecBase {
     // step = 600s (10 min); events at minutes 5, 12, 47 → grid at 10,
     // 20, 30, 40 (ceil(5m)=10m .. floor(47m)=40m), carrying 5,12,12,12
     val events = Seq((1L, ts(5), 50.0), (1L, ts(12), 51.0), (1L, ts(47), 52.0),
-        (2L, ts(0), 60.0)) // exactly on a grid point: lo == hi == 0
+        (2L, ts(0), 60.0), // exactly on a grid point: lo == hi == 0
+        (3L, ts(11), 70.0), (3L, ts(14), 71.0)) // span inside one step:
+          // no aligned point exists (lo 20 > hi 10) -> zero grid rows,
+          // NOT a sequence() crash
       .toDF("user_id", "ts", "value")
     val got = Temporal.resampleLocf(events, "user_id", "ts",
         carryCols = Seq("value"), stepSec = 600L)
