@@ -264,4 +264,33 @@ object Similarity {
       .select(col("i"), col("j"), round(cosine(col("vi"), col("vj")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-group element-wise mean vector — the centroid step every
+    * vector-quantizer training loop (IVF/k-means, product quantization)
+    * runs once per iteration, exposed as a standalone verified op.
+    *
+    * Shape: posexplode to (group, dim) cells, then one hash aggregate.
+    * The explode is O(N·d) rows but map-side partial aggregation folds
+    * each partition down to groups×d cells before the shuffle, so the
+    * exchange carries O(groups·d·partitions) — independent of N. This
+    * is exactly how the distributed k-means assignment/update step
+    * scales to 100 TB of vectors; no collect, no driver loop.
+    *
+    * Determinism (hash-oracle contract): each component is floored into
+    * integral micro-units BEFORE summing (`floor(v·1e6)` per value is
+    * order-independent; a double sum would vary with partition order),
+    * and the mean stays in micro-units, rounded by the explicit
+    * `floor(x + 0.5)` — engine `round()` tie-breaks `.5` micro-unit
+    * quotients differently between Spark (decimal half-up) and DuckDB
+    * (double half-even), the same hazard s5's quantizer avoids.
+    */
+  def labelCentroids(vecs: DataFrame, groupCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(groupCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("qv", floor(col("v").cast("double") * 1000000).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("centroid_micro",
+        floor(col("sum_q") / col("n") + 0.5).cast("long"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting
@@ -270,4 +271,35 @@ object TextAnalysis {
       .select(col("doc"),
         md5(col("t")).as("md5_fp"),
         call_function("rolling_hash", col("t")).as("rolling_fp"))
+
+  /** Vocabulary coverage curve: the top-k corpus tokens with their
+    * cumulative share of all token occurrences — the "how big must the
+    * vocab be to cover X% of the corpus" question every tokenizer
+    * design starts from.
+    *
+    * Scale shape, stage by stage: (1) token counts are one explode +
+    * hash aggregate — shuffle is O(vocab), which Heaps' law keeps
+    * orders of magnitude below corpus size; (2) top-k over the vocab
+    * table plans as TakeOrderedAndProject (per-partition heads, merge
+    * of k·partitions rows — never a global sort); (3) the rank/cumsum
+    * window runs AFTER the limit, over exactly k rows, so the
+    * unpartitioned window frame is bounded by the parameter, not the
+    * data (same deliberate pattern as p3's candidate tally); (4) the
+    * denominator is a 1-row scalar aggregate joined by broadcast.
+    * cum_share divides two exact longs once — no float accumulation.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val ord = Window.orderBy(col("cnt").desc, col("w").asc)
+    counts.orderBy(col("cnt").desc, col("w").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(ord).cast("long").as("rank"),
+        col("w"), col("cnt"),
+        round(sum(col("cnt"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / col("total"), 6).as("cum_share"))
+  }
 }

@@ -651,7 +651,87 @@ object Relational extends QueryModule {
     doc = "Correlated subquery decorrelated: group-aggregate once, " +
       "broadcast, filter on the scan; exact long-cents comparison")
 
+  /** RANGE-frame window: 30-day moving spend per customer, ordered by a
+    * day number — the time-window sibling of q8's ROWS frame. RANGE
+    * includes all peers of the current day and every row within 29 days
+    * back, which no ROWS offset can express when order dates repeat or
+    * gap. Executes like any window: one shuffle on the partition key,
+    * one sorted pass per partition with a sliding frame — at 100 TB the
+    * frame state is O(window days), not O(partition). Cents stay in
+    * longs end-to-end, so the moving sum is exact and order-free.
+    */
+  private val q22 = CatalogQuery(
+    "q22_moving_spend_range",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir).orders
+        .filter($"o_custkey" <= 75)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate".cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long").as("day_no"),
+          floor($"o_totalprice" * 100).cast("long").as("pc"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"day_no")
+        .rangeBetween(-29, 0)
+      o.select($"o_custkey", $"o_orderkey", $"day_no",
+          sum($"pc").over(w).as("moving_spend_cents"),
+          count(lit(1)).over(w).as("moving_orders"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, o_orderkey,
+           |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           |      AS BIGINT) AS day_no,
+           |    CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+           |  FROM orders WHERE o_custkey <= 75)
+           |SELECT o_custkey, o_orderkey, day_no,
+           |  CAST(sum(pc) OVER w AS BIGINT) AS moving_spend_cents,
+           |  count(*) OVER w AS moving_orders
+           |FROM o
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+           |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    doc = "30-day moving spend via a RANGE window frame (peers + 29 " +
+      "days back) — the time-window family q8's ROWS frame can't express")
+
+  /** Full outer join with pre-aggregation: per-customer order rollup
+    * that keeps BOTH unmatched sides (customers with no orders at
+    * zero, orphaned orders if any). The aggregate runs FIRST, so the
+    * outer join is key-cardinality × key-cardinality, never
+    * fact-sized. Outer joins admit no broadcast of the preserved
+    * sides; this plans as a co-partitioned shuffle join on the key,
+    * which is the right (and only) 100 TB shape. On this data every
+    * order has a customer, so the outer rows happen to match inner —
+    * the operator under test is the FullOuter plan + null handling.
+    */
+  private val q23 = CatalogQuery(
+    "q23_customer_order_outer",
+    (s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir)
+      val agg = tt.orders.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor($"o_totalprice" * 100).cast("long")).as("spend_cents"))
+      tt.customer.join(agg, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_mktsegment",
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"spend_cents", lit(0L)).as("spend_cents"))
+        .orderBy($"custkey")
+    },
+    Some("""WITH agg AS (
+           |  SELECT o_custkey, count(*) AS n_orders,
+           |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS spend_cents
+           |  FROM orders GROUP BY o_custkey)
+           |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+           |  coalesce(n_orders, 0) AS n_orders,
+           |  coalesce(spend_cents, 0) AS spend_cents
+           |FROM customer FULL JOIN agg ON c_custkey = o_custkey
+           |ORDER BY custkey""".stripMargin),
+    doc = "Aggregate-then-full-outer-join customer rollup: both " +
+      "unmatched sides preserved, join kept at key cardinality")
+
   override def queries: Seq[CatalogQuery] =
     Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q15b, q16, q17, q18, q19, q20, q21)
+      q15, q15b, q16, q17, q18, q19, q20, q21, q22, q23)
 }

@@ -200,6 +200,32 @@ object SimilarityQueries extends QueryModule {
     doc = "Symmetric per-vector int8 quantization audit: scale, q " +
       "range, max dequantization error — the 4x embedding storage cut")
 
+  /** Flat (label, pos) rows rather than reassembled arrays: the values
+    * are what the oracle hashes, and a list column would only re-test
+    * collect_list ordering. 10 labels × 64 dims = 640 rows at any sf.
+    */
+  private val centroids = CatalogQuery(
+    "s6_label_centroids",
+    (s: SparkSession, dir: String) =>
+      Similarity.labelCentroids(emb(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("pos")),
+    Some("""WITH d AS (
+           |  SELECT label,
+           |    unnest(range(len(embedding))) AS pos,
+           |    unnest(embedding) AS v
+           |  FROM embeddings),
+           |q AS (
+           |  SELECT label, CAST(pos AS INTEGER) AS pos,
+           |    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+           |  FROM d)
+           |SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sum_q, count(*) AS n,
+           |  CAST(floor(sum(qv) / count(*) + 0.5) AS BIGINT) AS centroid_micro
+           |FROM q GROUP BY label, pos
+           |ORDER BY label, pos""".stripMargin),
+    doc = "Per-label element-wise centroid (the k-means/IVF update " +
+      "step as a standalone op): posexplode + one hash aggregate in " +
+      "integral micro-units, shuffle O(labels·dims), independent of N")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(brute, lsh, nearDup, ivf, quant)
+    Seq(brute, lsh, nearDup, ivf, quant, centroids)
 }

@@ -381,7 +381,31 @@ object TextQueries extends QueryModule {
     doc = "Encoding sanity: non-ASCII/control/U+FFFD counts + integral " +
       "ppm ratio; planted multibyte/control rows make it falsifiable")
 
+  /** k=20 bites on the 31-token test vocabulary (cum_share tops out
+    * below 1), so a broken limit or a dropped token flips the row red.
+    */
+  private val vocab = CatalogQuery(
+    "t12_vocab_coverage",
+    (s, dir) => TextAnalysis.vocabCoverage(docs(s, dir), "text", k = 20)
+      .orderBy(col("rank")),
+    Some("""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+           |    w -> w <> '')) AS w
+           |  FROM documents),
+           |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+           |tot AS (SELECT sum(cnt) AS total FROM c),
+           |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 20)
+           |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+           |    AS rank,
+           |  w, cnt,
+           |  round(sum(cnt) OVER (ORDER BY cnt DESC, w
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    / (SELECT total FROM tot), 6) AS cum_share
+           |FROM top ORDER BY rank""".stripMargin),
+    doc = "Tokenizer-design staple: top-k corpus tokens with exact " +
+      "cumulative coverage share; vocab-sized shuffle, k-bounded window")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords, normalize, encoding)
+      lmScore, keywords, normalize, encoding, vocab)
 }

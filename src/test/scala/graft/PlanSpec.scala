@@ -147,6 +147,39 @@ class PlanSpec extends SparkSpecBase {
       s"d11 must not broadcast the eval shingles:\n$p")
   }
 
+  test("q22: custkey filter pushes to the scan; the RANGE frame is a window, not a join") {
+    val p = plan("q22_moving_spend_range")
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), LessThanOrEqual(o_custkey,75)"),
+      s"q22 filter must reach the parquet scan:\n$p")
+    assert(p.contains("Window"), s"q22 must plan a window:\n$p")
+    assert(!p.contains("Join"),
+      s"a join here means the moving frame was rewritten as self-join:\n$p")
+  }
+
+  test("q23: outer rollup pre-aggregates, then plans a true full-outer join") {
+    val p = plan("q23_customer_order_outer")
+    assert(p.contains("FullOuter"), s"q23 must plan FullOuter:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"orders must aggregate before the join, map-side partial first:\n$p")
+  }
+
+  test("t12: vocab top-k plans as TakeOrderedAndProject; only the 1-row total broadcasts") {
+    val p = plan("t12_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k over the vocab must not global-sort:\n$p")
+    // the only nested loop allowed is the broadcast of the scalar total
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the scalar denominator should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t12 plans a cartesian:\n$p")
+  }
+
+  test("s6: centroids are one map-side-combined aggregate, no join") {
+    val p = plan("s6_label_centroids")
+    assert(p.contains("partial_sum"),
+      s"posexplode cells must partial-aggregate before the shuffle:\n$p")
+    assert(!p.contains("Join"), s"s6 must not join:\n$p")
+  }
+
   test("salted join equals direct join and spreads a hot key across buckets") {
     val s = spark
     import s.implicits._

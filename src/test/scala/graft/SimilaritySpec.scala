@@ -70,6 +70,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("labelCentroids equals the per-dimension mean computed in memory") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0, Seq(1.0f, -2.0f, 0.5f)),
+      (0, Seq(3.0f, 4.0f, -0.5f)),
+      (1, Seq(10.0f, 0.0f, 2.25f))).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(vecs)
+      .orderBy(col("label"), col("pos"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(4)))
+    // expected: floor(v*1e6) summed exactly, then the explicit
+    // half-up floor — the same integral-domain mean, not a float mean
+    val expected = Seq(
+      (0, Seq(Seq(1.0, -2.0, 0.5), Seq(3.0, 4.0, -0.5))),
+      (1, Seq(Seq(10.0, 0.0, 2.25)))).flatMap { case (l, vs) =>
+      vs.head.indices.map { d =>
+        val sq = vs.map(v => math.floor(v(d) * 1e6).toLong).sum
+        (l, d, math.floor(sq.toDouble / vs.size + 0.5).toLong)
+      }
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("dot/cosine expressions compute correctly on known vectors") {
     val s = spark
     import s.implicits._
