@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, LshSig, MinHashRow, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, CmsEstimate, LshSig, MinHashRow, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -93,6 +93,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "rolling_hash(text) takes 1 argument")
         RollingHash(args.head): Expression
+      }),
+    (
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "cms_estimate(sketch, item) takes 2 arguments")
+        CmsEstimate(args.head, args(1)): Expression
       }))
 
   /** Imperative fallback for sessions built WITHOUT

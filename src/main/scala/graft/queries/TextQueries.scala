@@ -405,7 +405,63 @@ object TextQueries extends QueryModule {
     doc = "Tokenizer-design staple: top-k corpus tokens with exact " +
       "cumulative coverage share; vocab-sized shuffle, k-bounded window")
 
+  /** Count-min-sketch heavy hitters — the sketch family's fourth member
+    * (HLL distinct, KLL percentiles q15b, Bloom membership d11, CMS
+    * frequencies here). The corpus-sized work is Spark's built-in
+    * mergeable `count_min_sketch` aggregate: each task folds its rows
+    * into a local w×d counter grid and the shuffle carries one ~MB
+    * sketch per partition — no vocab-sized exchange at all. That is the
+    * 100 TB case for CMS: token/URL/n-gram frequency estimates when
+    * even the groupBy vocabulary would be a heavy shuffle. The probe
+    * side is the native `cms_estimate` expression over a k-row
+    * candidate set joined by broadcast.
+    *
+    * Sketch estimates are engine-seeded (seed=42) so, like q15b, the
+    * row emits the deterministic ERROR CERTIFICATE the oracle can
+    * expect: CMS guarantees est >= true always, and est <= true +
+    * eps·N with confidence 1-delta (eps=1e-4, delta=1e-3 → d=10 hash
+    * rows; the certificate is deterministic for a given dataset+seed,
+    * so a pass here is a pass in the gate). cnt itself is the exact
+    * count the oracle recomputes.
+    *
+    * The tokenized relation feeds both the exact counts and the
+    * sketch; it is deliberately NOT persisted — caching would pin a
+    * corpus-sized token stream for one cheap re-projection, the
+    * opposite trade from the self-join persists PlanSpec guards.
+    */
+  private val cms = CatalogQuery(
+    "t13_cms_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val eps = 1e-4
+      val tok = docs(s, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy($"cnt".desc, $"w".asc).limit(10)
+      val sk = tok.agg(
+        expr("count_min_sketch(w, 0.0001d, 0.999d, 42)").as("sk"))
+      val tot = counts.agg(sum($"cnt").as("total"))
+      top.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+        .select($"w", $"cnt",
+          (call_function("cms_estimate", $"sk", $"w") >= $"cnt" &&
+            call_function("cms_estimate", $"sk", $"w") <=
+              $"cnt" + ceil(lit(eps) * $"total").cast("long"))
+            .as("ok_est"))
+        .orderBy($"cnt".desc, $"w".asc)
+    },
+    Some("""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+           |    w -> w <> '')) AS w
+           |  FROM documents),
+           |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+           |SELECT w, cnt, true AS ok_est
+           |FROM c ORDER BY cnt DESC, w LIMIT 10""".stripMargin),
+    doc = "Count-min-sketch frequency estimates for the top-10 tokens " +
+      "— mergeable sketch aggregate (one ~MB grid per partition, no " +
+      "vocab shuffle) probed by the native cms_estimate expression; " +
+      "oracle checks exact counts + the deterministic error certificate")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords, normalize, encoding, vocab)
+      lmScore, keywords, normalize, encoding, vocab, cms)
 }
