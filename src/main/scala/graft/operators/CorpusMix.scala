@@ -198,4 +198,34 @@ object CorpusMix {
       .withColumn("rep", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum
+    * (Efraimidis–Spirakis exponential race): each row draws the
+    * deterministic uniform u from its keyed hash and competes with key
+    * `-ln(u)/w` — the k smallest keys per stratum win, with selection
+    * probability proportional to `weightCol`. [[capPerStratum]] is the
+    * uniform special case (all weights equal ⇒ rank by hash alone).
+    *
+    * This is how "sample 100k docs per source, preferring high-quality
+    * ones" runs reproducibly: no RNG state, stable under retry, and
+    * the k'<k sample is always a prefix of the k sample (keys are
+    * fixed; only the cutoff moves). u uses 52 hash bits mapped to
+    * (0,1] — the +1 keeps ln away from 0 — and weights are clamped to
+    * >= 1 so zero-weight rows sort last deterministically instead of
+    * dividing by zero. Plan shape matches the cap: one window per
+    * stratum; the TopKAggregator path replaces the per-stratum sort
+    * when k is small and strata are few and hot.
+    */
+  def weightedSample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "wsample1"): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + 1.0) /
+      lit(4503599627370496.0) // 16^13 = 2^52
+    val key = -log(u) / greatest(col(weightCol).cast("double"), lit(1.0))
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("sel_rank") <= k)
+  }
 }

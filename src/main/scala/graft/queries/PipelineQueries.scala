@@ -315,7 +315,36 @@ object PipelineQueries extends QueryModule {
       "src5 dropped, 1.0 elsewhere — keyed-hash fractional copies, " +
       "zero-shuffle row-local replication")
 
+  /** The float key (-ln(u)/w) decides only the per-stratum ORDER; both
+    * engines compute it from the same 52-bit integral u, and distinct
+    * md5 draws are far beyond ulp-separated, so the selected set is
+    * engine-stable. Output columns stay integral.
+    */
+  private val weighted = CatalogQuery(
+    "x10_weighted_sample",
+    (s: SparkSession, dir: String) =>
+      CorpusMix.weightedSample(Tables(s, dir).documents, "doc_id", "source",
+          weightCol = "n_chars", k = 5)
+        .select(col("doc_id").as("doc"), col("source"), col("sel_rank"))
+        .orderBy(col("doc")),
+    Some("""WITH b AS (
+           |  SELECT doc_id, source, greatest(CAST(n_chars AS DOUBLE), 1.0) AS w,
+           |    CAST(('0x' || substr(md5('wsample1:' || CAST(doc_id AS VARCHAR)),
+           |      1, 13)) AS BIGINT) AS u
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY
+           |      -ln((u + 1.0) / 4503599627370496.0) / w, doc_id) AS rk
+           |  FROM b)
+           |SELECT doc_id AS doc, source, CAST(rk AS BIGINT) AS sel_rank
+           |FROM r WHERE rk <= 5 ORDER BY doc""".stripMargin),
+    doc = "Weighted sampling without replacement (k=5 per source, " +
+      "Efraimidis-Spirakis exponential race on deterministic keyed-" +
+      "hash uniforms): length-biased, reproducible under retry, " +
+      "nested in k")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget, epochs)
+      tokenBudget, epochs, weighted)
 }

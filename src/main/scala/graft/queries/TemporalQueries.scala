@@ -171,6 +171,49 @@ object TemporalQueries extends QueryModule {
     doc = "LOCF resampling to a 6-hour grid per user; the engine's " +
       "window-pass carry vs DuckDB's native ASOF JOIN")
 
+  /** See [[Temporal.rollingActiveUsers]] for the contribution-expansion
+    * scale argument.
+    */
+  private val rollingActives = CatalogQuery(
+    "a6_rolling_active_users",
+    (s, dir) =>
+      Temporal.rollingActiveUsers(Tables(s, dir).events, "user_id", "ts")
+        .orderBy(col("day")),
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+           |  FROM events),
+           |contrib AS (
+           |  SELECT d + CAST(i AS INTEGER) AS day, user_id
+           |  FROM pairs, range(7) t(i))
+           |SELECT day, count(DISTINCT user_id) AS wau
+           |FROM contrib GROUP BY day ORDER BY day""".stripMargin),
+    doc = "Rolling 7-day distinct active users per day via contribution " +
+      "expansion — the scalable substitute for COUNT(DISTINCT) over a " +
+      "sliding window frame, which no engine's window exec supports")
+
+  /** See [[Temporal.cohortRetention]] for the coarsening-grain scale
+    * argument and the persist rationale.
+    */
+  private val cohorts = CatalogQuery(
+    "a7_cohort_retention",
+    (s, dir) =>
+      Temporal.cohortRetention(Tables(s, dir).events, "user_id", "ts")
+        .orderBy(col("cohort_w"), col("week_no")),
+    Some("""WITH weeks AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('week', CAST(CAST(ts AS TIMESTAMP) AS DATE))
+           |      AS DATE) AS w
+           |  FROM events),
+           |cohort AS (SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY user_id)
+           |SELECT cohort_w,
+           |  CAST(date_diff('day', cohort_w, w) // 7 AS BIGINT) AS week_no,
+           |  count(DISTINCT weeks.user_id) AS n_users
+           |FROM weeks JOIN cohort ON weeks.user_id = cohort.user_id
+           |GROUP BY cohort_w, week_no ORDER BY cohort_w, week_no""".stripMargin),
+    doc = "Cohort retention matrix (first-active week × activity week) " +
+      "— monotonically coarsening grains, co-keyed join on user_id")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(asof, sessions, json, intervalFollow, resample)
+    Seq(asof, sessions, json, intervalFollow, resample, rollingActives,
+      cohorts)
 }

@@ -175,4 +175,33 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(CorpusMix.withEpochs(df, "id", "stratum", Map("down" -> 0.0))
       .filter($"stratum" === "down").count() == 0L)
   }
+
+  test("weightedSample: k per stratum, weight-biased, nested in k, deterministic") {
+    val s = spark
+    import s.implicits._
+    // one stratum, 200 docs: ids 0..19 carry weight 50, the rest weight 1
+    val df = (0L until 200L).map(i =>
+      (i, "s", if (i < 20) 50L else 1L)).toDF("id", "stratum", "w")
+    val pick = CorpusMix.weightedSample(df, "id", "stratum", "w", k = 20)
+    assert(pick.count() == 20L)
+    // heavy ids hold 20*50=1000 of 1180 total weight; expect the
+    // sample to be dominated by them (binomial tail makes <10 of 20
+    // heavy picks astronomically unlikely)
+    val heavy = pick.filter($"id" < 20L).count()
+    assert(heavy >= 10L, s"only $heavy of 20 picks were heavy-weight")
+    // nested: the k=5 sample is a prefix of the k=20 sample
+    val k5 = CorpusMix.weightedSample(df, "id", "stratum", "w", k = 5)
+      .select($"id").as[Long].collect().toSet
+    val k20 = pick.select($"id").as[Long].collect().toSet
+    assert(k5.subsetOf(k20) && k5.size == 5)
+    // deterministic under re-execution; ranks are 1..k
+    val again = CorpusMix.weightedSample(df, "id", "stratum", "w", k = 20)
+    assert(pick.exceptAll(again).isEmpty && again.exceptAll(pick).isEmpty)
+    assert(pick.select($"sel_rank").as[Long].collect().sorted.toSeq
+      == (1L to 20L))
+    // different salts decorrelate: expect some churn in the kept set
+    val other = CorpusMix.weightedSample(df, "id", "stratum", "w", k = 20,
+      salt = "other").select($"id").as[Long].collect().toSet
+    assert(other != k20)
+  }
 }

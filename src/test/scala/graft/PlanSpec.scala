@@ -173,6 +173,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"t12 plans a cartesian:\n$p")
   }
 
+  test("a6: rolling actives is expansion + distinct-agg, never a join or window") {
+    val p = plan("a6_rolling_active_users")
+    assert(!p.contains("Join"), s"a6 must not join:\n$p")
+    assert(!p.contains("Window"), s"a6 must not plan a window:\n$p")
+    assert(p.contains("partial_count"),
+      s"distinct-agg must partial map-side:\n$p")
+  }
+
+  test("a7: the (user, week) relation reads from cache (persist guard)") {
+    try assert(plan("a7_cohort_retention").contains("InMemoryTableScan"),
+      "a7 lost its persisted (user, week) relation")
+    finally spark.catalog.clearCache()
+  }
+
   test("s6: centroids are one map-side-combined aggregate, no join") {
     val p = plan("s6_label_centroids")
     assert(p.contains("partial_sum"),

@@ -222,6 +222,29 @@ object ScaleSmoke {
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
         .count())
+      // engagement pair over the same replicated events: disjoint user
+      // ids per replica -> contribution pairs and cohort cells grow
+      // linearly, the honest "more users" proxy
+      time("a6_rolling_actives")(graft.operators.Temporal
+        .rollingActiveUsers(ev, "user_id", "ts").count())
+      time("a7_cohorts")(graft.operators.Temporal
+        .cohortRetention(ev, "user_id", "ts").count())
+      // sketch build is the corpus-sized stage of t13: one local w×d
+      // grid per task, merged pairwise — cost should track the token
+      // scan, shuffle stays O(sketch · partitions)
+      time("t13_cms_build") {
+        docs.select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .agg(expr("count_min_sketch(w, 0.0001d, 0.999d, 42)").as("sk"))
+          .select(length(col("sk")).cast("long").as("n")).head.getLong(0)
+      }
+      time("x10_weighted_sample")(CorpusMix.weightedSample(docs, "doc_id",
+        "source", "n_chars", k = 10).count())
+      // centroid update step over the replicated embeddings: explode is
+      // O(N·d) rows but partial agg folds to groups·d per partition
+      time("s6_centroids")(Similarity.labelCentroids(
+        emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")))
+        .count())
 
       opsFilter.foreach { f =>
         val unknown = f -- opNames
