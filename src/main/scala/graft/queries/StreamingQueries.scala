@@ -302,7 +302,58 @@ object StreamingQueries extends QueryModule {
     doc = "Stream-stream attribution join (views x clicks, event-time " +
       "range bounds the state); emits exactly the batch pair set")
 
+  /** CHAINED stateful aggregations in one append-mode stream — the
+    * multi-stateful-operator surface (Spark 4): stage 1 aggregates to
+    * (day-window, user) grain, stage 2 re-windows stage 1's output via
+    * `window_time` and counts rows — a streaming COUNT(DISTINCT user)
+    * per day without any distinct-over-frame support, the streaming
+    * twin of a6's contribution-expansion trick (state per day-user in
+    * stage 1, per day in stage 2; both evicted by the shared
+    * watermark). Emission frontier: a day emits when the watermark
+    * (max ts − 1 h) passes its END, so the final partial day stays
+    * open and the oracle applies the same cutoff analytically, as st2
+    * does for hours.
+    */
+  private val streamDau = CatalogQuery(
+    "st6_streaming_dau",
+    (s: SparkSession, dir: String) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val daily = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val dau = daily
+        .groupBy(window(window_time(col("window")), "1 day").as("day_w"))
+        .agg(count(lit(1)).as("dau"), sum(col("n")).as("n_events"))
+        .select(col("day_w.start").cast("date").as("day"),
+          col("dau"), col("n_events"))
+      val name = "graft_st6_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dau.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+           |d AS (
+           |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+           |    count(*) AS n
+           |  FROM e GROUP BY day, user_id)
+           |SELECT day, count(*) AS dau, CAST(sum(n) AS BIGINT) AS n_events
+           |FROM d, wm WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= w
+           |GROUP BY day ORDER BY day""".stripMargin),
+    doc = "Streaming daily distinct actives via CHAINED stateful " +
+      "aggregations (day-user grain, then window-on-window rollup) " +
+      "in append mode; oracle replays the batch DAU plus the emission " +
+      "frontier")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
-      streamAttribution)
+      streamAttribution, streamDau)
 }
