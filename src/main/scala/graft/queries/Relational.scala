@@ -236,6 +236,47 @@ object Relational extends QueryModule {
            | count(DISTINCT l_orderkey) AS distinct_orders
            |FROM lineitem""".stripMargin))
 
+  /** q9's 100 TB path, GATED: approx_count_distinct (HyperLogLog++) is
+    * the mergeable sketch that replaces exact distinct's expand+two-
+    * phase shuffle — fixed 2^p registers per partition, merged map-
+    * side, shuffle independent of cardinality. Estimates are engine-
+    * hashed so, like q15b/t13, the row emits the deterministic ERROR
+    * CERTIFICATE (|est/exact − 1| within 3·rsd at rsd=0.02 — ±6%,
+    * far beyond HLL++'s observed bias at these cardinalities) next to
+    * the exact counts the oracle recomputes. This was the one sketch
+    * family still spec-only; a silent estimator regression now flips
+    * a gate row red.
+    */
+  private val q9b = CatalogQuery(
+    "q9b_distinct_approx",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir).lineitem
+      val exact = li.agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_suppliers"),
+        countDistinct($"l_orderkey").as("distinct_orders"))
+      val est = li.agg(
+        approx_count_distinct($"l_partkey", 0.02).as("e_parts"),
+        approx_count_distinct($"l_suppkey", 0.02).as("e_supps"),
+        approx_count_distinct($"l_orderkey", 0.02).as("e_orders"))
+      def ok(e: Column, x: Column) =
+        abs(e.cast("double") / x.cast("double") - 1.0) <= 0.06
+      exact.crossJoin(broadcast(est))
+        .select($"distinct_parts", $"distinct_suppliers", $"distinct_orders",
+          ok($"e_parts", $"distinct_parts").as("ok_parts"),
+          ok($"e_supps", $"distinct_suppliers").as("ok_suppliers"),
+          ok($"e_orders", $"distinct_orders").as("ok_orders"))
+    },
+    Some("""SELECT count(DISTINCT l_partkey) AS distinct_parts,
+           | count(DISTINCT l_suppkey) AS distinct_suppliers,
+           | count(DISTINCT l_orderkey) AS distinct_orders,
+           | true AS ok_parts, true AS ok_suppliers, true AS ok_orders
+           |FROM lineitem""".stripMargin),
+    doc = "Approximate distinct counts (HLL++ sketch, the mergeable " +
+      "100 TB path for q9) emitting the deterministic relative-error " +
+      "certificate next to the exact counts the oracle recomputes")
+
   /** ROLLUP grouping sets — subtotals + grand total in one shuffle. */
   private val q10 = CatalogQuery(
     "q10_rollup_orders",
@@ -732,6 +773,6 @@ object Relational extends QueryModule {
       "unmatched sides preserved, join kept at key cardinality")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q11b, q12, q13, q14,
-      q15, q15b, q16, q17, q18, q19, q20, q21, q22, q23)
+    Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q9b, q10, q11, q11b, q12, q13,
+      q14, q15, q15b, q16, q17, q18, q19, q20, q21, q22, q23)
 }

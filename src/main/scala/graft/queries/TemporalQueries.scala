@@ -213,7 +213,37 @@ object TemporalQueries extends QueryModule {
     doc = "Cohort retention matrix (first-active week × activity week) " +
       "— monotonically coarsening grains, co-keyed join on user_id")
 
+  /** See [[Temporal.timeWeightedAvg]]. num/den are exact long sums the
+    * oracle recomputes; the quotient is integral micro-units.
+    */
+  private val twap = CatalogQuery(
+    "a8_time_weighted_avg",
+    (s, dir) =>
+      Temporal.timeWeightedAvg(Tables(s, dir).events,
+          "user_id", "ts", "value", tieCol = "event_id")
+        .select(col("k").as("user_id"), col("num"), col("den"),
+          col("twap_micro"))
+        .orderBy(col("user_id")),
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    CAST(floor(value*100) AS BIGINT) AS c
+           |  FROM events),
+           |l AS (
+           |  SELECT user_id, c, us,
+           |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+           |  FROM e),
+           |g AS (
+           |  SELECT user_id, CAST(sum(c*(nxt-us)) AS BIGINT) AS num,
+           |    CAST(sum(nxt-us) AS BIGINT) AS den
+           |  FROM l WHERE nxt IS NOT NULL GROUP BY user_id)
+           |SELECT user_id, num, den,
+           |  CAST(floor(num/den*10000 + 0.5) AS BIGINT) AS twap_micro
+           |FROM g ORDER BY user_id""".stripMargin),
+    doc = "Time-weighted average per user (LOCF integral over " +
+      "observation intervals): one lead-window pass + one aggregate, " +
+      "exact integral cents·micros arithmetic end-to-end")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, sessions, json, intervalFollow, resample, rollingActives,
-      cohorts)
+      cohorts, twap)
 }

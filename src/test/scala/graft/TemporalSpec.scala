@@ -187,4 +187,29 @@ class TemporalSpec extends SparkSpecBase {
       (1L, ts(70), ts(70), 1L),
       (2L, ts(0), ts(0), 1L)))
   }
+
+  test("timeWeightedAvg: hand-computed integral, tie order fixed, singletons drop") {
+    val s = spark
+    import s.implicits._
+    // user 1: v=2.0 held 10 min, v=4.0 held 5 min, last row spans nothing
+    //   num = 200c*600e6us + 400c*300e6us = 240e12; den = 900e6
+    //   twap = 240e12/900e6 = 266666.67 c·micro → value 2.666667
+    // user 2: single observation → no row
+    // user 3: tie at t=0 broken by id (id=1 first, dt=0; id=2 spans)
+    val ev = Seq(
+      (1L, 1L, ts(0), 2.0), (1L, 2L, ts(10), 4.0), (1L, 3L, ts(15), 9.9),
+      (2L, 4L, ts(0), 5.0),
+      (3L, 5L, ts(0), 1.0), (3L, 6L, ts(0), 3.0), (3L, 7L, ts(10), 0.0))
+      .toDF("k", "id", "t", "v")
+    val got = Temporal.timeWeightedAvg(ev, "k", "t", "v", tieCol = "id")
+      .orderBy($"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val min10 = 10L * 60 * 1000000
+    assert(got.toSeq == Seq(
+      (1L, 200L * min10 + 400L * (min10 / 2), min10 + min10 / 2,
+        math.floor((200.0 * min10 + 400.0 * (min10 / 2)) /
+          (min10 + min10 / 2) * 10000 + 0.5).toLong),
+      // user 3: id=5 spans 0 micros, id=6 (v=3.0 → 300c) spans 10 min
+      (3L, 300L * min10, min10, 3000000L)))
+  }
 }
