@@ -187,6 +187,23 @@ class PlanSpec extends SparkSpecBase {
     finally spark.catalog.clearCache()
   }
 
+  test("a8: TWAP is one window pass + one aggregate, never a self-join") {
+    val p = plan("a8_time_weighted_avg")
+    assert(p.contains("Window"), s"a8 must plan the lead window:\n$p")
+    assert(!p.contains("Join"),
+      s"a8 must not rewrite the interval pairing as a join:\n$p")
+  }
+
+  test("t13/q9b: sketch rows broadcast only 1-row relations, no cartesian blowup") {
+    for (q <- Seq("t13_cms_heavy_hitters", "q9b_distinct_approx")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // the nested loops present must all be broadcast of scalar aggs
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast its scalar sketch/total relations:\n$p")
+    }
+  }
+
   test("s6: centroids are one map-side-combined aggregate, no join") {
     val p = plan("s6_label_centroids")
     assert(p.contains("partial_sum"),

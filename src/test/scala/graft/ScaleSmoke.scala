@@ -229,6 +229,8 @@ object ScaleSmoke {
         .rollingActiveUsers(ev, "user_id", "ts").count())
       time("a7_cohorts")(graft.operators.Temporal
         .cohortRetention(ev, "user_id", "ts").count())
+      time("a8_twap")(graft.operators.Temporal
+        .timeWeightedAvg(ev, "user_id", "ts", "value", "event_id").count())
       // sketch build is the corpus-sized stage of t13: one local w×d
       // grid per task, merged pairwise — cost should track the token
       // scan, shuffle stays O(sketch · partitions)
