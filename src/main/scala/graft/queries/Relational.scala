@@ -267,6 +267,9 @@ object Relational extends QueryModule {
           ok($"e_parts", $"distinct_parts").as("ok_parts"),
           ok($"e_supps", $"distinct_suppliers").as("ok_suppliers"),
           ok($"e_orders", $"distinct_orders").as("ok_orders"))
+        // single row; the sort just satisfies the catalog's mechanical
+        // total-order invariant (the broadcast hint hides maxRows=1)
+        .orderBy($"distinct_parts")
     },
     Some("""SELECT count(DISTINCT l_partkey) AS distinct_parts,
            | count(DISTINCT l_suppkey) AS distinct_suppliers,

@@ -9,9 +9,26 @@ import org.apache.spark.sql.functions._
   */
 class CatalogSpec extends SparkSpecBase {
 
-  test("every catalog query runs and returns rows at sf0.001") {
+  test("every catalog query runs, returns rows, and roots in a global Sort " +
+    "(the total-ORDER-BY determinism contract) at sf0.001") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort, SubqueryAlias}
+    def rootSort(p: LogicalPlan): Boolean =
+      // at most one row (global aggregates and their scalar joins —
+      // q9/q9b's shape) is trivially totally ordered
+      p.maxRows.exists(_ <= 1) || (p match {
+        case srt: Sort => srt.global
+        case pr: Project => rootSort(pr.child)
+        case sa: SubqueryAlias => rootSort(sa.child)
+        // orderBy().limit() top-k keeps the sorted prefix (q2's shape)
+        case gl: GlobalLimit => rootSort(gl.child)
+        case ll: LocalLimit => rootSort(ll.child)
+        case _ => false
+      })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val df = fn(spark, sf("sf0.001"))
+      assert(rootSort(df.queryExecution.analyzed),
+        s"$name does not end in a global ORDER BY — the driver's hash " +
+          "compare needs a total order")
       name -> df.count()
     }
     val empty = results.filter(_._2 == 0).keys.toSeq.sorted
@@ -26,8 +43,15 @@ class CatalogSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a matching query") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("oracle coverage is total: every query carries oracle SQL and vice versa") {
+    // since round 5 no row is rows-only; a new query without an oracle
+    // (or a renamed query leaving a stale oracle) should fail CI, not
+    // silently weaken the driver gate
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"asymmetric: queries-only=${
+        (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+      } oracle-only=${
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }
 
   test("catalog queries resolve native functions on a foreign session") {
