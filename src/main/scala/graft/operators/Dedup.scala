@@ -94,13 +94,19 @@ object Dedup {
         val viaNeighbor = edges
           .join(labels.select(col("node").as("src"), col("lab").as("nlab")),
             Seq("src"))
-          .select(col("dst").as("node"), col("nlab").as("lab"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+          .select(col("dst").as("node"), col("nlab").as("lab"),
+            lit(0).as("own"))
+        // the convergence test rides the SAME aggregate: own-label rows
+        // are tagged, so `old` falls out of the groupBy and the changed
+        // count is a cheap scan of the checkpoint — not the extra
+        // shuffle join with the previous round it used to be
+        val next = labels.select(col("node"), col("lab"), lit(1).as("own"))
+          .unionByName(viaNeighbor)
+          .groupBy(col("node"))
+          .agg(min(col("lab")).as("lab"),
+            max(when(col("own") === 1, col("lab"))).as("old"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("node"), col("lab").as("old")), Seq("node"))
-          .filter(col("lab") =!= col("old")).count()
+        changed = next.filter(col("lab") =!= col("old")).count()
         snapshotRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next
       }
