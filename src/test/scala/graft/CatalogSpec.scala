@@ -59,11 +59,15 @@ class CatalogSpec extends SparkSpecBase {
     // newSession() + explicit drop simulates a user session built
     // without GraftExtensions; Tables' ensureRegistered must repair it
     val foreign = spark.newSession()
-    foreign.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = foreign
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"))
+    for (f <- Seq("rolling_hash", "cms_estimate"))
+      registry.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(f))
     val n = SparkEntry.queries("t4_fingerprints")(foreign, sf("sf0.001")).count()
     assert(n > 0)
+    val m = SparkEntry.queries("t13_cms_heavy_hitters")(foreign, sf("sf0.001")).count()
+    assert(m > 0)
   }
 
   test("q9 distinct counts match independently computed ground truth") {
