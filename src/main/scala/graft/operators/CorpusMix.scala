@@ -210,11 +210,13 @@ object CorpusMix {
     * ones" runs reproducibly: no RNG state, stable under retry, and
     * the k'<k sample is always a prefix of the k sample (keys are
     * fixed; only the cutoff moves). u uses 52 hash bits mapped to
-    * (0,1] — the +1 keeps ln away from 0 — and weights are clamped to
-    * >= 1 so zero-weight rows sort last deterministically instead of
-    * dividing by zero. Plan shape matches the cap: one window per
-    * stratum; the TopKAggregator path replaces the per-stratum sort
-    * when k is small and strata are few and hot.
+    * (0,1] — the +1 keeps ln away from 0. Fractional weights are
+    * honored (a 0.01-weight row really is ~100× less likely than a
+    * 1.0-weight row); rows with weight <= 0 get an infinite key and
+    * sort last deterministically (id tie-break) instead of dividing
+    * by zero. Plan shape matches the cap: one window per stratum; the
+    * TopKAggregator path replaces the per-stratum sort when k is
+    * small and strata are few and hot.
     */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
                      weightCol: String, k: Int,
@@ -223,7 +225,9 @@ object CorpusMix {
     val u = (conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + 1.0) /
       lit(4503599627370496.0) // 16^13 = 2^52
-    val key = -log(u) / greatest(col(weightCol).cast("double"), lit(1.0))
+    val wgt = col(weightCol).cast("double")
+    val key = when(wgt > 0.0, -log(u) / wgt)
+      .otherwise(lit(Double.PositiveInfinity))
     val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
     df.withColumn("sel_rank", row_number().over(w).cast("long"))
       .filter(col("sel_rank") <= k)

@@ -286,11 +286,19 @@ object TextAnalysis {
     * unpartitioned window frame is bounded by the parameter, not the
     * data (same deliberate pattern as p3's candidate tally); (4) the
     * denominator is a 1-row scalar aggregate joined by broadcast.
-    * cum_share divides two exact longs once — no float accumulation.
+    *
+    * The vocab-sized `counts` relation feeds BOTH the top-k and the
+    * scalar total; AQE plans the two consumers independently, so it
+    * is persisted per the engine's caching contract — the cache holds
+    * the vocabulary, never the corpus-sized token stream. Coverage is
+    * integral ppm (`cum·10⁶ div total`, exact long division): a
+    * rounded double quotient here would be the engine-round()
+    * tie-break hazard s6 documents.
     */
   def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("total"))
     val ord = Window.orderBy(col("cnt").desc, col("w").asc)
     counts.orderBy(col("cnt").desc, col("w").asc).limit(k)
@@ -298,8 +306,13 @@ object TextAnalysis {
       .select(
         row_number().over(ord).cast("long").as("rank"),
         col("w"), col("cnt"),
-        round(sum(col("cnt"))
+        sum(col("cnt"))
           .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          / col("total"), 6).as("cum_share"))
+          .as("cum"),
+        col("total"))
+      // long div is exact up to 9.2e12 cumulative tokens (cum·10⁶ must
+      // fit a long); past that, promote to decimal — ppm itself is fine
+      .select(col("rank"), col("w"), col("cnt"),
+        expr("cum * 1000000 div total").as("cum_share_ppm"))
   }
 }

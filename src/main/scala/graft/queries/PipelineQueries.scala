@@ -328,14 +328,17 @@ object PipelineQueries extends QueryModule {
         .select(col("doc_id").as("doc"), col("source"), col("sel_rank"))
         .orderBy(col("doc")),
     Some("""WITH b AS (
-           |  SELECT doc_id, source, greatest(CAST(n_chars AS DOUBLE), 1.0) AS w,
+           |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
            |    CAST(('0x' || substr(md5('wsample1:' || CAST(doc_id AS VARCHAR)),
            |      1, 13)) AS BIGINT) AS u
            |  FROM documents),
            |r AS (
            |  SELECT doc_id, source,
            |    row_number() OVER (PARTITION BY source ORDER BY
-           |      -ln((u + 1.0) / 4503599627370496.0) / w, doc_id) AS rk
+           |      CASE WHEN w > 0
+           |           THEN -ln((u + 1.0) / 4503599627370496.0) / w
+           |           ELSE 1e308 END,
+           |      doc_id) AS rk
            |  FROM b)
            |SELECT doc_id AS doc, source, CAST(rk AS BIGINT) AS sel_rank
            |FROM r WHERE rk <= 5 ORDER BY doc""".stripMargin),

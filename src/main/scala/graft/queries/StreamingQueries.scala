@@ -25,6 +25,22 @@ import graft.core.{CatalogQuery, QueryModule, Tables}
   */
 object StreamingQueries extends QueryModule {
 
+  /** The raw-nanos events stream every event-time streaming row reads:
+    * int64-nanos schema (nanosAsLong), truncated to micros with
+    * INTEGER division exactly as `Tables.events` does. One definition
+    * — st2/st4/st5/st6 sharing it is what keeps their event-time
+    * semantics identical; a per-row copy that drifted (different glob,
+    * float division) would silently diverge one stream's clock.
+    */
+  private def eventsStream(s: SparkSession, dir: String) = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   private val streamClean = CatalogQuery(
     "st1_streaming_corpus_clean",
     (s: SparkSession, dir: String) => {
@@ -94,15 +110,7 @@ object StreamingQueries extends QueryModule {
   private val streamHourly = CatalogQuery(
     "st2_streaming_events_hourly",
     (s: SparkSession, dir: String) => {
-      // raw int64-nanos schema (nanosAsLong), truncated to micros the
-      // same way Tables.events does — integer division, no rounding
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = src
+      val agg = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         // total as an integral sum of floor(value*100): floor(v*100) is
@@ -208,13 +216,7 @@ object StreamingQueries extends QueryModule {
   private val streamSessions = CatalogQuery(
     "st4_streaming_sessionize",
     (s: SparkSession, dir: String) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val sessions = src
+      val sessions = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"),
           session_window(col("ts"), "30 minutes").as("w"))
@@ -267,15 +269,11 @@ object StreamingQueries extends QueryModule {
   private val streamAttribution = CatalogQuery(
     "st5_stream_stream_join",
     (s: SparkSession, dir: String) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def stream(kind: String, alias: String) = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      def stream(kind: String, alias: String) = eventsStream(s, dir)
         .filter(col("event_type") === kind)
         .select(col("user_id").as(s"${alias}_user"),
           col("event_id").as(s"${alias}_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${alias}_ts"))
+          col("ts").as(s"${alias}_ts"))
         .withWatermark(s"${alias}_ts", "1 hour")
       val joined = stream("view", "v").join(stream("click", "c"),
         col("v_user") === col("c_user") &&
@@ -317,13 +315,7 @@ object StreamingQueries extends QueryModule {
   private val streamDau = CatalogQuery(
     "st6_streaming_dau",
     (s: SparkSession, dir: String) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val daily = src
+      val daily = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("user_id"))
         .agg(count(lit(1)).as("n"))

@@ -186,7 +186,8 @@ object TemporalQueries extends QueryModule {
            |  SELECT d + CAST(i AS INTEGER) AS day, user_id
            |  FROM pairs, range(7) t(i))
            |SELECT day, count(DISTINCT user_id) AS wau
-           |FROM contrib GROUP BY day ORDER BY day""".stripMargin),
+           |FROM contrib WHERE day <= (SELECT max(d) FROM pairs)
+           |GROUP BY day ORDER BY day""".stripMargin),
     doc = "Rolling 7-day distinct active users per day via contribution " +
       "expansion — the scalable substitute for COUNT(DISTINCT) over a " +
       "sliding window frame, which no engine's window exec supports")

@@ -381,8 +381,9 @@ object TextQueries extends QueryModule {
     doc = "Encoding sanity: non-ASCII/control/U+FFFD counts + integral " +
       "ppm ratio; planted multibyte/control rows make it falsifiable")
 
-  /** k=20 bites on the 31-token test vocabulary (cum_share tops out
-    * below 1), so a broken limit or a dropped token flips the row red.
+  /** k=20 bites on the 31-token test vocabulary (cum_share_ppm tops
+    * out below 1e6), so a broken limit or a dropped token flips the
+    * row red.
     */
   private val vocab = CatalogQuery(
     "t12_vocab_coverage",
@@ -398,9 +399,10 @@ object TextQueries extends QueryModule {
            |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
            |    AS rank,
            |  w, cnt,
-           |  round(sum(cnt) OVER (ORDER BY cnt DESC, w
+           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, w
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |    / (SELECT total FROM tot), 6) AS cum_share
+           |    * 1000000 // (SELECT total FROM tot) AS BIGINT)
+           |    AS cum_share_ppm
            |FROM top ORDER BY rank""".stripMargin),
     doc = "Tokenizer-design staple: top-k corpus tokens with exact " +
       "cumulative coverage share; vocab-sized shuffle, k-bounded window")
@@ -424,10 +426,11 @@ object TextQueries extends QueryModule {
     * so a pass here is a pass in the gate). cnt itself is the exact
     * count the oracle recomputes.
     *
-    * The tokenized relation feeds both the exact counts and the
-    * sketch; it is deliberately NOT persisted — caching would pin a
-    * corpus-sized token stream for one cheap re-projection, the
-    * opposite trade from the self-join persists PlanSpec guards.
+    * The corpus-sized token stream is deliberately NOT persisted —
+    * caching it would pin O(corpus) memory for one cheap
+    * re-projection — but the vocab-sized `counts` relation IS: it
+    * feeds both the top-k and the scalar total, and AQE plans the two
+    * consumers independently.
     */
   private val cms = CatalogQuery(
     "t13_cms_heavy_hitters",
@@ -437,6 +440,7 @@ object TextQueries extends QueryModule {
       val tok = docs(s, dir)
         .select(explode(TextAnalysis.words(col("text"))).as("w"))
       val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val top = counts.orderBy($"cnt".desc, $"w".asc).limit(10)
       val sk = tok.agg(
         expr("count_min_sketch(w, 0.0001d, 0.999d, 42)").as("sk"))

@@ -203,5 +203,12 @@ class CorpusMixSpec extends SparkSpecBase {
     val other = CorpusMix.weightedSample(df, "id", "stratum", "w", k = 20,
       salt = "other").select($"id").as[Long].collect().toSet
     assert(other != k20)
+    // zero-weight rows sort LAST (infinite key), deterministically by id
+    val z = (0L until 10L).map(i => (i, "z", if (i < 3) 0L else 1L))
+      .toDF("id", "stratum", "w")
+    val ranks = CorpusMix.weightedSample(z, "id", "stratum", "w", k = 10)
+      .select($"id", $"sel_rank").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L).map(ranks) == Seq(8L, 9L, 10L),
+      s"zero-weight rows must take the final ranks in id order: $ranks")
   }
 }

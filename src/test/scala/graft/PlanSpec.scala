@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpecBase {
     // persist silently recomputes the dominant aggregate.
     try {
       for (q <- Seq("t8_lm_score", "t9_tfidf_keywords",
-          "d9_dup_ngram_coverage")) {
+          "d9_dup_ngram_coverage", "t12_vocab_coverage",
+          "t13_cms_heavy_hitters", "a6_rolling_active_users")) {
         assert(plan(q).contains("InMemoryTableScan"),
           s"$q lost its persisted shared relation")
       }
@@ -173,9 +174,11 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"t12 plans a cartesian:\n$p")
   }
 
-  test("a6: rolling actives is expansion + distinct-agg, never a join or window") {
+  test("a6: rolling actives is expansion + distinct-agg; only the 1-row max-date broadcasts") {
     val p = plan("a6_rolling_active_users")
-    assert(!p.contains("Join"), s"a6 must not join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"a6 must not shuffle-join — the only join is the scalar clip:\n$p")
     assert(!p.contains("Window"), s"a6 must not plan a window:\n$p")
     assert(p.contains("partial_count"),
       s"distinct-agg must partial map-side:\n$p")

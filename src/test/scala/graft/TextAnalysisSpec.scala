@@ -141,20 +141,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(2).getDouble(5) > 0.0)
   }
 
-  test("vocabCoverage ranks by count desc then token, k-limits, exact shares") {
+  test("vocabCoverage ranks by count desc then token, k-limits, exact ppm shares") {
     // corpus: a×5, b×3, c×3, d×1 → total 12; k=3 drops d
     val corpus = df(
       (1L, "a a a b c"), (2L, "a b  c"), (3L, "a b c d"))
     val got = TextAnalysis.vocabCoverage(corpus, "text", k = 3)
       .orderBy(col("rank"))
       .collect().map(r =>
-        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // integral ppm: cum*1e6 div total — exact long division, no floats
     assert(got.toSeq == Seq(
-      (1L, "a", 5L, BigDecimal.valueOf(5.0 / 12).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble),
-      (2L, "b", 3L, BigDecimal.valueOf(8.0 / 12).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble),
-      (3L, "c", 3L, BigDecimal.valueOf(11.0 / 12).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      (1L, "a", 5L, 5L * 1000000 / 12),
+      (2L, "b", 3L, 8L * 1000000 / 12),
+      (3L, "c", 3L, 11L * 1000000 / 12)))
   }
 }
