@@ -106,5 +106,51 @@ object MultimodalQueries extends QueryModule {
     doc = "Resize plumbing: 4-bin decoded vector rebinned to 2 by area " +
       "interpolation, emitted as scalars")
 
-  override def queries: Seq[CatalogQuery] = Seq(features, frameSample, resize)
+  /** The sniff-and-route path over genuinely MIXED modalities — m1's
+    * corpus is all text, so until this row the magic-byte router only
+    * ran in specs. Deterministic synthesis: doc_id mod 4 picks a real
+    * magic prefix (JPEG / PNG / ID3-mp3 / none) prepended to the UTF-8
+    * text bytes; `asBlobs` must sniff it back. Pure expression work +
+    * one 4-group aggregate — the routing fan-out a mixed-media ingest
+    * runs before handing each modality to its decoder pool. (Text
+    * colliding with a magic prefix would misroute — impossible here,
+    * asserted in the oracle's independent re-derivation from doc_id.)
+    */
+  private val routing = CatalogQuery(
+    "m4_modality_routing",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val r = pmod($"doc_id", lit(4))
+      val magic = when(r === 0,
+          lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)))
+        .when(r === 1, lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)))
+        .when(r === 2, lit(Array(0x49, 0x44, 0x33, 0x04).map(_.toByte)))
+        .otherwise(lit(Array.empty[Byte]))
+      Multimodal.asBlobs(
+          Tables(s, dir).documents
+            .select($"doc_id",
+              concat(magic, encode($"text", "UTF-8")).as("content")),
+          "doc_id", "content")
+        .toDF()
+        .groupBy($"modality", $"format")
+        .agg(count(lit(1)).as("n_blobs"), sum($"n_bytes").as("total_bytes"))
+        .orderBy($"modality", $"format")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id % 4 AS r, octet_length(encode(text)) AS nb
+           |  FROM documents)
+           |SELECT CASE WHEN r IN (0, 1) THEN 'image' WHEN r = 2 THEN 'audio'
+           |            ELSE 'text' END AS modality,
+           |  CASE WHEN r = 0 THEN 'jpeg' WHEN r = 1 THEN 'png'
+           |       WHEN r = 2 THEN 'mp3' ELSE 'raw' END AS format,
+           |  count(*) AS n_blobs,
+           |  CAST(sum(nb + CASE WHEN r = 3 THEN 0 ELSE 4 END) AS BIGINT)
+           |    AS total_bytes
+           |FROM m GROUP BY 1, 2 ORDER BY modality, format""".stripMargin),
+    doc = "Magic-byte modality routing over a mixed jpeg/png/mp3/text " +
+      "blob corpus: sniff + per-modality rollup, verified against an " +
+      "independent re-derivation of the routing from doc_id")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(features, frameSample, resize, routing)
 }
