@@ -244,7 +244,47 @@ object TemporalQueries extends QueryModule {
       "observation intervals): one lead-window pass + one aggregate, " +
       "exact integral cents·micros arithmetic end-to-end")
 
+  /** See [[Temporal.funnel]]. The oracle writes the NATURAL per-step
+    * join cascade — an independent implementation of the same
+    * semantics the engine computes join-free in one shuffle.
+    */
+  private val funnelQ = CatalogQuery(
+    "a9_funnel",
+    (s, dir) =>
+      Temporal.funnel(Tables(s, dir).events, "user_id", "ts", "event_type",
+          steps = Seq("view", "click", "purchase"))
+        .select(col("k").as("user_id"), col("ts_step1"), col("ts_step2"),
+          col("ts_step3"), col("steps_completed"))
+        .orderBy(col("user_id")),
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+           |  FROM events),
+           |v AS (SELECT user_id, min(ts) AS v1 FROM e
+           |      WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(e.ts) AS c1 FROM e
+           |      JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts > v.v1
+           |      GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(e.ts) AS p1 FROM e
+           |      JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts > c.c1
+           |      GROUP BY e.user_id)
+           |SELECT u.user_id, v.v1 AS ts_step1, c.c1 AS ts_step2,
+           |  p.p1 AS ts_step3,
+           |  CAST(CASE WHEN p.p1 IS NOT NULL THEN 3
+           |            WHEN c.c1 IS NOT NULL THEN 2
+           |            WHEN v.v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS steps_completed
+           |FROM (SELECT DISTINCT user_id FROM e) u
+           |LEFT JOIN v USING (user_id)
+           |LEFT JOIN c USING (user_id)
+           |LEFT JOIN p USING (user_id)
+           |ORDER BY u.user_id""".stripMargin),
+    doc = "Ordered view->click->purchase funnel per user, join-free " +
+      "(chained whole-partition window minima, one shuffle) vs the " +
+      "oracle's natural three-join cascade")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, sessions, json, intervalFollow, resample, rollingActives,
-      cohorts, twap)
+      cohorts, twap, funnelQ)
 }

@@ -190,6 +190,13 @@ class PlanSpec extends SparkSpecBase {
     finally spark.catalog.clearCache()
   }
 
+  test("a9: the funnel is join-free — chained windows on one partitioning") {
+    val p = plan("a9_funnel")
+    assert(!p.contains("Join"),
+      s"a9 must not plan the per-step self-joins:\n$p")
+    assert(p.contains("Window"), s"a9 must plan window carries:\n$p")
+  }
+
   test("a8: TWAP is one window pass + one aggregate, never a self-join") {
     val p = plan("a8_time_weighted_avg")
     assert(p.contains("Window"), s"a8 must plan the lead window:\n$p")

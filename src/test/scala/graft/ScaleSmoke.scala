@@ -231,6 +231,9 @@ object ScaleSmoke {
         .cohortRetention(ev, "user_id", "ts").count())
       time("a8_twap")(graft.operators.Temporal
         .timeWeightedAvg(ev, "user_id", "ts", "value", "event_id").count())
+      time("a9_funnel")(graft.operators.Temporal
+        .funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")).count())
       // sketch build is the corpus-sized stage of t13: one local w×d
       // grid per task, merged pairwise — cost should track the token
       // scan, shuffle stays O(sketch · partitions)

@@ -188,6 +188,34 @@ class TemporalSpec extends SparkSpecBase {
       (2L, ts(0), ts(0), 1L)))
   }
 
+  test("funnel: out-of-order steps don't convert; strict >; partial funnels counted") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // user 1: full conversion in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: click BEFORE the first view — must not convert;
+      // purchase after view but with no qualifying click -> steps=1
+      (2L, ts(3), "click"), (2L, ts(4), "view"), (2L, ts(8), "purchase"),
+      // user 3: click at EXACTLY the view time (strict > excludes it);
+      // a later click converts, no purchase -> steps=2
+      (3L, ts(2), "view"), (3L, ts(2), "click"), (3L, ts(6), "click"),
+      // user 4: never views -> steps=0
+      (4L, ts(1), "purchase"), (4L, ts(2), "signup"))
+      .toDF("user_id", "t", "ty")
+    val got = Temporal.funnel(ev, "user_id", "t", "ty",
+        Seq("view", "click", "purchase"))
+      .orderBy($"k")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(ts(0)), Some(ts(5)), Some(ts(9)), 3L),
+      (2L, Some(ts(4)), None, None, 1L),
+      (3L, Some(ts(2)), Some(ts(6)), None, 2L),
+      (4L, None, None, None, 0L)))
+  }
+
   test("timeWeightedAvg: hand-computed integral, tie order fixed, singletons drop") {
     val s = spark
     import s.implicits._
