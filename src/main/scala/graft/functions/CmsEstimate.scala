@@ -42,20 +42,33 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cms_estimate"
 
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  // The (bytes, sketch) pair is ONE immutable value behind a volatile
+  // field, so a reader always sees a consistent pair even if the same
+  // expression instance is ever evaluated from two threads (e.g.
+  // driver-side constant folding + a local-mode task): the worst case
+  // is a redundant deserialization, never an estimate from the wrong
+  // sketch.
+  @transient @volatile private var cached: CmsEstimate.Cached = _
 
   override protected def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq cachedBytes) &&
-        (cachedBytes == null || !java.util.Arrays.equals(bytes, cachedBytes))) {
-      cachedSketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    var c = cached
+    if (c == null || (!(bytes eq c.bytes) && !java.util.Arrays.equals(bytes, c.bytes))) {
+      c = CmsEstimate.Cached(bytes,
+        CountMinSketch.readFrom(new ByteArrayInputStream(bytes)))
+      cached = c
     }
-    cachedSketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
+    c.sketch.estimateCount(item.asInstanceOf[UTF8String].getBytes)
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)
+}
+
+object CmsEstimate {
+  /** Immutable (serialized bytes, deserialized sketch) pair — see the
+    * volatile `cached` field above for why this is one value.
+    */
+  private final case class Cached(bytes: Array[Byte], sketch: CountMinSketch)
 }

@@ -170,12 +170,18 @@ object Dedup {
     val evalSh = shingles(eval, idCol, textCol, n)
       .select(col("shingle"), col("doc").as("eval_doc"))
     val expected = math.max(evalSh.count(), 1L)
-    val bloom =
-      train.sparkSession.sparkContext.broadcast(
-        evalSh.stat.bloomFilter("shingle", expected, fpp))
-    val mightContain = udf((s: String) => bloom.value.mightContainString(s))
+    val bloomBytes = {
+      val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    // Native codegen'd probe (BloomMightContain): the serialized filter
+    // rides the plan as a binary literal — task binaries are broadcast,
+    // so executors get it once — and is deserialized once driver-side
+    // into the codegen references. No Scala UDF in the train-side scan.
     shingles(train, idCol, textCol, n)
-      .filter(mightContain(col("shingle")))
+      .filter(call_function("bloom_might_contain", lit(bloomBytes), col("shingle")))
       .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_shared_shingles"),

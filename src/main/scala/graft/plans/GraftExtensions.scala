@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayDot, CmsEstimate, LshSig, MinHashRow, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
+import graft.functions.{ArrayDot, BloomMightContain, CmsEstimate, LshSig, MinHashRow, MinHashSig, RollingHash, SimHash64, SimHashFp, TokenCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so
@@ -101,6 +101,14 @@ object GraftExtensions {
         require(args.length == 2,
           "cms_estimate(sketch, item) takes 2 arguments")
         CmsEstimate(args.head, args(1)): Expression
+      }),
+    (
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(filter, item) takes 2 arguments")
+        BloomMightContain(args.head, args(1)): Expression
       }))
 
   /** Imperative fallback for sessions built WITHOUT
