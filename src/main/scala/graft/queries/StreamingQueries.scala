@@ -16,53 +16,86 @@ import graft.core.{CatalogQuery, QueryModule, Tables}
   * actual StreamExecution — source replay, state store, watermark,
   * sink commit — answer to the DuckDB oracle.
   *
-  * Determinism: event time is synthesized from doc_id, the single
-  * parquet file arrives as one batch (so no cross-batch watermark
-  * races), and the aggregate only reads text-functional columns
-  * (lang, n_chars) — so which copy of a duplicate text survives
-  * cannot change the answer. The oracle replays the same dedup →
-  * quality-filter → aggregate in DuckDB (same rounding as t2's).
+  * MULTI-BATCH since round 7: every row replays a THREE-file
+  * event-time-ordered copy of its source ([[graft.streaming.StreamReplay]])
+  * under `maxFilesPerTrigger=1`, so the watermark actually ADVANCES
+  * across batch boundaries inside the gate, and each replay carries a
+  * planted sentinel (a three-weeks-late event / a cross-batch
+  * duplicate document) that the oracle — which reads the ORIGINAL
+  * table — expects to be ABSENT. Broken late-row dropping, broken
+  * state survival across batches, or a silent fall-back to one batch
+  * each flip a row red; [[runReplay]] additionally hard-fails any
+  * execution that ran fewer than 3 batches.
+  *
+  * Determinism: splits are cut along event time, so no REAL row is
+  * ever late across a batch boundary — per-window aggregates and the
+  * append-mode emission frontier (`max event time - delay`) are
+  * byte-identical to the single-batch replay, and the aggregates only
+  * read text-functional columns, so which copy of a duplicate text
+  * survives dedup cannot change the answer.
   */
 object StreamingQueries extends QueryModule {
+
+  /** Run an append-mode replay to completion into a uniquely-named
+    * memory sink (the sink table is per-query; Bench executes each
+    * builder three times per round) and require a genuinely
+    * multi-batch execution — a single-batch fall-back (lost
+    * maxFilesPerTrigger, coalesced source) would silently stop
+    * exercising watermark advancement, which is the point of the
+    * replay fixture.
+    */
+  private def runReplay(s: SparkSession, out: org.apache.spark.sql.DataFrame,
+                        prefix: String, minBatches: Int = 3) = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val batches = q.recentProgress.map(_.batchId).distinct.length
+      require(batches >= minBatches,
+        s"$prefix: replay must run >= $minBatches batches " +
+          s"(maxFilesPerTrigger=1 over the split fixture), got $batches")
+    } finally q.stop()
+    s.table(name)
+  }
 
   /** The raw-nanos events stream every event-time streaming row reads:
     * int64-nanos schema (nanosAsLong), truncated to micros with
     * INTEGER division exactly as `Tables.events` does. One definition
     * — st2/st4/st5/st6 sharing it is what keeps their event-time
-    * semantics identical; a per-row copy that drifted (different glob,
-    * float division) would silently diverge one stream's clock.
+    * semantics identical; a per-row copy that drifted (different
+    * source, float division) would silently diverge one stream's
+    * clock. Reads the 3-file StreamReplay copy one file per batch —
+    * including the planted late 'view' every consumer must drop.
     */
   private def eventsStream(s: SparkSession, dir: String) = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val replay = graft.streaming.StreamReplay.ensureEvents(s, dir)
+    val schema = s.read.parquet(replay).schema
     s.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replay)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private val streamClean = CatalogQuery(
     "st1_streaming_corpus_clean",
     (s: SparkSession, dir: String) => {
-      val schema = Tables(s, dir).documents.schema
+      val replay = graft.streaming.StreamReplay.ensureDocs(s, dir)
       val src = s.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+        .schema(s.read.parquet(replay).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
         // +1: doc_id 0 at exactly epoch 0 equals the INITIAL watermark
         // (0), and dropDuplicatesWithinWatermark discards rows at/below
         // the watermark as late — the row would silently vanish.
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
       val cleaned = graft.streaming.StreamingCorpusClean.clean(
         src, "text", "ts", horizon = "1 hour", minQuality = 0.5)
-      // memory sink: a fresh query name per run (the sink table is
-      // per-query; Bench executes this builder three times per round)
-      val name = "graft_st1_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = cleaned.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name)
+      // the replay's batch-2 sentinel (a duplicate of the min-id doc)
+      // only stays out of these counts if the dedup state SURVIVED two
+      // batch boundaries — the oracle never sees it
+      runReplay(s, cleaned, "graft_st1_")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
@@ -122,12 +155,11 @@ object StreamingQueries extends QueryModule {
           sum(floor(col("value") * 100)).as("total_value_c"))
         .select(col("window.start").as("hour"), col("event_type"),
           col("n_events"), col("total_value_c"))
-      val name = "graft_st2_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name).orderBy(col("hour"), col("event_type"))
+      // the replay's planted Jan-1 'view' arrives in batch 2 with the
+      // watermark already past Jan 20 — a working late filter drops
+      // it; if it leaks, its hour emits an extra count and the row
+      // flips red against the pristine-table oracle
+      runReplay(s, agg, "graft_st2_").orderBy(col("hour"), col("event_type"))
     },
     Some("""WITH wm AS (
            |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
@@ -164,20 +196,20 @@ object StreamingQueries extends QueryModule {
       val path = graft.operators.DedupIndex.ensure(s, dir, "lt250",
         docs.filter(col("doc_id") < 250), n = 3, bands = 16, rows = 8,
         maxDf = 100)
+      val replay = graft.streaming.StreamReplay.ensureDocs(s, dir)
       val src = s.readStream
-        .schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .filter(col("doc_id") >= 250)
+        .schema(s.read.parquet(replay).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+        // probe only the pristine id-domain: the replay's sentinel
+        // duplicate (id > SentinelMinId) is st1's dedup-state fixture;
+        // here it would trivially probe-match its original
+        .filter(col("doc_id") >= 250 &&
+          col("doc_id") < graft.streaming.StreamReplay.SentinelMinId)
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
       val m = graft.streaming.StreamingDedupIndex.matches(s, path, src,
         tsCol = "ts", horizon = "1 hour", minEstJaccard = 0.5)
-      val name = "graft_st3_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = m.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name)
+      runReplay(s, m, "graft_st3_")
         .select(least(col("doc"), col("match_doc")).as("i"),
           greatest(col("doc"), col("match_doc")).as("j"))
         .orderBy(col("i"), col("j"))
@@ -224,12 +256,10 @@ object StreamingQueries extends QueryModule {
         .select(col("user_id"), col("w.start").as("session_start"),
           (col("w.end") - expr("INTERVAL 30 minutes")).as("session_end"),
           col("n_events"))
-      val name = "graft_st4_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name).orderBy(col("user_id"), col("session_start"))
+      // the planted late 'view' would otherwise open a brand-new
+      // session for the sentinel user — an extra output row
+      runReplay(s, sessions, "graft_st4_")
+        .orderBy(col("user_id"), col("session_start"))
     },
     Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
            |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -279,12 +309,7 @@ object StreamingQueries extends QueryModule {
         col("v_user") === col("c_user") &&
           col("c_ts") > col("v_ts") &&
           col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"))
-      val name = "graft_st5_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name)
+      runReplay(s, joined, "graft_st5_")
         .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
           col("c_id").as("click_id"))
         .orderBy(col("view_id"), col("click_id"))
@@ -324,12 +349,10 @@ object StreamingQueries extends QueryModule {
         .agg(count(lit(1)).as("dau"), sum(col("n")).as("n_events"))
         .select(col("day_w.start").cast("date").as("day"),
           col("dau"), col("n_events"))
-      val name = "graft_st6_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = dau.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(name).orderBy(col("day"))
+      // the planted late 'view' would count the sentinel user into
+      // Jan 1's dau through BOTH chained stages if stage 1's late
+      // filter failed
+      runReplay(s, dau, "graft_st6_").orderBy(col("day"))
     },
     Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
            |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),

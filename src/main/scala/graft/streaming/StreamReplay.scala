@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IndexCache
+
+/** Multi-batch replay fixtures for the streaming gate rows.
+  *
+  * Until round 6 every st row replayed its source as ONE availableNow
+  * batch, so the DuckDB oracle never saw the watermark ADVANCE: late
+  * drops, mid-query TTL eviction and cross-batch emission were
+  * spec-only. This builder splits a source table into THREE
+  * event-time-ordered parquet files (staggered mtimes, so the file
+  * stream source replays them in order under `maxFilesPerTrigger=1`)
+  * and plants one falsifiable sentinel row in the LAST file:
+  *
+  *   - events: a 'view' by user [[SentinelUserId]] stamped
+  *     2024-01-01T06:00 — three weeks below the watermark by the time
+  *     its batch runs. Working watermark machinery DROPS it; the
+  *     oracles read the ORIGINAL table, so if it leaks into any
+  *     windowed aggregate / session / join state, the row flips that
+  *     query red. It equally catches a silent fall-back to single-batch
+  *     execution (one batch ⇒ watermark still 0 when the row arrives ⇒
+  *     it aggregates and emits).
+  *   - documents: a byte-identical DUPLICATE of the min-id document,
+  *     re-keyed to [[SentinelMinId]]+1, arriving two batches after its
+  *     original. Working cross-batch dedup state DROPS it as a
+  *     duplicate (st1's 1h TTL cannot evict within its 500s event-time
+  *     span — duplicate groups span up to 3.6k doc_ids at sf0.1, so
+  *     the TTL must outlive the replay and the watermark legitimately
+  *     never advances there); state that fails to survive a batch
+  *     boundary lets the copy through and flips st1's lang counts red.
+  *
+  * Splits are by fixed event-time cuts (events: Jan 11 / Jan 21 2024,
+  * the driver generator's 30-day span; documents: doc_id thirds), so
+  * no REAL row is ever late across a batch boundary — the oracle
+  * emission frontiers (`max(ts) - delay`) are unchanged and the only
+  * engine/oracle divergence possible is a sentinel leaking through
+  * broken streaming semantics.
+  *
+  * Built once per (table, source fingerprint) via [[IndexCache]] —
+  * regenerated testdata misses the cache and rebuilds.
+  */
+object StreamReplay {
+
+  /** Planted event rows carry this user_id (absent from generated
+    * data, which draws user ids far below it).
+    */
+  val SentinelUserId = 999999999L
+
+  /** Planted document rows carry doc_id above this; st3's probe
+    * stream filters them out (its index was built from the pristine
+    * id-domain and a planted duplicate would otherwise probe-match).
+    */
+  val SentinelMinId = 900000000L
+
+  private val Day = 86400L
+  private val Nano = 1000000000L
+  // 2024-01-01T00:00:00Z; the events generator spans Jan 1-30 at every
+  // scale factor (TESTDATA.md), so fixed cuts at day 10 and day 20
+  // give three non-empty, event-time-ordered splits.
+  private val Epoch2024 = 1704067200L
+  private val CutANanos = (Epoch2024 + 10 * Day) * Nano
+  private val CutBNanos = (Epoch2024 + 20 * Day) * Nano
+  private val LateEventNanos = (Epoch2024 + 6 * 3600L) * Nano
+
+  /** Replay dir for `<dir>/events.parquet`: 3 ts-ordered splits, a
+    * late sentinel 'view' in the last. ts stays int64-nanos, exactly
+    * as the source file (the nanosAsLong read path).
+    */
+  def ensureEvents(spark: SparkSession, dir: String): String =
+    IndexCache.ensure("graft-replay-events", s"$dir/events.parquet", "r1",
+      marker = "_REPLAY_OK") { scratch =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val late = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(LateEventNanos).as("ts"),
+        lit(SentinelUserId).as("user_id"),
+        lit("view").as("event_type"),
+        lit(0.5).as("value"),
+        lit(null).cast("string").as("props"))
+      writeSplits(scratch, Seq(
+        ev.filter(col("ts") < CutANanos),
+        ev.filter(col("ts") >= CutANanos && col("ts") < CutBNanos),
+        ev.filter(col("ts") >= CutBNanos).unionByName(late)))
+    }
+
+  /** Replay dir for `<dir>/documents.parquet`: 3 doc_id-ordered
+    * splits, plus a duplicate of the min-id document re-keyed past
+    * [[SentinelMinId]] in the last split (its synthesized event time,
+    * doc_id+1 seconds, is far in the future — never late, so only the
+    * dedup state can remove it).
+    */
+  def ensureDocs(spark: SparkSession, dir: String): String =
+    IndexCache.ensure("graft-replay-docs", s"$dir/documents.parquet", "r1",
+      marker = "_REPLAY_OK") { scratch =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (minId, maxId) = (r.getLong(0), r.getLong(1))
+      val (c1, c2) = (minId + (maxId - minId) / 3, minId + 2 * (maxId - minId) / 3)
+      val dupOfFirst = docs.filter(col("doc_id") === minId)
+        .withColumn("doc_id", lit(SentinelMinId + 1))
+      writeSplits(scratch, Seq(
+        docs.filter(col("doc_id") <= c1),
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        docs.filter(col("doc_id") > c2).unionByName(dupOfFirst)))
+    }
+
+  /** Write each split as ONE parquet file named `<k>.parquet` with
+    * mtimes 60s apart (the file stream source replays oldest-first),
+    * then the completion marker LAST.
+    */
+  private def writeSplits(scratch: String, splits: Seq[DataFrame]): Unit = {
+    val dir = new File(scratch)
+    dir.mkdirs()
+    // fixed base: replay order must be a property of the artifact, not
+    // of when this JVM happened to build it
+    val baseMtime = 1600000000000L
+    splits.zipWithIndex.foreach { case (df, k) =>
+      val stage = new File(dir, s"stage-$k")
+      df.repartition(1).write.mode("overwrite").parquet(stage.getPath)
+      val part = stage.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for split $k"))
+      val dest = new File(dir, s"$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(stage)
+      require(dest.setLastModified(baseMtime + k * 60000L),
+        s"cannot stamp replay mtime on $dest")
+    }
+    require(new File(dir, "_REPLAY_OK").createNewFile(),
+      s"cannot write replay marker in $dir")
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

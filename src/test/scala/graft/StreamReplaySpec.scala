@@ -1,0 +1,103 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamReplay
+
+/** The multi-batch replay fixture must be FALSIFIABLE: the planted
+  * three-weeks-late event has to LEAK into a windowed aggregate when
+  * the source is consumed as one batch (watermark still 0 when it
+  * arrives), and be DROPPED when the same replay runs one file per
+  * batch (watermark past Jan 20 by then). If both executions agreed,
+  * the gate row would not actually be testing watermark advancement.
+  */
+class StreamReplaySpec extends SparkSpecBase {
+
+  private lazy val dir = sf("sf0.001")
+
+  test("replay dirs hold 3 ordered splits with the sentinel in the last") {
+    for ((replay, idCheck) <- Seq(
+        StreamReplay.ensureEvents(spark, dir) ->
+          (col("user_id") === StreamReplay.SentinelUserId),
+        StreamReplay.ensureDocs(spark, dir) ->
+          (col("doc_id") > StreamReplay.SentinelMinId))) {
+      val files = new File(replay).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(files.map(_.getName).toSeq == Seq("0.parquet", "1.parquet", "2.parquet"))
+      assert(files.map(_.lastModified).sorted.toSeq ==
+        files.map(_.lastModified).toSeq, "mtimes must replay in name order")
+      assert(spark.read.parquet(files(2).getPath).filter(idCheck).count() == 1,
+        s"sentinel row must sit in the LAST split of $replay")
+      assert(spark.read.parquet(files(0).getPath, files(1).getPath)
+        .filter(idCheck).count() == 0, "sentinel must not appear earlier")
+    }
+  }
+
+  /** st2's shape over the replay dir, single- vs multi-batch. */
+  private def hourly(maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val replay = StreamReplay.ensureEvents(spark, dir)
+    val reader = spark.readStream.schema(spark.read.parquet(replay).schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val agg = reader.parquet(replay)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+    val name = "replay_spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
+  test("the planted late event leaks single-batch and is dropped multi-batch") {
+    val sentinelHour = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T06:00:00Z"))
+    def sentinelViews(df: DataFrame): Long = {
+      val r = df.filter(col("hour") === lit(sentinelHour) &&
+          col("event_type") === "view")
+        .agg(coalesce(sum(col("n_events")), lit(0L))).head().getLong(0)
+      r
+    }
+    val single = hourly(maxFilesPerTrigger = None)
+    val multi = hourly(maxFilesPerTrigger = Some(1))
+    // pristine truth for that hour, from the original table
+    val pristine = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(date_trunc("hour", col("ts")) === lit(sentinelHour) &&
+        col("event_type") === "view")
+      .count()
+    assert(sentinelViews(single) == pristine + 1,
+      "single-batch execution must LEAK the late row (watermark still 0) — " +
+        "otherwise the fixture can't falsify a silent single-batch fallback")
+    assert(sentinelViews(multi) == pristine,
+      "multi-batch execution must DROP the late row")
+  }
+
+  test("the duplicate document sentinel is dropped across two batch boundaries") {
+    val replay = StreamReplay.ensureDocs(spark, dir)
+    val src = spark.readStream
+      .schema(spark.read.parquet(replay).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replay)
+      .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
+    val deduped = graft.streaming.StreamingDedup.exact(src, "text", "ts", "1 hour")
+    val name = "replay_doc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table(name)
+    assert(out.filter(col("doc_id") > StreamReplay.SentinelMinId).count() == 0,
+      "the batch-2 duplicate must be dropped by state that survived " +
+        "two batch boundaries")
+    // and the original it duplicates did survive
+    val minId = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(min(col("doc_id"))).head().getLong(0)
+    assert(out.filter(col("doc_id") === minId).count() == 1)
+  }
+}
