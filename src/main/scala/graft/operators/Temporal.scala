@@ -16,17 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** For each left row, attach the latest right row with
-    * `right.timeCol <= left.timeCol` on equal `keys` (backward as-of,
-    * ties include the right row). `carryCols` are the right columns to
-    * attach, null when no prior right row exists (left-join shape).
-    * Column name collisions: carried columns get `asof_` prefixes.
+  /** Tagged union both as-of directions run their window pass over:
+    * keys ++ __t ++ __side (right = 0, left = 1) ++ left's own columns
+    * (null on right rows) ++ `asof_`-prefixed carry columns (null on
+    * left rows).
     */
-  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                       leftTime: String, rightTime: String,
-                       carryCols: Seq[String]): DataFrame = {
+  private def asofUnion(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTime: String, rightTime: String,
+                        carryCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // common layout: keys ++ __t ++ __side ++ leftCols-as-nullable ++ carry
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
@@ -38,27 +36,100 @@ object Temporal {
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         carryCols.map(c => col(c).as(s"asof_$c")): _*)
+    l.unionByName(r)
+  }
+
+  /** The carried right-side row as ONE struct: per-column last(...,
+    * ignoreNulls) would skip a genuinely-NULL field on the nearest
+    * right row (attaching an older row's value, possibly a different
+    * row per column) — DuckDB ASOF semantics attach the matched row
+    * wholesale, internal NULLs preserved. The when() is NULL exactly
+    * on left rows, so ignoreNulls skips those but keeps any right
+    * row's struct, null fields and all. `__t` rides inside the struct
+    * so [[asofJoinNearest]] can compare candidate distances.
+    */
+  private def carryStruct(carryCols: Seq[String]) =
+    when(col("__side") === 0,
+      struct(Seq(col("__t").as("__rt")) ++
+        carryCols.map(c => col(s"asof_$c").as(c)): _*))
+
+  private def unpackCarry(df: DataFrame, carryField: String,
+                          carryCols: Seq[String]): DataFrame =
+    carryCols.foldLeft(df) { (d, c) =>
+        d.withColumn(s"asof_$c", col(s"$carryField.$c"))
+      }
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__carry_b", "__carry_f")
+
+  /** For each left row, attach the latest right row with
+    * `right.timeCol <= left.timeCol` on equal `keys` (backward as-of,
+    * ties include the right row). `carryCols` are the right columns to
+    * attach, null when no prior right row exists (left-join shape).
+    * Column name collisions: carried columns get `asof_` prefixes.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       carryCols: Seq[String]): DataFrame = {
     // at equal __t the right row sorts first (side 0 < 1), so a right
     // row exactly at leftTime is visible to that left row (<= semantics)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Carry ALL carry columns as ONE struct: per-column last(...,
-    // ignoreNulls) would skip a genuinely-NULL field on the latest
-    // right row (attaching an older row's value, possibly a different
-    // row per column) — DuckDB ASOF semantics attach the latest row
-    // wholesale, internal NULLs preserved. The when() is NULL exactly
-    // on left rows, so ignoreNulls skips those but keeps any right
-    // row's struct, null fields and all.
-    val carried = l.unionByName(r)
-      .withColumn("__carry",
-        last(when(col("__side") === 0,
-            struct(carryCols.map(c => col(s"asof_$c").as(c)): _*)),
-          ignoreNulls = true).over(w))
-    carryCols.foldLeft(carried) { (df, c) =>
-        df.withColumn(s"asof_$c", col(s"__carry.$c"))
-      }
-      .filter(col("__side") === 1).drop("__t", "__side", "__carry")
+    val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
+      .withColumn("__carry_b",
+        last(carryStruct(carryCols), ignoreNulls = true).over(w))
+    unpackCarry(carried, "__carry_b", carryCols)
+  }
+
+  /** Mirror of [[asofJoinBackward]]: the EARLIEST right row with
+    * `right.timeCol >= left.timeCol` (forward as-of, ties include the
+    * right row — DuckDB `ASOF ... ON l.ts <= r.ts` semantics). Same
+    * single shuffle; the tie flip is the descending __side in the sort
+    * (left 1 before right 0 at equal __t, so an exactly-simultaneous
+    * right row lands INSIDE the left row's following frame).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      carryCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
+      .withColumn("__carry_f",
+        first(carryStruct(carryCols), ignoreNulls = true).over(w))
+    unpackCarry(carried, "__carry_f", carryCols)
+  }
+
+  /** Nearest as-of: whichever of the backward / forward candidates sits
+    * closer in time, ties (equidistant candidates) resolving BACKWARD
+    * (pandas merge_asof direction='nearest' convention). Both carries
+    * run over the SAME union — one shuffle on `keys`, two in-partition
+    * sorted window passes (the second reuses the first's partitioning;
+    * PlanSpec-style single-Exchange shape), still no inequality join.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      carryCols: Seq[String]): DataFrame = {
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
+      .withColumn("__carry_b",
+        last(carryStruct(carryCols), ignoreNulls = true).over(wb))
+      .withColumn("__carry_f",
+        first(carryStruct(carryCols), ignoreNulls = true).over(wf))
+    // distances in integral micros; a missing side is infinitely far.
+    // <= keeps the backward candidate on exact ties.
+    val db = when(col("__carry_b").isNull, lit(Long.MaxValue))
+      .otherwise(unix_micros(col("__t")) - unix_micros(col("__carry_b.__rt")))
+    val df_ = when(col("__carry_f").isNull, lit(Long.MaxValue))
+      .otherwise(unix_micros(col("__carry_f.__rt")) - unix_micros(col("__t")))
+    val nearest = carried.withColumn("__carry_n",
+      when(db <= df_, col("__carry_b")).otherwise(col("__carry_f")))
+    unpackCarry(nearest, "__carry_n", carryCols).drop("__carry_n")
   }
 
   /** Last-observation-carried-forward resampling: each key's irregular

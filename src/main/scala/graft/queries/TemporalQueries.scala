@@ -42,6 +42,89 @@ object TemporalQueries extends QueryModule {
       "user) via union + window carry-forward — one shuffle, no " +
       "inequality join")
 
+  /** a1's FORWARD mirror: the next error at-or-after each click — the
+    * direction DuckDB's own ASOF (`l.ts <= r.ts`) and every
+    * label-attachment pipeline ("first outcome after the exposure")
+    * need alongside backward. Same union + window skeleton, frame
+    * flipped to [current, unbounded following].
+    */
+  private val asofForward = CatalogQuery(
+    "a1b_asof_forward",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("value"))
+      Temporal.asofJoinForward(clicks, errors, keys = Seq("user_id"),
+          leftTime = "click_ts", rightTime = "err_ts",
+          carryCols = Seq("err_ts", "value"))
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("asof_err_ts").as("next_error_ts"),
+          col("asof_value").as("next_error_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           |       CAST(e.ts AS TIMESTAMP) AS next_error_ts,
+           |       e.value AS next_error_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           |  ON c.user_id = e.user_id AND c.ts <= e.ts
+           |ORDER BY c.event_id""".stripMargin),
+    doc = "Forward as-of join (next error after each click) — the " +
+      "union + window carry, frame flipped; oracle is DuckDB's native " +
+      "forward ASOF")
+
+  /** NEAREST as-of: backward and forward candidates carried in ONE
+    * shuffle (two in-partition window passes over the same union),
+    * the closer one picked in integral micros, exact ties resolving
+    * backward. The oracle composes DuckDB's two native ASOF
+    * directions and replays the same pick arithmetic.
+    */
+  private val asofNearest = CatalogQuery(
+    "a1c_asof_nearest",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("value"))
+      Temporal.asofJoinNearest(clicks, errors, keys = Seq("user_id"),
+          leftTime = "click_ts", rightTime = "err_ts",
+          carryCols = Seq("err_ts", "value"))
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("asof_err_ts").as("near_error_ts"),
+          col("asof_value").as("near_error_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           |           FROM events WHERE event_type = 'click'),
+           |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           |      FROM events WHERE event_type = 'error'),
+           |b AS (SELECT c.event_id, e.ts AS bts, e.value AS bval
+           |      FROM c ASOF LEFT JOIN e
+           |        ON c.user_id = e.user_id AND c.ts >= e.ts),
+           |f AS (SELECT c.event_id, e.ts AS fts, e.value AS fval
+           |      FROM c ASOF LEFT JOIN e
+           |        ON c.user_id = e.user_id AND c.ts <= e.ts)
+           |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           |  CASE WHEN fts IS NULL THEN bts
+           |       WHEN bts IS NULL THEN fts
+           |       WHEN epoch_us(c.ts) - epoch_us(bts)
+           |              <= epoch_us(fts) - epoch_us(c.ts) THEN bts
+           |       ELSE fts END AS near_error_ts,
+           |  CASE WHEN fts IS NULL THEN bval
+           |       WHEN bts IS NULL THEN fval
+           |       WHEN epoch_us(c.ts) - epoch_us(bts)
+           |              <= epoch_us(fts) - epoch_us(c.ts) THEN bval
+           |       ELSE fval END AS near_error_value
+           |FROM c
+           |JOIN b USING (event_id) JOIN f USING (event_id)
+           |ORDER BY c.event_id""".stripMargin),
+    doc = "Nearest as-of join (closest error either side of each " +
+      "click, ties backward) — both directions in one shuffle; oracle " +
+      "composes DuckDB's two native ASOF directions")
+
   private val sessions = CatalogQuery(
     "a2_sessionize",
     (s, dir) =>
@@ -285,6 +368,6 @@ object TemporalQueries extends QueryModule {
       "oracle's natural three-join cascade")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(asof, sessions, json, intervalFollow, resample, rollingActives,
-      cohorts, twap, funnelQ)
+    Seq(asof, asofForward, asofNearest, sessions, json, intervalFollow,
+      resample, rollingActives, cohorts, twap, funnelQ)
 }

@@ -154,6 +154,19 @@ class PlanSpec extends SparkSpecBase {
       s"d11's train scan must carry the native bloom probe filter:\n$p")
   }
 
+  test("a1c: nearest asof runs both direction passes on ONE user shuffle, no join") {
+    val p = plan("a1c_asof_nearest")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nearest asof must stay a window formulation, never an inequality join:\n$p")
+    // both window passes partition by user_id; the second must reuse
+    // the first's partitioning — exactly one hash exchange on the
+    // union (the final ORDER BY adds only a range exchange)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"nearest asof should shuffle ONCE on the keys, found $hashExchanges:\n$p")
+  }
+
   test("q22: custkey filter pushes to the scan; the RANGE frame is a window, not a join") {
     val p = plan("q22_moving_spend_range")
     // loose match: assert the pushed predicate appears anywhere in the

@@ -96,6 +96,82 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("forward asof: ties match, no-later rows stay null, earliest wins") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1, ts(10)), (2L, 1, ts(20)), (3L, 2, ts(5)))
+      .toDF("id", "k", "lt")
+    val right = Seq((1, ts(10), "exact"), (1, ts(15), "mid"), (1, ts(2), "early"))
+      .toDF("k", "rt", "tag")
+    val got = Temporal.asofJoinForward(left, right, Seq("k"), "lt", "rt", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("exact")) // tie at t=10 matches (>= semantics)
+    assert(got(2L).isEmpty)           // nothing at/after t=20
+    assert(got(3L).isEmpty)           // key 2 has no right rows at all
+  }
+
+  test("nearest asof: picks the closer side, exact ties resolve backward") {
+    val s = spark
+    import s.implicits._
+    // k=1 @10: back @8 (d=2) vs fwd @13 (d=3) -> back;
+    // k=1 @20: back @13 (d=7) vs fwd @24 (d=4) -> fwd;
+    // k=1 @30: back @24 (d=6) vs fwd @36 (d=6) -> TIE -> back;
+    // k=2 @5: only forward exists; k=3 @5: only backward exists;
+    // k=4: no right rows at all
+    val left = Seq((1L, 1, ts(10)), (2L, 1, ts(20)), (3L, 1, ts(30)),
+      (4L, 2, ts(5)), (5L, 3, ts(5)), (6L, 4, ts(5))).toDF("id", "k", "lt")
+    val right = Seq((1, ts(8), "b8"), (1, ts(13), "m13"), (1, ts(24), "m24"),
+      (1, ts(36), "f36"), (2, ts(9), "fwd_only"), (3, ts(1), "back_only"))
+      .toDF("k", "rt", "tag")
+    val got = Temporal.asofJoinNearest(left, right, Seq("k"), "lt", "rt", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("b8"))
+    assert(got(2L).contains("m24"))
+    assert(got(3L).contains("m24")) // equidistant: backward wins
+    assert(got(4L).contains("fwd_only"))
+    assert(got(5L).contains("back_only"))
+    assert(got(6L).isEmpty)
+  }
+
+  test("forward and nearest asof match brute force on a seeded random schedule") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val left = (0 until 60).map(i => (i.toLong, rnd.nextInt(4), ts(rnd.nextInt(50))))
+    // distinct right timestamps per key so the matched row is unique
+    // and the brute-force compare is exact
+    val right = (for (k <- 0 until 3; m <- 0 until 50 if rnd.nextInt(4) == 0)
+      yield (k, ts(m), s"v$k-$m")).toSeq
+    val fwd = Temporal.asofJoinForward(
+        left.toDF("id", "k", "lt"), right.toDF("k", "rt", "tag"),
+        Seq("k"), "lt", "rt", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    val near = Temporal.asofJoinNearest(
+        left.toDF("id", "k", "lt"), right.toDF("k", "rt", "tag"),
+        Seq("k"), "lt", "rt", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(fwd.size == left.size && near.size == left.size)
+    for ((id, k, lt) <- left) {
+      val cands = right.filter(_._1 == k)
+      val f = cands.filter(_._2.getTime >= lt.getTime)
+        .sortBy(_._2.getTime).headOption.map(_._3)
+      val b = cands.filter(_._2.getTime <= lt.getTime)
+        .sortBy(-_._2.getTime).headOption.map(_._3)
+      assert(fwd(id) == f, s"row $id forward: got ${fwd(id)}, want $f")
+      val n = (b, f) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(bb), Some(ff)) =>
+          val db = lt.getTime - cands.find(_._3 == bb).get._2.getTime
+          val dfw = cands.find(_._3 == ff).get._2.getTime - lt.getTime
+          if (db <= dfw) Some(bb) else Some(ff)
+      }
+      assert(near(id) == n, s"row $id nearest: got ${near(id)}, want $n")
+    }
+  }
+
   test("sessionize matches a brute-force reference on a seeded random schedule") {
     val s = spark
     import s.implicits._
