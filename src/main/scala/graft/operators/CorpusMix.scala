@@ -121,10 +121,9 @@ object CorpusMix {
     *
     * Plan shape: one hash-partitioned window per stratum, so each
     * stratum's rows rank inside one task. Right when strata are many
-    * and balanced (the per-domain case); for a pathologically hot
-    * stratum plus small `k`, an aggregator path (top-k by hash per
-    * stratum, O(strata · k) state, cf. TopKAggregator) replaces the
-    * full per-stratum sort.
+    * and balanced (the per-domain case); for few/hot strata plus small
+    * `k`, [[capPerStratumBounded]] computes the identical selection
+    * with O(strata · k) aggregate state and no per-stratum sort.
     */
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String, k: Int,
                     salt: String = "cap1"): DataFrame = {
@@ -214,22 +213,84 @@ object CorpusMix {
     * honored (a 0.01-weight row really is ~100× less likely than a
     * 1.0-weight row); rows with weight <= 0 get an infinite key and
     * sort last deterministically (id tie-break) instead of dividing
-    * by zero. Plan shape matches the cap: one window per stratum; the
-    * TopKAggregator path replaces the per-stratum sort when k is
-    * small and strata are few and hot.
+    * by zero. Plan shape matches the cap: one window per stratum;
+    * [[weightedSampleBounded]] replaces the per-stratum sort with
+    * bounded aggregate state when k is small and strata are few and
+    * hot.
     */
   def weightedSample(df: DataFrame, idCol: String, strataCol: String,
                      weightCol: String, k: Int,
                      salt: String = "wsample1"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(esKey(df, idCol, weightCol, salt).asc, col(idCol).asc)
+    df.withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("sel_rank") <= k)
+  }
+
+  /** Efraimidis–Spirakis race key: `-ln(u)/w` on the deterministic
+    * 52-bit keyed-hash uniform, +Infinity for non-positive weights
+    * (sorts last, id tie-break, no division by zero).
+    */
+  private def esKey(df: DataFrame, idCol: String, weightCol: String,
+                    salt: String): Column = {
     val u = (conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + 1.0) /
       lit(4503599627370496.0) // 16^13 = 2^52
     val wgt = col(weightCol).cast("double")
-    val key = when(wgt > 0.0, -log(u) / wgt)
-      .otherwise(lit(Double.PositiveInfinity))
-    val w = Window.partitionBy(col(strataCol)).orderBy(key.asc, col(idCol).asc)
-    df.withColumn("sel_rank", row_number().over(w).cast("long"))
-      .filter(col("sel_rank") <= k)
+    when(wgt > 0.0, -log(u) / wgt).otherwise(lit(Double.PositiveInfinity))
+  }
+
+  /** [[capPerStratum]] with BOUNDED state instead of a per-stratum
+    * sort: a [[graft.functions.BottomKSelect]] aggregate races
+    * (hash, id) per stratum holding O(k) rows per group — map-side
+    * partials, O(strata·k) through the shuffle — and the winners (with
+    * their exact ranks, read off the aggregate's sorted buffer) join
+    * back by id. Same output as the window twin, bit for bit
+    * (CorpusMixSpec asserts it), but where the window sorts EVERY
+    * stratum in full — a near-total corpus sort when strata are few
+    * and hot, the one 100 TB plan flagged in round 6 — this never
+    * sorts anything bigger than k. The winner relation is
+    * O(strata·k) rows and broadcasts by construction.
+    *
+    * Generality contract: `idCol` must be integral (the race
+    * tie-break is numeric); the window twin has no such constraint.
+    */
+  def capPerStratumBounded(df: DataFrame, idCol: String, strataCol: String,
+                           k: Int, salt: String = "cap1"): DataFrame =
+    boundedSelect(df, idCol, strataCol,
+      conv(hashHex(col(idCol), salt), 16, 10).cast("double"), k, "cap_rank")
+
+  /** [[weightedSample]] on the bounded-state path — see
+    * [[capPerStratumBounded]]; the float race key is computed ONCE,
+    * the selection decided inside the aggregate, and winners join back
+    * by integral id, so no recomputed double is ever re-compared.
+    */
+  def weightedSampleBounded(df: DataFrame, idCol: String, strataCol: String,
+                            weightCol: String, k: Int,
+                            salt: String = "wsample1"): DataFrame =
+    boundedSelect(df, idCol, strataCol, esKey(df, idCol, weightCol, salt),
+      k, "sel_rank")
+
+  private def boundedSelect(df: DataFrame, idCol: String, strataCol: String,
+                            keyExpr: Column, k: Int,
+                            rankName: String): DataFrame = {
+    require(k > 0, s"selection size must be positive, got $k")
+    val s = df.sparkSession
+    import s.implicits._
+    val keyed = df.select(col(strataCol).cast("string").as("__s"),
+        keyExpr.as("__k"), col(idCol).cast("long").as("__i"))
+      .as[(String, Double, Long)]
+    val winners = keyed.groupByKey(_._1)
+      .mapValues(t => graft.functions.SelKey(t._2, t._3))
+      .agg(new graft.functions.BottomKSelect(k).toColumn.name("sel"))
+      .toDF("__s", "__sel")
+      .select(col("__s"), posexplode(col("__sel.vs")))
+      .select(col("__s"), (col("pos") + 1).cast("long").as(rankName),
+        col("col.id").as("__i"))
+    df.join(broadcast(winners),
+        col(strataCol).cast("string") === col("__s") &&
+          col(idCol).cast("long") === col("__i"))
+      .drop("__s", "__i")
   }
 }

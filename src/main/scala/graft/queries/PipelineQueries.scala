@@ -127,8 +127,10 @@ object PipelineQueries extends QueryModule {
   private val sourceCap = CatalogQuery(
     "x5_source_cap",
     (s: SparkSession, dir: String) =>
-      CorpusMix.capPerStratum(Tables(s, dir).documents, "doc_id", "source",
-          k = 10)
+      // bounded-state path: O(strata·k) aggregate, no per-stratum sort
+      // (the window twin is the differential in CorpusMixSpec)
+      CorpusMix.capPerStratumBounded(Tables(s, dir).documents, "doc_id",
+          "source", k = 10)
         .select(col("doc_id").as("doc"), col("source"), col("cap_rank"))
         .orderBy(col("doc")),
     Some("""WITH r AS (
@@ -323,8 +325,10 @@ object PipelineQueries extends QueryModule {
   private val weighted = CatalogQuery(
     "x10_weighted_sample",
     (s: SparkSession, dir: String) =>
-      CorpusMix.weightedSample(Tables(s, dir).documents, "doc_id", "source",
-          weightCol = "n_chars", k = 5)
+      // bounded-state path — see x5; float race keys never leave the
+      // aggregate, winners rejoin by integral id
+      CorpusMix.weightedSampleBounded(Tables(s, dir).documents, "doc_id",
+          "source", weightCol = "n_chars", k = 5)
         .select(col("doc_id").as("doc"), col("source"), col("sel_rank"))
         .orderBy(col("doc")),
     Some("""WITH b AS (
