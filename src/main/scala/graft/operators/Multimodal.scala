@@ -67,6 +67,104 @@ object Multimodal {
     }
   }
 
+  /** Real container-header dimension parsing for the two image formats
+    * the router sniffs — no codec library needed, the dimensions live
+    * in fixed, publicly documented header fields. This is the one part
+    * of image decoding that is pure byte arithmetic, so it is NOT
+    * stubbed: a malformed/truncated/non-image blob yields None, never a
+    * fabricated dimension.
+    */
+  object ImageHeader {
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+      * 4-byte length + "IHDR" + width/height as 4-byte big-endian at
+      * fixed offsets 16 and 20 (PNG spec §11.2.2).
+      */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (b.length < 24 || !sig.indices.forall(i => u8(b, i) == sig(i))) None
+      else if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) None
+      else {
+        val w = be32(b, 16); val h = be32(b, 20)
+        // spec caps dimensions at 2^31-1; 0 is invalid
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+        else Some((w.toInt, h.toInt))
+      }
+    }
+
+    // SOFn frame headers carry the dimensions; C4 (DHT), C8 (JPG
+    // extension), CC (DAC) share the Cx range but are not frames
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    // standalone markers with no length field: TEM + RST0-7
+    private def standalone(m: Int): Boolean = m == 0x01 || (m >= 0xd0 && m <= 0xd7)
+
+    /** JPEG: walk the marker-segment chain from SOI until a SOFn frame
+      * header; lines 5-8 of the segment are precision, height(2),
+      * width(2) (ITU T.81 §B.2.2). Stops at SOS/EOI (no frame header
+      * seen) or lost sync — truncated fixtures exercise this.
+      */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // lost sync: not a marker
+        var j = i
+        while (j + 1 < b.length && u8(b, j + 1) == 0xff) j += 1 // fill bytes
+        val marker = u8(b, j + 1)
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS first
+        if (standalone(marker)) { i = j + 2 }
+        else {
+          if (j + 3 >= b.length) return None
+          val len = be16(b, j + 2)
+          if (len < 2) return None
+          if (isSof(marker)) {
+            if (j + 8 >= b.length) return None
+            val h = be16(b, j + 5); val w = be16(b, j + 7)
+            return if (w > 0 && h > 0) Some((w, h)) else None
+          }
+          i = j + 2 + len
+        }
+      }
+      None
+    }
+
+    /** Dispatch on the sniffed format. Unknown formats → None — the
+      * honest answer, never a stand-in.
+      */
+    def dimensions(format: String, bytes: Array[Byte]): Option[(Int, Int)] =
+      format match {
+        case "jpeg" => jpegDims(bytes)
+        case "png"  => pngDims(bytes)
+        case _      => None
+      }
+  }
+
+  /** Per-blob parsed image dimensions; None for non-images and for
+    * malformed headers.
+    */
+  case class BlobDims(blob_id: Long, format: String,
+                      width: Option[Int], height: Option[Int])
+
+  /** Parse real width/height out of JPEG/PNG headers, partition-
+    * batched like [[extractFeatures]] — row-local byte work, zero
+    * shuffle, no driver involvement.
+    */
+  def imageDimensions(blobs: Dataset[Blob]): Dataset[BlobDims] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val d = ImageHeader.dimensions(b.format, b.content)
+      BlobDims(b.blob_id, b.format, d.map(_._1), d.map(_._2))
+    })
+  }
+
   /** Wrap a (id, binary) DataFrame into typed blobs, sniffing modality
     * and format from magic bytes — pure expression work, pushes the
     * binary column through untouched.

@@ -113,8 +113,9 @@ object MultimodalQueries extends QueryModule {
     * text bytes; `asBlobs` must sniff it back. Pure expression work +
     * one 4-group aggregate — the routing fan-out a mixed-media ingest
     * runs before handing each modality to its decoder pool. (Text
-    * colliding with a magic prefix would misroute — impossible here,
-    * asserted in the oracle's independent re-derivation from doc_id.)
+    * colliding with a magic prefix would misroute — a guard inside the
+    * query counts such collisions and fails loudly if the generator
+    * ever produces one.)
     */
   private val routing = CatalogQuery(
     "m4_modality_routing",
@@ -126,12 +127,22 @@ object MultimodalQueries extends QueryModule {
         .when(r === 1, lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)))
         .when(r === 2, lit(Array(0x49, 0x44, 0x33, 0x04).map(_.toByte)))
         .otherwise(lit(Array.empty[Byte]))
-      Multimodal.asBlobs(
+      val blobs = Multimodal.asBlobs(
           Tables(s, dir).documents
             .select($"doc_id",
               concat(magic, encode($"text", "UTF-8")).as("content")),
           "doc_id", "content")
         .toDF()
+      // guard the fixture invariant the oracle relies on: an unprefixed
+      // (r=3) document whose TEXT happens to start with a media magic
+      // string would sniff as audio/image while the oracle re-derives
+      // 'text' from doc_id — fail loudly here, not as a hash mismatch
+      val clash = blobs
+        .filter(pmod($"blob_id", lit(4)) === 3 && $"modality" =!= "text")
+        .count()
+      require(clash == 0L,
+        s"m4 fixture invariant broken: $clash unprefixed docs sniff as media")
+      blobs
         .groupBy($"modality", $"format")
         .agg(count(lit(1)).as("n_blobs"), sum($"n_bytes").as("total_bytes"))
         .orderBy($"modality", $"format")
@@ -151,6 +162,88 @@ object MultimodalQueries extends QueryModule {
       "blob corpus: sniff + per-modality rollup, verified against an " +
       "independent re-derivation of the routing from doc_id")
 
+  /** Minimal but REAL JPEG: SOI + a spec-complete APP0/JFIF segment +
+    * an SOF0 frame header carrying height/width big-endian (ITU T.81
+    * §B.2.2). Trailing payload after the header is arbitrary — the
+    * parser never reads past SOF0.
+    */
+  private def jpegFixture(w: Int, h: Int): Array[Byte] =
+    Array[Int](0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, h >> 8, h & 0xff, w >> 8, w & 0xff,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01
+    ).map(_.toByte)
+
+  /** Real PNG prefix: 8-byte signature + IHDR with 4-byte big-endian
+    * width/height (PNG spec §11.2.2); CRC left zero — the header
+    * parser reads fields, it does not checksum.
+    */
+  private def pngFixture(w: Int, h: Int): Array[Byte] =
+    Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+      0x08, 0x02, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00
+    ).map(_.toByte)
+
+  /** SOI + an APP0 that claims 4 bytes then runs into payload text —
+    * sniffs as jpeg but carries no frame header. The parser must
+    * return no dimensions, never a fabricated pair.
+    */
+  private val truncatedJpeg: Array[Byte] =
+    Array[Int](0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46).map(_.toByte)
+
+  /** REAL image decoding where it is pure byte arithmetic: parse
+    * width/height out of JPEG SOF0 / PNG IHDR headers synthesized
+    * deterministically from doc_id (different dimension formulas per
+    * format, so a format mix-up fails the hash), with a truncated-JPEG
+    * class proving the parser refuses to fabricate dimensions. The
+    * oracle re-derives every field from doc_id alone — it never sees
+    * the bytes, so only a correct parse can match. Row-local
+    * mapPartitions work, zero shuffle.
+    */
+  private val imageDims = CatalogQuery(
+    "m5_image_dimensions",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val withBytes = Tables(s, dir).documents
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = (id % 4) match {
+            case 0 => jpegFixture((id % 1000 + 16).toInt,
+              (id % 777 + 16).toInt) ++ payload
+            case 1 => pngFixture((id % 3000 + 32).toInt,
+              (id % 2000 + 32).toInt) ++ payload
+            case 2 => truncatedJpeg ++ payload
+            case _ => payload
+          }
+          (id, content)
+        }.toDF("doc_id", "content")
+      Multimodal.imageDimensions(
+          Multimodal.asBlobs(withBytes, "doc_id", "content"))
+        .toDF()
+        .select($"blob_id", $"format",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"))
+        .orderBy($"blob_id")
+    },
+    Some("""WITH m AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+           |SELECT doc_id AS blob_id,
+           |  CASE WHEN r IN (0, 2) THEN 'jpeg' WHEN r = 1 THEN 'png'
+           |       ELSE 'raw' END AS format,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 1000 + 16 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(doc_id % 3000 + 32 AS BIGINT)
+           |       END AS width,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 777 + 16 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(doc_id % 2000 + 32 AS BIGINT)
+           |       END AS height
+           |FROM m ORDER BY blob_id""".stripMargin),
+    doc = "Real JPEG SOF0 / PNG IHDR header parsing: dimensions " +
+      "synthesized from doc_id, parsed back from actual header bytes, " +
+      "oracle re-derives them independently; truncated JPEGs yield NULL")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(features, frameSample, resize, routing)
+    Seq(features, frameSample, resize, routing, imageDims)
 }

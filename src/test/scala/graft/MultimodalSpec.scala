@@ -53,6 +53,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.resizeVec(empty, 2).select($"vec_resized").head.isNullAt(0))
   }
 
+  test("ImageHeader parses real JPEG SOF0 / PNG IHDR dimensions and refuses garbage") {
+    import Multimodal.ImageHeader._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val pngSig = Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    def png(w: Int, h: Int) = bytes(pngSig ++ Seq(0, 0, 0, 0x0D,
+      'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+      8, 2, 0, 0, 0, 0, 0, 0, 0): _*)
+    assert(pngDims(png(640, 480)) == Some((640, 480)))
+    assert(pngDims(png(70000, 3)) == Some((70000, 3))) // >16-bit dims are legal in PNG
+    assert(pngDims(png(0, 480)).isEmpty)               // zero dimension is invalid
+    assert(pngDims(bytes(pngSig: _*)).isEmpty)         // truncated before IHDR
+    assert(pngDims(png(1, 1).patch(12, bytes('J'.toInt), 1)).isEmpty) // wrong chunk tag
+
+    def sof0(w: Int, h: Int) = bytes(0xFF, 0xC0, 0x00, 0x11, 0x08,
+      h >> 8, h & 0xff, w >> 8, w & 0xff,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val soi = bytes(0xFF, 0xD8)
+    val app0 = bytes(0xFF, 0xE0, 0x00, 0x04, 1, 2) // 4-byte APP0 to skip over
+    val dht = bytes(0xFF, 0xC4, 0x00, 0x03, 9)     // C4 is DHT, NOT a frame header
+    assert(jpegDims(soi ++ sof0(800, 600)) == Some((800, 600)))
+    assert(jpegDims(soi ++ app0 ++ dht ++ sof0(31, 13)) == Some((31, 13)))
+    // fill bytes before a marker and a standalone RST0 are walked over
+    assert(jpegDims(soi ++ bytes(0xFF, 0xFF, 0xD0) ++ sof0(5, 7)) == Some((5, 7)))
+    // SOS or EOI before any SOF: no dimensions, never a fabricated pair
+    assert(jpegDims(soi ++ bytes(0xFF, 0xDA, 0x00, 0x02) ++ sof0(5, 7)).isEmpty)
+    assert(jpegDims(soi ++ app0 ++ "payload".getBytes("UTF-8")).isEmpty) // lost sync
+    assert(jpegDims(bytes(0xFF, 0xD8)).isEmpty)     // SOI alone
+    assert(jpegDims("text".getBytes("UTF-8")).isEmpty)
+    // dispatch honors the sniffed format
+    assert(dimensions("jpeg", soi ++ sof0(2, 3)) == Some((2, 3)))
+    assert(dimensions("raw", png(9, 9)).isEmpty)
+  }
+
+  test("imageDimensions runs the parse partition-batched over typed blobs") {
+    val s = spark
+    import s.implicits._
+    val jpeg = Array[Int](0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x01, 0x00, 0x02, 0x00, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      .map(_.toByte)
+    val blobs = Seq(
+      Blob(1L, "image", "jpeg", jpeg.length.toLong, jpeg),
+      Blob(2L, "text", "raw", 4L, "text".getBytes("UTF-8"))).toDS()
+    val dims = Multimodal.imageDimensions(blobs).collect()
+      .map(d => d.blob_id -> ((d.width, d.height))).toMap
+    assert(dims(1L) == ((Some(512), Some(256))))
+    assert(dims(2L) == ((None, None)))
+  }
+
   test("sampleFrames keeps every stride-th frame index") {
     val s = spark
     import s.implicits._
