@@ -1,0 +1,342 @@
+package graft.sql
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** The engine's SQL-text surface: the relational catalog family
+  * (q1–q23) expressed as Spark SQL over registered views of the
+  * TESTDATA tables — the analogue of the reference's query CLI
+  * (mp3/src/main.go:130-304), where a user types a query instead of
+  * building a DataFrame. Every text is the SAME logical plan as its
+  * DataFrame twin (SqlParitySpec asserts result equality, schema
+  * included), with physical intent carried by hints where the
+  * DataFrame form broadcasts explicitly.
+  *
+  * The texts are Spark SQL, not the DuckDB oracle dialect — the two
+  * differ in identifier quoting (backticks), date arithmetic
+  * (`datediff`), and array indexing (0-based `[]`), so the catalog's
+  * oracle strings cannot simply be replayed here.
+  */
+object GraftSql {
+
+  /** Register every TESTDATA table as a temp view on this session,
+    * through the same [[Tables]] accessors the DataFrame catalog reads
+    * (so `events` carries the nanos→micros truncation and the native
+    * function family is registered). Idempotent.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val tt = Tables(spark, dir)
+    Seq(
+      "region" -> tt.region, "nation" -> tt.nation,
+      "customer" -> tt.customer, "supplier" -> tt.supplier,
+      "part" -> tt.part, "orders" -> tt.orders,
+      "lineitem" -> tt.lineitem, "events" -> tt.events,
+      "documents" -> tt.documents, "embeddings" -> tt.embeddings
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
+  /** Run one named catalog query as SQL text (views must be registered
+    * or are registered here).
+    */
+  def run(spark: SparkSession, dir: String, name: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(texts(name))
+  }
+
+  /** Spark-SQL text per relational catalog query, keyed by the exact
+    * catalog name. Kept in catalog order.
+    */
+  val texts: ListMap[String, String] = ListMap(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q3_revenue_by_nation" ->
+      """SELECT /*+ BROADCAST(nation) */ n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q4_brand_revenue_broadcast" ->
+      """SELECT /*+ BROADCAST(part) */ p_brand,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size > 10
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q5_customers_without_urgent_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_customers_with_big_order" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q8_running_revenue_by_supplier" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q9_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_suppliers,
+        | count(DISTINCT l_orderkey) AS distinct_orders
+        |FROM lineitem""".stripMargin,
+
+    "q9b_distinct_approx" ->
+      """SELECT x.distinct_parts, x.distinct_suppliers, x.distinct_orders,
+        | abs(CAST(e.e_parts AS DOUBLE) / CAST(x.distinct_parts AS DOUBLE) - 1.0) <= 0.06 AS ok_parts,
+        | abs(CAST(e.e_supps AS DOUBLE) / CAST(x.distinct_suppliers AS DOUBLE) - 1.0) <= 0.06 AS ok_suppliers,
+        | abs(CAST(e.e_orders AS DOUBLE) / CAST(x.distinct_orders AS DOUBLE) - 1.0) <= 0.06 AS ok_orders
+        |FROM (SELECT count(DISTINCT l_partkey) AS distinct_parts,
+        |        count(DISTINCT l_suppkey) AS distinct_suppliers,
+        |        count(DISTINCT l_orderkey) AS distinct_orders
+        |      FROM lineitem) x
+        |CROSS JOIN (SELECT approx_count_distinct(l_partkey, 0.02) AS e_parts,
+        |              approx_count_distinct(l_suppkey, 0.02) AS e_supps,
+        |              approx_count_distinct(l_orderkey, 0.02) AS e_orders
+        |            FROM lineitem) e
+        |ORDER BY x.distinct_parts""".stripMargin,
+
+    "q10_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q11_intersect_active_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q11b_except_lapsed_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q13_union_order_events" ->
+      """SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
+        |FROM (
+        |  SELECT o_custkey, 'opened' AS kind, o_totalprice AS amount FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, 'urgent' AS kind, o_totalprice AS amount
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q14_pivot_status_priority" ->
+      """SELECT o_orderstatus,
+        | coalesce(`1-URGENT`, 0) AS `1-URGENT`,
+        | coalesce(`2-HIGH`, 0) AS `2-HIGH`,
+        | coalesce(`3-MEDIUM`, 0) AS `3-MEDIUM`,
+        | coalesce(`4-NOT SPECIFIED`, 0) AS `4-NOT SPECIFIED`,
+        | coalesce(`5-LOW`, 0) AS `5-LOW`
+        |FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        |PIVOT (count(1) FOR o_orderpriority IN (
+        |  '1-URGENT' AS `1-URGENT`, '2-HIGH' AS `2-HIGH`,
+        |  '3-MEDIUM' AS `3-MEDIUM`, '4-NOT SPECIFIED' AS `4-NOT SPECIFIED`,
+        |  '5-LOW' AS `5-LOW`))
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        | round(pp[0], 4) AS p50, round(pp[1], 4) AS p95, p50_qty
+        |FROM (
+        |  SELECT l_returnflag,
+        |    percentile(l_extendedprice, array(0.5, 0.95)) AS pp,
+        |    round(percentile(l_quantity, 0.5), 4) AS p50_qty
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q15b_percentiles_approx" ->
+      """WITH ap AS (
+        |  SELECT l_returnflag, pe[0] AS p50, pe[1] AS p95, pq AS p50_qty
+        |  FROM (
+        |    SELECT l_returnflag,
+        |      approx_percentile(l_extendedprice, array(0.5, 0.95), 10000) AS pe,
+        |      approx_percentile(l_quantity, 0.5, 10000) AS pq
+        |    FROM lineitem GROUP BY l_returnflag)),
+        |c AS (
+        |  SELECT /*+ BROADCAST(ap) */ l.l_returnflag,
+        |    CAST(count(1) AS DOUBLE) AS n,
+        |    sum(CASE WHEN l.l_extendedprice <= ap.p50 THEN 1L ELSE 0L END) AS le_p50,
+        |    sum(CASE WHEN l.l_extendedprice <  ap.p50 THEN 1L ELSE 0L END) AS lt_p50,
+        |    sum(CASE WHEN l.l_extendedprice <= ap.p95 THEN 1L ELSE 0L END) AS le_p95,
+        |    sum(CASE WHEN l.l_extendedprice <  ap.p95 THEN 1L ELSE 0L END) AS lt_p95,
+        |    sum(CASE WHEN l.l_quantity <= ap.p50_qty THEN 1L ELSE 0L END) AS le_q,
+        |    sum(CASE WHEN l.l_quantity <  ap.p50_qty THEN 1L ELSE 0L END) AS lt_q
+        |  FROM lineitem l JOIN ap ON l.l_returnflag = ap.l_returnflag
+        |  GROUP BY l.l_returnflag)
+        |SELECT l_returnflag,
+        |  le_p50 / n >= 0.5 - 1.5e-4 AND lt_p50 / n <= 0.5 + 1.5e-4 AS ok_p50,
+        |  le_p95 / n >= 0.95 - 1.5e-4 AND lt_p95 / n <= 0.95 + 1.5e-4 AS ok_p95,
+        |  le_q / n >= 0.5 - 1.5e-4 AND lt_q / n <= 0.5 + 1.5e-4 AS ok_p50_qty
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "q16_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // semantic twin of the typed TopKAggregator: the SQL form
+    // materializes each group's full value list before slicing (the
+    // aggregator ships only a k-element buffer) — fine as a parity
+    // twin, not the 100 TB plan
+    "q17_topk_aggregator" ->
+      """SELECT o_orderstatus,
+        | l[0] AS top1_price, l[1] AS top2_price, l[2] AS top3_price
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    slice(sort_array(collect_list(o_totalprice), false), 1, 3) AS l
+        |  FROM orders GROUP BY o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_order_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(coalesce(datediff(CAST(o_orderdate AS DATE),
+        |   lag(CAST(o_orderdate AS DATE)) OVER w), -1) AS BIGINT)
+        |   AS days_since_prev,
+        | CAST(coalesce(datediff(lead(CAST(o_orderdate AS DATE)) OVER w,
+        |   CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_until_next
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
+        | count(1) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q20_rank_family" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | dense_rank() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderdate) AS date_dense_rank,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 9) AS pct_rank
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q21_above_group_avg" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_orderstatus, sum(pc) AS sum_pc, count(1) AS n
+        |  FROM o GROUP BY o_orderstatus)
+        |SELECT /*+ BROADCAST(g) */ o.o_orderstatus, o.o_orderkey, o.pc
+        |FROM o JOIN g ON o.o_orderstatus = g.o_orderstatus
+        |WHERE o.pc * g.n > g.sum_pc
+        |ORDER BY o.o_orderstatus, o.o_orderkey""".stripMargin,
+
+    "q22_moving_spend_range" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')
+        |      AS BIGINT) AS day_no,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders WHERE o_custkey <= 75)
+        |SELECT o_custkey, o_orderkey, day_no,
+        |  sum(pc) OVER w AS moving_spend_cents,
+        |  count(1) OVER w AS moving_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q23_customer_order_outer" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, count(1) AS n_orders,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  coalesce(n_orders, 0L) AS n_orders,
+        |  coalesce(spend_cents, 0L) AS spend_cents
+        |FROM customer FULL OUTER JOIN agg ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin
+  )
+}
+
+/** Tiny SQL CLI over the registered views — the user-facing entry the
+  * reference exposes as its query binary: pass a catalog query name or
+  * raw SQL text.
+  *
+  * {{{ sbt "runMain graft.sql.SqlRunner /root/testdata/sf0.001 q3_revenue_by_nation" }}}
+  */
+object SqlRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, query) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.core.GraftSession.tuned(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-sql"),
+      shufflePartitions = cpus
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSql.registerViews(spark, sfDir)
+    val df = GraftSql.texts.get(query).map(spark.sql)
+      .getOrElse(spark.sql(query))
+    df.show(100, truncate = false)
+    spark.stop()
+  }
+}
