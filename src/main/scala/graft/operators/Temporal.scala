@@ -238,24 +238,29 @@ object Temporal {
     * last event date are clipped (a day after the data ends is not a
     * decaying phantom WAU), and days whose whole trailing window is
     * empty are absent rather than 0 — zero-filling needs a calendar
-    * dimension, which is the caller's join. The (user, day) relation
-    * feeds both the expansion and the max-date scalar, so it is
-    * persisted per the caching contract (day-user grain, orders below
-    * event volume).
+    * dimension, which is the caller's join. The clip bound is derived
+    * INSIDE the one pass: posexplode tags each pair's origin day
+    * (pos 0), the distinct-agg keeps an is-observed flag per day, and
+    * the global max of observed days is a window over the day-grain
+    * output — O(days) rows by construction — so nothing is persisted,
+    * nothing is joined, and the events relation is read exactly once.
     */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int = 7): DataFrame = {
     require(windowDays > 0, s"windowDays must be positive, got $windowDays")
-    val pairs = events
+    val byDay = events
       .select(to_date(col(tsCol)).as("d"), col(userCol).as("u")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxd = pairs.agg(max(col("d")).as("maxd"))
-    pairs
-      .select(explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
-        .as("day"), col("u"))
+      .select(posexplode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+        .as(Seq("pos", "day")), col("u"))
       .groupBy(col("day"))
-      .agg(countDistinct(col("u")).as("wau"))
-      .crossJoin(broadcast(maxd))
+      .agg(countDistinct(col("u")).as("wau"),
+        max(when(col("pos") === 0, 1).otherwise(0)).as("observed"))
+    // single-partition window over day-grain rows only (years of data
+    // = thousands of rows), never over events
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDay
+      .withColumn("maxd", max(when(col("observed") === 1, col("day"))).over(all))
       .filter(col("day") <= col("maxd"))
       .select(col("day"), col("wau"))
   }
@@ -335,22 +340,21 @@ object Temporal {
     * distinct-counted per subsequent activity week. Grains coarsen
     * monotonically — events → (user, week) distinct → per-user min →
     * (cohort, week_no) counts — so each shuffle is strictly smaller
-    * than the last. The (user, week) relation feeds both the cohort
-    * aggregate and the join; AQE plans the two consumers independently
-    * (zero ReusedExchange), so it is persisted per the engine's
-    * self-join caching contract.
+    * than the last. The first-active week is a running min OVER the
+    * user partition — not a separate aggregate joined back — so the
+    * (user, week) relation is computed once, nothing is persisted, and
+    * there is no self-join at all; per-user window state is the user's
+    * week list, bounded by the calendar.
     */
   def cohortRetention(events: DataFrame, userCol: String,
-                      tsCol: String): DataFrame = {
-    val weeks = events.select(col(userCol).as("u"),
+                      tsCol: String): DataFrame =
+    events.select(col(userCol).as("u"),
         date_trunc("week", to_date(col(tsCol))).cast("date").as("w"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cohort = weeks.groupBy(col("u")).agg(min(col("w")).as("cohort_w"))
-    weeks.join(cohort, "u")
+      .withColumn("cohort_w",
+        min(col("w")).over(Window.partitionBy(col("u"))))
       .groupBy(col("cohort_w"),
         floor(datediff(col("w"), col("cohort_w")) / 7).cast("long")
           .as("week_no"))
       .agg(countDistinct(col("u")).as("n_users"))
-  }
 }

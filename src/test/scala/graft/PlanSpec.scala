@@ -16,7 +16,10 @@ class PlanSpec extends SparkSpecBase {
 
   test("q1: shipdate filter and column pruning reach the parquet scan") {
     val p = plan("q1_pricing_summary")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // match the predicate anywhere in the scan node, not Spark's exact
+    // PushedFilters list formatting (brittle across versions)
+    assert("LessThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
+      s"q1 shipdate pushdown missing:\n$p")
     assert(p.contains("ReadSchema: struct<l_quantity:double"))
     assert(!p.contains("l_orderkey"), "q1 must not read unused columns")
     assert(p.contains("partial_sum"), "map-side partial aggregation expected")
@@ -33,7 +36,8 @@ class PlanSpec extends SparkSpecBase {
   test("q4: dimension is filtered BEFORE broadcast, fact side never shuffles") {
     val p = plan("q4_brand_revenue_broadcast")
     assert(p.contains("BroadcastHashJoin"))
-    assert(p.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,10)"))
+    assert("GreaterThan\\(p_size, ?10\\)".r.findFirstIn(p).isDefined,
+      s"q4 p_size pushdown missing:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
 
@@ -107,7 +111,7 @@ class PlanSpec extends SparkSpecBase {
     try {
       for (q <- Seq("t8_lm_score", "t9_tfidf_keywords",
           "d9_dup_ngram_coverage", "t12_vocab_coverage",
-          "t13_cms_heavy_hitters", "a6_rolling_active_users")) {
+          "t13_cms_heavy_hitters")) {
         assert(plan(q).contains("InMemoryTableScan"),
           s"$q lost its persisted shared relation")
       }
@@ -196,20 +200,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"t12 plans a cartesian:\n$p")
   }
 
-  test("a6: rolling actives is expansion + distinct-agg; only the 1-row max-date broadcasts") {
+  test("a6: rolling actives is expansion + distinct-agg; the clip joins nothing") {
     val p = plan("a6_rolling_active_users")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
-      !p.contains("CartesianProduct"),
-      s"a6 must not shuffle-join — the only join is the scalar clip:\n$p")
-    assert(!p.contains("Window"), s"a6 must not plan a window:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"a6 must not join at all — the clip bound rides the day-grain window:\n$p")
     assert(p.contains("partial_count"),
       s"distinct-agg must partial map-side:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"a6 must not pin a cached relation:\n$p")
   }
 
-  test("a7: the (user, week) relation reads from cache (persist guard)") {
-    try assert(plan("a7_cohort_retention").contains("InMemoryTableScan"),
-      "a7 lost its persisted (user, week) relation")
-    finally spark.catalog.clearCache()
+  test("a7: cohort week is a per-user window min — no self-join, no cache") {
+    val p = plan("a7_cohort_retention")
+    assert(!p.contains("Join"),
+      s"a7 must not join the cohort aggregate back:\n$p")
+    assert(p.contains("Window"), s"a7 must plan the per-user min window:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"a7 must not pin a cached relation:\n$p")
   }
 
   test("a9: the funnel is join-free — chained windows on one partitioning") {
