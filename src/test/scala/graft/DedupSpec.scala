@@ -163,6 +163,24 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("pointer jumping closes a 256-chain in O(log n) rounds, labels exact") {
+    val s = spark
+    import s.implicits._
+    // the adversarial shape for plain min-label propagation: one long
+    // chain, where the min would travel ONE hop per round (256 rounds).
+    // Path doubling must close it in ~log2(256)=8 rounds; the budget
+    // leaves slack for the final no-change round and rounding, but is
+    // far below linear, so a lost jump join fails this immediately.
+    val n = 256L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("i", "j")
+    val (labels, rounds) = Dedup.componentsWithRounds(pairs)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L),
+      s"chain must collapse to component min 0: ${got.filter(_._2 != 0L).take(3).toSeq}")
+    assert(rounds <= 12, s"a 256-chain must close in O(log n) rounds, took $rounds")
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._
