@@ -121,15 +121,26 @@ object Dedup {
           .groupBy(col("node"))
           .agg(min(col("lab")).as("lab"),
             max(when(col("own") === 1, col("lab"))).as("old"))
-        // pointer jump: lab := lab's freshly-minimized lab. Every lab
-        // IS a node (labels start at self and min() only picks node
-        // ids), so the inner join is total; the jumped label is <= lab
-        // by the same monotonicity, so `least` is unnecessary.
-        val next = minLab
-          .join(minLab.select(col("node").as("lab"), col("lab").as("jlab")),
-            Seq("lab"))
-          .select(col("node"), col("jlab").as("lab"), col("old"))
-          .localCheckpoint(true)
+        // pointer jump: lab := the PREVIOUS round's label of the
+        // freshly-minimized lab. Jumping through the checkpointed
+        // `labels` (not through minLab itself) matters: minLab feeding
+        // both join sides would make AQE re-run the whole edge join +
+        // aggregation twice per round (measured ~2× on the dense
+        // decade). Every lab IS a node (labels start at self and min()
+        // only picks node ids), so the inner join is total; the jumped
+        // label is <= lab by label monotonicity, so `least` is
+        // unnecessary, and composing min-step with last round's map
+        // still doubles the covered distance per round. Round 1's jump
+        // is the identity (labels start at self) and is skipped — on
+        // tiny-diameter graphs (the near-dup norm, 2-3 rounds total)
+        // that removes a third of the jump's constant cost.
+        val jumped =
+          if (rounds == 0) minLab.select(col("node"), col("lab"), col("old"))
+          else minLab
+            .join(labels.select(col("node").as("lab"), col("lab").as("jlab")),
+              Seq("lab"))
+            .select(col("node"), col("jlab").as("lab"), col("old"))
+        val next = jumped.localCheckpoint(true)
         changed = next.filter(col("lab") =!= col("old")).count()
         snapshotRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next

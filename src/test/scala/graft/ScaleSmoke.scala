@@ -169,6 +169,11 @@ object ScaleSmoke {
       }
       time("x5_source_cap")(
         CorpusMix.capPerStratum(docs, "doc_id", "source", k = 10).count())
+      // the bounded-aggregate twin x5 actually ships: same selection,
+      // O(strata·k) state instead of a per-stratum sort
+      time("x5_cap_bounded")(
+        CorpusMix.capPerStratumBounded(docs, "doc_id", "source", k = 10)
+          .count())
       // components over the pair graph: in dense mode every doc is a
       // mult-clique, so component count stays ~constant while component
       // SIZE grows with mult — the iterative loop's stress axis. A
@@ -177,6 +182,17 @@ object ScaleSmoke {
       time("d8_components") {
         Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id",
           "text", 3, 0.8, maxDf = maxDf)).count()
+      }
+      // the adversarial-diameter axis the corpus graphs don't have:
+      // ONE chain component whose length scales with mult. Plain
+      // min-label needs O(n) rounds here; the pointer jump must hold
+      // rounds at O(log n), so the time decade stays ~flat-per-round
+      // while a lost jump would blow up linearly
+      time("d8_chain") {
+        val n = 20000L * mult
+        Dedup.connectedComponents(
+          spark.range(n - 1).select(col("id").as("i"),
+            (col("id") + 1).as("j"))).count()
       }
       // decontamination, both paths, against a FIXED 500-doc eval set:
       // the claim under test is that cost scales with the train-side
