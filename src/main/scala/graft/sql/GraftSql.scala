@@ -43,7 +43,7 @@ object GraftSql {
     */
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
     registerViews(spark, dir)
-    spark.sql(texts(name))
+    spark.sql(texts.getOrElse(name, pipelineTexts(name)))
   }
 
   /** Spark-SQL text per relational catalog query, keyed by the exact
@@ -316,6 +316,64 @@ object GraftSql {
         |FROM customer FULL OUTER JOIN agg ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin
   )
+
+  /** SQL twins for a representative slice of the pipeline families —
+    * including two that call the engine's NATIVE expressions by SQL
+    * name (`rolling_hash`, `token_count`), proving the
+    * SparkSessionExtensions registration makes the whole extension
+    * family available to SQL-text users, not just the DataFrame API.
+    * Parity-asserted like the relational map; kept a sample rather
+    * than total because most pipeline operators (iterative components,
+    * typed aggregators, streaming) are not single-statement SQL.
+    */
+  val pipelineTexts: ListMap[String, String] = ListMap(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id AS doc,
+        | CAST(size(filter(split(text, '\\s+'), w -> w != '')) AS BIGINT)
+        |   AS n_tokens,
+        | CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS BIGINT)
+        |   AS n_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_char4
+        |FROM documents ORDER BY doc""".stripMargin,
+
+    "t4_fingerprints" ->
+      """SELECT doc_id AS doc, md5(text) AS md5_fp,
+        | rolling_hash(text) AS rolling_fp
+        |FROM documents ORDER BY doc""".stripMargin,
+
+    "t5_scalar_functions" ->
+      """SELECT doc_id AS doc,
+        | token_count(text, 'hash') AS n_hash,
+        | CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+        | substring(text, 1, 12) AS prefix,
+        | concat_ws('|', lang, source) AS tag,
+        | upper(substring(source, 4, 10)) AS src_num
+        |FROM documents ORDER BY doc""".stripMargin,
+
+    "x1_corpus_mix" ->
+      """WITH kept AS (
+        |  SELECT * FROM documents
+        |  WHERE substring(md5(concat('mix1:', CAST(doc_id AS STRING))), 1, 8) <
+        |    CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '40000000'
+        |              WHEN 'es' THEN 'g' WHEN 'de' THEN '20000000'
+        |              WHEN 'fr' THEN 'c0000000' ELSE '00000000' END),
+        |sp AS (
+        |  SELECT lang,
+        |    CASE WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept)
+        |SELECT lang, split, count(1) AS n_docs
+        |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+  )
 }
 
 /** Tiny SQL CLI over the registered views — the user-facing entry the
@@ -334,7 +392,8 @@ object SqlRunner {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSql.registerViews(spark, sfDir)
-    val df = GraftSql.texts.get(query).map(spark.sql)
+    val df = GraftSql.texts.get(query)
+      .orElse(GraftSql.pipelineTexts.get(query)).map(spark.sql)
       .getOrElse(spark.sql(query))
     df.show(100, truncate = false)
     spark.stop()
