@@ -146,9 +146,19 @@ object Temporal {
     */
   def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
                    carryCols: Seq[String], stepSec: Long): DataFrame = {
+    val grid = alignedGrid(events, keyCol, tsCol, stepSec)
+    asofJoinBackward(grid, events, Seq(keyCol), "grid_ts", tsCol, carryCols)
+  }
+
+  /** Each key's `stepSec`-aligned grid clipped to its own [min, max]
+    * event span: first point = ceil(min), last = floor(max), so every
+    * grid point has BOTH a prior and a following event.
+    */
+  private def alignedGrid(events: DataFrame, keyCol: String, tsCol: String,
+                          stepSec: Long): DataFrame = {
     require(stepSec > 0, s"step must be positive, got $stepSec")
     val secs = expr(s"unix_micros($tsCol) div 1000000")
-    val grid = events
+    events
       .groupBy(col(keyCol))
       .agg(min(secs).as("__lo"), max(secs).as("__hi"))
       .select(col(keyCol),
@@ -164,7 +174,57 @@ object Temporal {
             sequence(col("__g0"), col("__g1"), lit(stepSec)))
           .otherwise(array().cast("array<long>"))).as("__gs"))
       .select(col(keyCol), timestamp_seconds(col("__gs")).as("grid_ts"))
-    asofJoinBackward(grid, events, Seq(keyCol), "grid_ts", tsCol, carryCols)
+  }
+
+  /** Linear-interpolation resampling: [[resampleLocf]]'s companion for
+    * continuous signals — each grid point gets the straight-line value
+    * between its bracketing samples instead of the stale carry. Same
+    * execution shape as [[asofJoinNearest]]: grid + events unioned
+    * once, ONE shuffle on the key, backward and forward carries as two
+    * in-partition window passes — no inequality join, no per-grid
+    * probe.
+    *
+    * Exactness contract: the value is fixed-point micro-units
+    * (`floor(v * 1e6)`, one IEEE multiply both engines perform
+    * identically), time deltas are integral MILLIS, and the
+    * interpolation `vb + (vf-vb)*(g-tb) div (tf-tb)` is pure integer
+    * arithmetic with truncating division — Spark `div` and DuckDB `//`
+    * both truncate toward zero, so the oracle matches bit-for-bit with
+    * no float-drift rounding dance. Overflow envelope: |Δv_micro| ×
+    * span_ms < 2^63, i.e. values to ±10³ over series spanning ~200
+    * days; wider envelopes scale the fixed-point unit down one notch.
+    * A grid point landing exactly on a sample has tb == tf; the guard
+    * emits that sample's value (the interpolation limit).
+    *
+    * Because the grid is clipped to [ceil(min), floor(max)], both
+    * carries exist at every grid point and the output is null-free.
+    */
+  def resampleInterp(events: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, stepSec: Long): DataFrame = {
+    val ev = events.select(col(keyCol), col(tsCol),
+      floor(col(valCol) * lit(1000000)).as("__vmicro"))
+    val grid = alignedGrid(ev, keyCol, tsCol, stepSec)
+    val wb = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t"), col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    asofUnion(grid, ev, Seq(keyCol), "grid_ts", tsCol, Seq("__vmicro"))
+      .withColumn("__carry_b",
+        last(carryStruct(Seq("__vmicro")), ignoreNulls = true).over(wb))
+      .withColumn("__carry_f",
+        first(carryStruct(Seq("__vmicro")), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__tg", expr("unix_micros(__t) div 1000"))
+      .withColumn("__tb", expr("unix_micros(__carry_b.__rt) div 1000"))
+      .withColumn("__tf", expr("unix_micros(__carry_f.__rt) div 1000"))
+      .withColumn("interp_micro",
+        when(col("__tf") === col("__tb"), col("__carry_b.__vmicro"))
+          .otherwise(col("__carry_b.__vmicro") +
+            expr("(__carry_f.__vmicro - __carry_b.__vmicro)" +
+              " * (__tg - __tb) div (__tf - __tb)")))
+      .select(col(keyCol), col("__t").as("grid_ts"), col("interp_micro"))
   }
 
   /** Interval-follow count: for each left row, how many right rows of

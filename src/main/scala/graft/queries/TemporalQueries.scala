@@ -254,6 +254,53 @@ object TemporalQueries extends QueryModule {
     doc = "LOCF resampling to a 6-hour grid per user; the engine's " +
       "window-pass carry vs DuckDB's native ASOF JOIN")
 
+  /** a5's linear twin — see [[Temporal.resampleInterp]] for the
+    * fixed-point exactness contract (micro-unit values, milli deltas,
+    * truncating integer division on both engines). The oracle brackets
+    * each grid point with DuckDB's native ASOF in BOTH directions
+    * (`<=` backward, `>=` forward) and replays the identical integer
+    * interpolation — two independent implementations of the same
+    * arithmetic, no rounding tolerance anywhere.
+    */
+  private val resampleLinear = CatalogQuery(
+    "a5b_grid_interp",
+    (s, dir) =>
+      Temporal.resampleInterp(
+          Tables(s, dir).events.select(col("user_id"), col("ts"), col("value")),
+          "user_id", "ts", valCol = "value", stepSec = 21600L)
+        .orderBy(col("user_id"), col("grid_ts")),
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |         CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+           |  FROM events),
+           |bounds AS (
+           |  SELECT user_id,
+           |    (epoch_us(min(ts))//1000000 + 21599)//21600*21600 AS lo,
+           |    (epoch_us(max(ts))//1000000)//21600*21600 AS hi
+           |  FROM e GROUP BY user_id),
+           |grid AS (
+           |  SELECT user_id,
+           |    TIMESTAMP '1970-01-01' + t.g * INTERVAL 1 SECOND AS grid_ts
+           |  FROM bounds, unnest(range(lo, hi + 1, 21600)) t(g)),
+           |b AS (
+           |  SELECT g.user_id, g.grid_ts, e.ts AS tb, e.vmicro AS vb
+           |  FROM grid g ASOF JOIN e
+           |    ON g.user_id = e.user_id AND e.ts <= g.grid_ts),
+           |f AS (
+           |  SELECT g.user_id, g.grid_ts, e.ts AS tf, e.vmicro AS vf
+           |  FROM grid g ASOF JOIN e
+           |    ON g.user_id = e.user_id AND e.ts >= g.grid_ts)
+           |SELECT b.user_id, b.grid_ts,
+           |  CASE WHEN epoch_ms(f.tf) = epoch_ms(b.tb) THEN b.vb
+           |       ELSE b.vb + (f.vf - b.vb)
+           |            * (epoch_ms(b.grid_ts) - epoch_ms(b.tb))
+           |            // (epoch_ms(f.tf) - epoch_ms(b.tb)) END AS interp_micro
+           |FROM b JOIN f ON b.user_id = f.user_id AND b.grid_ts = f.grid_ts
+           |ORDER BY b.user_id, b.grid_ts""".stripMargin),
+    doc = "Linear interpolation to the 6-hour grid: union + two window " +
+      "carries on one shuffle, fixed-point integer arithmetic exact " +
+      "against DuckDB's two-directional native ASOF")
+
   /** See [[Temporal.rollingActiveUsers]] for the contribution-expansion
     * scale argument.
     */
@@ -369,5 +416,5 @@ object TemporalQueries extends QueryModule {
 
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, sessions, json, intervalFollow,
-      resample, rollingActives, cohorts, twap, funnelQ)
+      resample, resampleLinear, rollingActives, cohorts, twap, funnelQ)
 }

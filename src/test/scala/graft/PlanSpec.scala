@@ -171,6 +171,19 @@ class PlanSpec extends SparkSpecBase {
       s"nearest asof should shuffle ONCE on the keys, found $hashExchanges:\n$p")
   }
 
+  test("a5b: interpolation resample is windows over one union, never a join") {
+    val p = plan("a5b_grid_interp")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interp resample must bracket via window carries, not joins:\n$p")
+    // two hash exchanges total: the grid's span aggregate, then the
+    // union's window partitioning — both on the key; both direction
+    // passes share the second (a1c's reuse argument)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 2,
+      s"interp resample should shuffle at most twice (grid agg + window), found $hashExchanges:\n$p")
+  }
+
   test("q22: custkey filter pushes to the scan; the RANGE frame is a window, not a join") {
     val p = plan("q22_moving_spend_range")
     // loose match: assert the pushed predicate appears anywhere in the

@@ -292,6 +292,49 @@ class TemporalSpec extends SparkSpecBase {
       (4L, None, None, None, 0L)))
   }
 
+  test("resampleInterp: exact samples, hand-computed midpoints, " +
+    "truncating division on a negative slope") {
+    val s = spark
+    import s.implicits._
+    def tss(sec: Long) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      // k=1: rise 10→40 then fall 40→10; grid 600..2400 step 600
+      (1, tss(600), 10.0), (1, tss(1800), 40.0), (1, tss(2400), 10.0),
+      // k=2: positive slope, grid point at 3/5 of the bracket
+      (2, tss(0), 0.0), (2, tss(1000), 1.0),
+      // k=3: negative slope, non-divisible ratio — pins the
+      // truncate-toward-zero contract ((-6e11) div 9e5 = -666666,
+      // where floor division would give -666667)
+      (3, tss(0), 1.0), (3, tss(900), 0.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.resampleInterp(ev, "k", "t", "v", stepSec = 600L)
+      .select($"k", $"grid_ts".cast("long"), $"interp_micro")
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1, 600L, 10000000L), (1, 1200L, 25000000L),
+      (1, 1800L, 40000000L), (1, 2400L, 10000000L),
+      (2, 0L, 0L), (2, 600L, 600000L),
+      (3, 0L, 1000000L), (3, 600L, 333334L)))
+  }
+
+  test("resampleInterp agrees with resampleLocf on sample-aligned grid points") {
+    val s = spark
+    import s.implicits._
+    def tss(sec: Long) = new Timestamp(sec * 1000L)
+    // every event sits ON the grid, so interpolation must reproduce
+    // the carried sample exactly (tb == tf guard path)
+    val ev = Seq.tabulate(8)(i => (1, tss(i * 600L), i * 1.5))
+      .toDF("k", "t", "v")
+    val interp = Temporal.resampleInterp(ev, "k", "t", "v", 600L)
+      .select($"grid_ts".cast("long"), $"interp_micro")
+      .as[(Long, Long)].collect().toMap
+    val locf = Temporal.resampleLocf(ev, "k", "t", Seq("v"), 600L)
+      .select($"grid_ts".cast("long"),
+        floor($"asof_v" * lit(1000000)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(interp.size == 8 && interp == locf)
+  }
+
   test("timeWeightedAvg: hand-computed integral, tie order fixed, singletons drop") {
     val s = spark
     import s.implicits._
