@@ -265,6 +265,96 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into quantizer cells,
+    * compare pairs only WITHIN a cell, and drop every vector that has
+    * a smaller-id neighbor at cosine ≥ threshold — the greedy min-id
+    * exemplar rule. The cluster restriction is what makes embedding
+    * dedup scale: the quadratic term is Σ|cell|², bounded by choosing
+    * nlist ∝ corpus size so cells stay O(constant), instead of the
+    * corpus-wide O(N²) the brute-force form would pay.
+    *
+    * `nassign` soft-assigns each vector to its `nassign` nearest cells
+    * (candidate pairs = co-membership in ANY shared cell) so a
+    * near-dup pair straddling a Voronoi boundary is still compared —
+    * the multi-assignment variant of the paper's pipeline. Candidate
+    * volume scales by ≤ nassign², a constant-factor price for
+    * boundary recall.
+    *
+    * Same self-join discipline as [[cosineNearDupPairs]], but the
+    * OPPOSITE pair-dedup choice, deliberately: there a groupBy-first
+    * collapses duplicate bucket co-occurrences BEFORE the cosine so
+    * each pair is scored once — correct for its output (scored pairs)
+    * but ruinous here, because `first` over array columns is not
+    * hash-aggregatable, so Spark sort-aggregates millions of pair rows
+    * each dragging two d-dim vectors (measured 106s at sf0.1). Here
+    * the output is only the DROPPED ID SET, so we score each cell
+    * co-occurrence inline in the join stream (≤ nassign² duplicate
+    * scorings per pair, pure codegen'd flops, no second shuffle of
+    * vectors) and collapse duplicates AFTER the threshold with a
+    * distinct over bare longs (measured 106s → 3s). Norms are computed
+    * once per vector on the persisted assigned relation — the cosine's
+    * float sequence per vector is unchanged, so the decision is
+    * bit-identical to the score-once form.
+    *
+    * The join is PAIR-SALTED: a cell is one join key, so without the
+    * salt the quadratic within-cell scoring of the largest cell runs
+    * in ONE task — and cells are small in BYTES (vectors), so AQE's
+    * size-based skew split never fires even when a cell holds most of
+    * the pair work. The x side keeps `hash(id) % saltBuckets`, the y
+    * side replicates to every salt (O(N·nassign·S) cheap rows), and
+    * the join key becomes (cell, salt): each (i, j) candidate still
+    * appears exactly once — at salt hash(i) — while one cell's pair
+    * work fans out across S tasks. This is the knob for when nlist is
+    * small relative to cores or the quantizer is skewed; at corpus
+    * scale nlist grows ∝ N and S stays a constant multiplier on
+    * shuffle width.
+    * Output: every distinct input id with `kept` ∈ {0,1} (1 = survives
+    * dedup), the decision an exact brute-force oracle can replay.
+    */
+  def semanticDedup(vecs: DataFrame, centroids: Seq[Seq[Double]],
+                    threshold: Double, nassign: Int = 2, saltBuckets: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nassign >= 1 && nassign <= centroids.size,
+      s"nassign must be in [1, ${centroids.size}], got $nassign")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val assigned = vecs
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell", explode(transform(
+        slice(cellsByDistance(col("v"), centroids), 1, nassign),
+        s => s.getField("cell"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val salted = assigned
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets)))
+    val replicated = assigned
+      .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    // The decision is "cosine rounded half-up at 4 decimals ≥ t",
+    // which for t ≥ 0 is exactly `cosine ≥ t − 0.00005` — evaluated as
+    // one double compare. Spelling it with round() would put Spark's
+    // Round-on-double in the pair loop, which allocates a BigDecimal
+    // PER ROW in generated code (measured +3s over 5.2M pairs at
+    // sf0.1). Callers' oracles may keep the round() spelling; the
+    // accept set is identical.
+    val cutoff = threshold - 0.00005
+    // persisted: the orderBy callers end with samples range boundaries
+    // off the final plan; without this the whole pair scan runs twice.
+    // O(dropped ids) rows — bounded by the dup rate, tiny by contract.
+    val dropped = salted.as("x")
+      .join(replicated.as("y"),
+        col("x.cell") === col("y.cell") && col("x.salt") === col("y.salt") &&
+          col("x.id") < col("y.id"))
+      .filter(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+        >= cutoff)
+      .select(col("y.id").as("id")).distinct()
+      .withColumn("__dropped", lit(1L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.select(col(idCol).as("id")).distinct()
+      .join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (lit(1L) - coalesce(col("__dropped"), lit(0L))).as("kept"))
+  }
+
   /** Per-group element-wise mean vector — the centroid step every
     * vector-quantizer training loop (IVF/k-means, product quantization)
     * runs once per iteration, exposed as a standalone verified op.

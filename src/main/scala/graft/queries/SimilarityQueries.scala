@@ -226,6 +226,51 @@ object SimilarityQueries extends QueryModule {
       "step as a standalone op): posexplode + one hash aggregate in " +
       "integral micro-units, shuffle O(labels·dims), independent of N")
 
+  /** SemDeDup over corpus + planted copies, clustered by the SAME
+    * at-rest IVF quantizer s4 serves from (IndexCache hit — dedup and
+    * ANN probes share one index build). The oracle is the exact
+    * brute-force keep-set: id kept iff NO smaller id sits at rounded
+    * cosine ≥ 0.9 — the engine must reach it while only ever comparing
+    * within soft-assigned cells (nassign=2), so a planted pair whose
+    * cell assignment split past both assignments would flip the row
+    * red. Like s2/s3/s4: seed-pinned quantizer + fixed data make
+    * recall a fixed, falsifiable outcome, re-verified per run.
+    */
+  private val semantic = CatalogQuery(
+    "s7_semantic_dedup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val path = graft.operators.IvfIndex.ensure(s, dir, e, nlist = 16, maxIter = 5)
+      val cents = graft.operators.IvfIndex.centroids(s, path)
+      val base = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      // nassign=3: at sf0.1 one planted pair (417 ↔ 1000417) splits
+      // past 2 shared assignments — its source sits where cells 3/7/9
+      // meet and the copy's second-nearest set doesn't overlap until
+      // the third. Soft assignment is exactly the recall knob the
+      // operator doc claims; 3 is measured sufficient at every sf.
+      Similarity.semanticDedup(base.union(perturbed(e)), cents,
+          threshold = 0.9, nassign = 3)
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH pert AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |         list_transform(CAST(embedding AS DOUBLE[]),
+           |                        (x,i) -> x + 0.04*sin((vec_id + 1000000)*7 + (i-1))) AS v
+           |  FROM embeddings),
+           |allv AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |  UNION ALL SELECT vec_id, v FROM pert)
+           |SELECT a.vec_id,
+           |  CAST(CASE WHEN EXISTS (
+           |    SELECT 1 FROM allv b WHERE b.vec_id < a.vec_id
+           |      AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.9)
+           |  THEN 0 ELSE 1 END AS BIGINT) AS kept
+           |FROM allv a ORDER BY a.vec_id""".stripMargin),
+    doc = "SemDeDup semantic dedup: within-cell pair scoring over the " +
+      "s4 at-rest IVF cells (soft nassign=3 assignment), greedy min-id " +
+      "exemplar keep rule, exact against the brute-force oracle")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(brute, lsh, nearDup, ivf, quant, centroids)
+    Seq(brute, lsh, nearDup, ivf, quant, centroids, semantic)
 }

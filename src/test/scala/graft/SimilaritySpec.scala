@@ -93,6 +93,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.toSeq == expected)
   }
 
+  test("semanticDedup keeps the min-id exemplar of each within-cell dup group") {
+    val s = spark
+    import s.implicits._
+    // two well-separated cells; 1/2/3 are near-dups in cell A (min id 1
+    // survives), 10 is alone in cell B
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.01f)), (3L, Seq(0.998f, 0.02f)),
+      (10L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val kept = Similarity.semanticDedup(vecs, cents, threshold = 0.99, nassign = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 10L -> 1L))
+  }
+
+  test("semanticDedup soft assignment catches a cell-boundary dup pair") {
+    val s = spark
+    import s.implicits._
+    // 1 and 2 are a near-dup pair straddling the Voronoi boundary
+    // between the two centroids: 1 lands in cell A, 2 in cell B, so
+    // hard assignment (nassign=1) never compares them
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.99f)), (2L, Seq(0.99f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def kept(nassign: Int) =
+      Similarity.semanticDedup(vecs, cents, threshold = 0.99, nassign = nassign)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept(1) == Map(1L -> 1L, 2L -> 1L),
+      "hard assignment should miss the boundary pair (the documented gap)")
+    assert(kept(2) == Map(1L -> 1L, 2L -> 0L),
+      "nassign=2 must bring the boundary pair into a shared cell")
+  }
+
   test("dot/cosine expressions compute correctly on known vectors") {
     val s = spark
     import s.implicits._
