@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.MapReduceQueries,
     graft.queries.MultimodalQueries,
     graft.queries.TemporalQueries,
+    graft.queries.ChangelogQueries,
     graft.queries.StreamingQueries,
     graft.queries.PipelineQueries
   )

@@ -263,6 +263,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"s6 must not join:\n$p")
   }
 
+  test("c1: compaction winner is a HashAggregate with map-side partial, never a sort") {
+    val p = plan("c1_compact_latest")
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"packed-decimal max must partial-combine map-side:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the packing exists so the winner never sort-aggregates:\n$p")
+    assert(!p.contains("Window"), s"c1 must not fall back to a window sort:\n$p")
+  }
+
+  test("s7: semantic dedup joins on (cell, salt) keys, no nested loop, no window") {
+    val p = plan("s7_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pair scoring must stay an equi-join:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"pair scoring must not drag vectors through a sort aggregate:\n$p")
+  }
+
   test("salted join equals direct join and spreads a hot key across buckets") {
     val s = spark
     import s.implicits._
