@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.MultimodalQueries,
     graft.queries.TemporalQueries,
     graft.queries.ChangelogQueries,
+    graft.queries.GraphQueries,
     graft.queries.StreamingQueries,
     graft.queries.PipelineQueries
   )

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{CatalogQuery, QueryModule, Tables}
+import graft.operators.Graph
+
+/** Iterative graph analytics over the TPC-H relations: PageRank on the
+  * customer→supplier purchase graph (distinct (custkey, suppkey) pairs
+  * through orders ⋈ lineitem; node ids disambiguated by parity —
+  * customers even, suppliers odd). The recurrence is exact integer
+  * arithmetic, so the oracle unrolls the SAME three iterations in SQL
+  * and the hash compare is bit-for-bit — no float tolerance, no
+  * summation-order sensitivity.
+  */
+object GraphQueries extends QueryModule {
+
+  private val contribSql = (prev: String) =>
+    s"""SELECT e.dst, SUM(r.rank // d.outdeg) AS s
+       |      FROM e JOIN $prev r ON e.src = r.id
+       |             JOIN deg d ON e.src = d.src
+       |      GROUP BY e.dst""".stripMargin
+
+  private val iterSql = (prev: String) =>
+    s"""SELECT n.id,
+       |      CAST((SELECT base FROM p) + (85 * COALESCE(s.s, 0)) // 100
+       |           AS BIGINT) AS rank
+       |    FROM nodes n LEFT JOIN (
+       |      ${contribSql(prev)}) s ON n.id = s.dst""".stripMargin
+
+  private val pagerank = CatalogQuery(
+    "g1_pagerank",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.pageRank(edges, iters = 3).orderBy(col("id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            |p AS (SELECT 1000000000000 // count(*) AS r0,
+            |             ((100-85) * (1000000000000 // count(*))) // 100 AS base
+            |      FROM nodes),
+            |r0 AS (SELECT id, (SELECT r0 FROM p) AS rank FROM nodes),
+            |i1 AS (${iterSql("r0")}),
+            |i2 AS (${iterSql("i1")}),
+            |i3 AS (${iterSql("i2")})
+            |SELECT CAST(id AS BIGINT) AS id, rank FROM i3
+            |ORDER BY id""".stripMargin),
+    doc = "Fixed-iteration PageRank (3 iters, 0.85 damping) in exact " +
+      "integer rank units: per iteration one src-join + one map-side-" +
+      "combined dst aggregate + one node left join; edges repartitioned " +
+      "by src once and persisted; oracle unrolls the identical integer " +
+      "recurrence")
+
+  override def queries: Seq[CatalogQuery] = Seq(pagerank)
+}
