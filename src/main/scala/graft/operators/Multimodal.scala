@@ -146,6 +146,89 @@ object Multimodal {
       }
   }
 
+  /** Audio container headers where the parse is pure byte arithmetic —
+    * the audio twin of [[ImageHeader]]: WAV carries sample rate and
+    * channel count in its `fmt ` chunk; an MP3 with an ID3v2 prefix
+    * declares the tag's size in four SYNCSAFE bytes. Malformed or
+    * truncated input → None, never a fabricated value.
+    */
+  object AudioHeader {
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+      s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+    /** WAV: "RIFF" + size + "WAVE", then a chunk chain of
+      * 4CC + LE-u32 size, each chunk word-aligned (odd sizes carry a
+      * pad byte) — walked until the REQUIRED `fmt ` chunk, which holds
+      * channels at +2 and sample rate at +4 (RIFF/WAVE spec). Walking
+      * the chain, not assuming the canonical 44-byte layout, is what
+      * survives files with LIST/JUNK chunks before `fmt `.
+      */
+    def wavInfo(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 12 || !fourcc(b, 0, "RIFF") || !fourcc(b, 8, "WAVE")) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size > Int.MaxValue) return None // lost sync into garbage
+        if (fourcc(b, i, "fmt ")) {
+          if (size < 16 || i + 8 + 16 > b.length) return None
+          val ch = le16(b, i + 10)
+          val sr = le32(b, i + 12)
+          return if (sr > 0 && sr <= Int.MaxValue && ch > 0) Some((sr.toInt, ch))
+                 else None
+        }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+
+    /** ID3v2 header: "ID3" + version(2) + flags(1) + a 4-byte SYNCSAFE
+      * size (every byte < 0x80, 7 bits each — id3v2.4 §3.1); the size
+      * excludes the 10-byte header. 0xFF version bytes mark an invalid
+      * header per spec.
+      */
+    def id3TagSize(b: Array[Byte]): Option[Long] = {
+      if (b.length < 10 || !fourcc(b, 0, "ID3")) return None
+      if (u8(b, 3) == 0xff || u8(b, 4) == 0xff) return None
+      val ss = Array(u8(b, 6), u8(b, 7), u8(b, 8), u8(b, 9))
+      if (ss.exists(_ >= 0x80)) return None
+      Some((ss(0).toLong << 21) | (ss(1).toLong << 14) |
+        (ss(2).toLong << 7) | ss(3).toLong)
+    }
+  }
+
+  /** Per-blob parsed audio header fields; None where the format does
+    * not carry the field or the header is malformed.
+    */
+  case class BlobAudio(blob_id: Long, format: String,
+                       sample_rate: Option[Int], channels: Option[Int],
+                       tag_size: Option[Long])
+
+  /** Parse real sample-rate/channel/tag-size fields out of WAV/ID3
+    * headers — row-local byte work, zero shuffle, the audio twin of
+    * [[imageDimensions]].
+    */
+  def audioInfo(blobs: Dataset[Blob]): Dataset[BlobAudio] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      b.format match {
+        case "wav" =>
+          val w = AudioHeader.wavInfo(b.content)
+          BlobAudio(b.blob_id, b.format, w.map(_._1), w.map(_._2), None)
+        case "mp3" =>
+          BlobAudio(b.blob_id, b.format, None, None,
+            AudioHeader.id3TagSize(b.content))
+        case _ => BlobAudio(b.blob_id, b.format, None, None, None)
+      }
+    })
+  }
+
   /** Per-blob parsed image dimensions; None for non-images and for
     * malformed headers.
     */
@@ -173,18 +256,24 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val magic = upper(hex(substring(col(binCol), 1, 4)))
+    // RIFF alone is a container family (AVI, WEBP, ...); only the
+    // "WAVE" form type at offset 8 makes it audio/wav
+    val riffWave = magic === "52494646" &&
+      upper(hex(substring(col(binCol), 9, 4))) === "57415645"
     df.select(
       col(idCol).cast("long").as("blob_id"),
       when(magic.startsWith("FFD8FF"), "image")
         .when(magic.startsWith("89504E47"), "image")
         .when(magic.startsWith("494433"), "audio")
         .when(magic.startsWith("664C6143"), "audio")
+        .when(riffWave, "audio")
         .when(magic === "00000018" || magic === "00000020", "video")
         .otherwise("text").as("modality"),
       when(magic.startsWith("FFD8FF"), "jpeg")
         .when(magic.startsWith("89504E47"), "png")
         .when(magic.startsWith("494433"), "mp3")
         .when(magic.startsWith("664C6143"), "flac")
+        .when(riffWave, "wav")
         .otherwise("raw").as("format"),
       length(col(binCol)).cast("long").as("n_bytes"),
       col(binCol).as("content")).as[Blob]

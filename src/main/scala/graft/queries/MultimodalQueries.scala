@@ -244,6 +244,88 @@ object MultimodalQueries extends QueryModule {
       "synthesized from doc_id, parsed back from actual header bytes, " +
       "oracle re-derives them independently; truncated JPEGs yield NULL")
 
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+
+  /** Spec-complete WAV header with a JUNK chunk BEFORE `fmt ` — a
+    * parser that assumes the canonical 44-byte layout (fmt at offset
+    * 12) reads garbage and fails the hash; only a real chunk walk
+    * lands on the right offsets.
+    */
+  private def wavFixture(sr: Int, ch: Int): Array[Byte] =
+    "RIFF".getBytes ++ le32(200) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(6) ++ Array.fill[Byte](6)(0x55.toByte) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(sr) ++
+      le32(sr * ch * 2) ++ le16(ch * 2) ++ le16(16)
+
+  /** Sniffs as wav (RIFF+WAVE intact) but the chunk chain never
+    * reaches a `fmt ` — the parser must return nulls, not invent a
+    * sample rate.
+    */
+  private def truncatedWav: Array[Byte] =
+    "RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes
+
+  /** ID3v2.4 header: the tag size rides in four SYNCSAFE bytes (7 bits
+    * each) — a plain big-endian read overshoots for any size with a
+    * bit above position 6 in some byte, so the formulas differ on most
+    * ids and a wrong decode fails the hash.
+    */
+  private def id3Fixture(tag: Long): Array[Byte] =
+    "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array(((tag >> 21) & 0x7f), ((tag >> 14) & 0x7f),
+        ((tag >> 7) & 0x7f), tag & 0x7f).map(_.toByte)
+
+  /** REAL audio header decoding, the audio twin of m5: WAV sample
+    * rate / channel count out of a chunk-walked `fmt `, ID3v2 tag
+    * size out of syncsafe bytes — all synthesized deterministically
+    * from doc_id so the oracle re-derives every field without seeing
+    * a byte, plus a truncated-WAV class proving the parser refuses to
+    * fabricate. Row-local mapPartitions work, zero shuffle.
+    */
+  private val audioHeaders = CatalogQuery(
+    "m6_audio_headers",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val withBytes = Tables(s, dir).documents
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = (id % 4) match {
+            case 0 => wavFixture((id % 48000 + 8000).toInt,
+              (id % 2 + 1).toInt) ++ payload
+            case 1 => id3Fixture(id % 100000) ++ payload
+            case 2 => truncatedWav ++ payload
+            case _ => payload
+          }
+          (id, content)
+        }.toDF("doc_id", "content")
+      Multimodal.audioInfo(
+          Multimodal.asBlobs(withBytes, "doc_id", "content"))
+        .toDF()
+        .select($"blob_id", $"format",
+          $"sample_rate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"),
+          $"tag_size".cast("long").as("tag_size"))
+        .orderBy($"blob_id")
+    },
+    Some("""WITH m AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+           |SELECT doc_id AS blob_id,
+           |  CASE WHEN r IN (0, 2) THEN 'wav' WHEN r = 1 THEN 'mp3'
+           |       ELSE 'raw' END AS format,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 48000 + 8000 AS BIGINT)
+           |       END AS sample_rate,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 2 + 1 AS BIGINT)
+           |       END AS channels,
+           |  CASE WHEN r = 1 THEN CAST(doc_id % 100000 AS BIGINT)
+           |       END AS tag_size
+           |FROM m ORDER BY blob_id""".stripMargin),
+    doc = "Real WAV fmt-chunk / ID3v2 syncsafe header parsing: fields " +
+      "synthesized from doc_id behind a JUNK chunk (forcing a true " +
+      "chunk walk), parsed back from actual bytes, oracle re-derives " +
+      "them independently; truncated WAVs yield NULL")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(features, frameSample, resize, routing, imageDims)
+    Seq(features, frameSample, resize, routing, imageDims, audioHeaders)
 }

@@ -103,6 +103,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dims(2L) == ((None, None)))
   }
 
+  test("wavInfo walks the chunk chain, honoring odd-size pad bytes") {
+    import graft.operators.Multimodal.AudioHeader
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    // JUNK chunk with an ODD size (5 → 1 pad byte) before fmt: a walk
+    // that skips the pad lands mid-chunk and must NOT find fmt
+    val wav = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(5) ++ Array.fill[Byte](6)(0x11) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16)
+    assert(AudioHeader.wavInfo(wav) == Some((44100, 2)))
+    // no fmt chunk at all → refuse
+    assert(AudioHeader.wavInfo("RIFF".getBytes ++ le32(4) ++ "WAVE".getBytes).isEmpty)
+    // fmt declared but truncated mid-field → refuse
+    assert(AudioHeader.wavInfo("RIFF".getBytes ++ le32(20) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1)).isEmpty)
+  }
+
+  test("id3TagSize decodes syncsafe bytes and rejects non-syncsafe input") {
+    import graft.operators.Multimodal.AudioHeader
+    def hdr(b6: Int, b7: Int, b8: Int, b9: Int) =
+      "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+        Array(b6, b7, b8, b9).map(_.toByte)
+    // 0x01 0x7f 0x7f 0x7f syncsafe = 1<<21 | 127<<14 | 127<<7 | 127
+    assert(AudioHeader.id3TagSize(hdr(0x01, 0x7f, 0x7f, 0x7f)) ==
+      Some((1L << 21) | (127L << 14) | (127L << 7) | 127L))
+    // any size byte with the top bit set is not syncsafe → refuse
+    assert(AudioHeader.id3TagSize(hdr(0x80, 0, 0, 0)).isEmpty)
+    // 0xff version byte is invalid per spec → refuse
+    assert(AudioHeader.id3TagSize("ID3".getBytes ++
+      Array[Byte](-1, 0, 0, 1, 1, 1, 1)).isEmpty)
+  }
+
+  test("asBlobs sniffs RIFF+WAVE as wav but bare RIFF stays raw") {
+    val s = spark
+    import s.implicits._
+    val wav = "RIFF1234WAVEx".getBytes
+    val avi = "RIFF1234AVI x".getBytes
+    val df = Seq((1L, wav), (2L, avi)).toDF("id", "content")
+    val got = Multimodal.asBlobs(df, "id", "content").collect()
+      .map(b => b.blob_id -> ((b.modality, b.format))).toMap
+    assert(got(1L) == (("audio", "wav")))
+    assert(got(2L) == (("text", "raw")))
+  }
+
   test("sampleFrames keeps every stride-th frame index") {
     val s = spark
     import s.implicits._
