@@ -301,9 +301,24 @@ object MultimodalQueries extends QueryModule {
           }
           (id, content)
         }.toDF("doc_id", "content")
-      Multimodal.audioInfo(
+      val parsed = Multimodal.audioInfo(
           Multimodal.asBlobs(withBytes, "doc_id", "content"))
         .toDF()
+      // guard the fixture invariants the oracle relies on (m4 house
+      // style): unlike JPEG/PNG magics, "ID3" and "RIFF" are plain
+      // ASCII, so an unprefixed (r=3) document could legitimately
+      // START with one and sniff as audio; and the r=2 truncated-WAV
+      // chunk walk continues into ASCII payload where a stray
+      // walk-aligned "fmt " would fabricate a sample rate. Fail
+      // loudly here, not as an opaque hash mismatch.
+      val r = pmod($"blob_id", lit(4))
+      val clash = parsed.filter(
+          (r === 3 && $"format" =!= "raw") ||
+          (r === 2 && ($"sample_rate".isNotNull || $"channels".isNotNull)))
+        .count()
+      require(clash == 0L,
+        s"m6 fixture invariant broken: $clash docs misroute or fabricate fields")
+      parsed
         .select($"blob_id", $"format",
           $"sample_rate".cast("long").as("sample_rate"),
           $"channels".cast("long").as("channels"),
