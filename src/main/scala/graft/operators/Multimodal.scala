@@ -229,6 +229,104 @@ object Multimodal {
     })
   }
 
+  /** ISO-BMFF (MP4) box structure where the parse is pure byte
+    * arithmetic — the video member of the [[ImageHeader]] /
+    * [[AudioHeader]] family. Boxes are big-endian u32 size + 4CC type
+    * (size 1 → 64-bit largesize follows; size 0 → box runs to end of
+    * input, ISO 14496-12 §4.2); the movie timescale and duration live
+    * in moov/mvhd, whose field widths differ between version 0 (32-bit
+    * times) and version 1 (64-bit times). Malformed or truncated input
+    * → None, never a fabricated value.
+    */
+  object Mp4Header {
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+      s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+    /** Walk sibling boxes in [start, end) for `typ`; returns the
+      * payload span (payloadStart, boxEnd). A box that declares more
+      * bytes than the input holds is truncated → None, and a size
+      * below the header's own length means lost sync → None.
+      */
+    private def findBox(b: Array[Byte], start: Int, end: Int,
+                        typ: String): Option[(Int, Int)] = {
+      var i = start.toLong
+      while (i + 8 <= end) {
+        val ii = i.toInt
+        val size32 = be32(b, ii)
+        val (hdr, size): (Int, Long) =
+          if (size32 == 1L) {
+            if (i + 16 > end) return None
+            (16, be64(b, ii + 8))
+          } else if (size32 == 0L) (8, end - i)
+          else (8, size32)
+        if (size < hdr) return None
+        val boxEnd = i + size
+        if (fourcc(b, ii + 4, typ))
+          return if (boxEnd <= end) Some(((i + hdr).toInt, boxEnd.toInt))
+                 else None
+        if (boxEnd > end) return None
+        i = boxEnd
+      }
+      None
+    }
+
+    /** Major brand from the ftyp box, which must come first in the
+      * file (ISO 14496-12 §4.3): 4 ASCII chars right after the box
+      * header.
+      */
+    def majorBrand(b: Array[Byte]): Option[String] =
+      if (b.length < 12 || !fourcc(b, 4, "ftyp")) None
+      else Some(new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII))
+
+    /** (timescale, duration) out of moov/mvhd, honoring both field
+      * layouts: version 0 packs creation/modification times in 32
+      * bits (timescale at payload+12, duration at +16), version 1 in
+      * 64 (timescale at +20, duration at +24 as u64).
+      */
+    def mvhdInfo(b: Array[Byte]): Option[(Long, Long)] =
+      for {
+        moov <- findBox(b, 0, b.length, "moov")
+        mvhd <- findBox(b, moov._1, moov._2, "mvhd")
+        info <- {
+          val (hs, he) = mvhd
+          if (he - hs < 4) None
+          else (b(hs) & 0xff) match {
+            case 0 if he - hs >= 20 => Some((be32(b, hs + 12), be32(b, hs + 16)))
+            case 1 if he - hs >= 32 => Some((be32(b, hs + 20), be64(b, hs + 24)))
+            case _ => None
+          }
+        }
+      } yield info
+  }
+
+  /** Per-blob parsed MP4 movie-header fields; None where the blob is
+    * not an MP4 or the box chain is malformed/truncated.
+    */
+  case class BlobVideo(blob_id: Long, format: String, brand: Option[String],
+                       timescale: Option[Long], duration: Option[Long])
+
+  /** Parse real brand/timescale/duration fields out of MP4 box
+    * structure — row-local byte work, zero shuffle, the video twin of
+    * [[imageDimensions]] / [[audioInfo]].
+    */
+  def videoInfo(blobs: Dataset[Blob]): Dataset[BlobVideo] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      if (b.format == "mp4") {
+        val m = Mp4Header.mvhdInfo(b.content)
+        BlobVideo(b.blob_id, b.format, Mp4Header.majorBrand(b.content),
+          m.map(_._1), m.map(_._2))
+      } else BlobVideo(b.blob_id, b.format, None, None, None)
+    })
+  }
+
   /** Per-blob parsed image dimensions; None for non-images and for
     * malformed headers.
     */
@@ -260,6 +358,11 @@ object Multimodal {
     // "WAVE" form type at offset 8 makes it audio/wav
     val riffWave = magic === "52494646" &&
       upper(hex(substring(col(binCol), 9, 4))) === "57415645"
+    // ISO-BMFF: the first 4 bytes are the ftyp box SIZE (arbitrary),
+    // the "ftyp" 4CC at offset 4 is the actual signature — stronger
+    // than the former common-size heuristic (0x18/0x20), which both
+    // missed other sizes and matched non-MP4 data
+    val isoFtyp = upper(hex(substring(col(binCol), 5, 4))) === "66747970"
     df.select(
       col(idCol).cast("long").as("blob_id"),
       when(magic.startsWith("FFD8FF"), "image")
@@ -267,13 +370,14 @@ object Multimodal {
         .when(magic.startsWith("494433"), "audio")
         .when(magic.startsWith("664C6143"), "audio")
         .when(riffWave, "audio")
-        .when(magic === "00000018" || magic === "00000020", "video")
+        .when(isoFtyp, "video")
         .otherwise("text").as("modality"),
       when(magic.startsWith("FFD8FF"), "jpeg")
         .when(magic.startsWith("89504E47"), "png")
         .when(magic.startsWith("494433"), "mp3")
         .when(magic.startsWith("664C6143"), "flac")
         .when(riffWave, "wav")
+        .when(isoFtyp, "mp4")
         .otherwise("raw").as("format"),
       length(col(binCol)).cast("long").as("n_bytes"),
       col(binCol).as("content")).as[Blob]

@@ -341,6 +341,106 @@ object MultimodalQueries extends QueryModule {
       "chunk walk), parsed back from actual bytes, oracle re-derives " +
       "them independently; truncated WAVs yield NULL")
 
+  private def be32c(v: Long): Array[Byte] =
+    Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xff).toByte)
+  private def be64c(v: Long): Array[Byte] =
+    be32c(v >>> 32) ++ be32c(v & 0xffffffffL)
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32c(8L + payload.length) ++ typ.getBytes ++ payload
+
+  /** Spec-shaped MP4: ftyp, then an ODD-size `free` box before moov
+    * (ISO-BMFF has no RIFF-style pad bytes — a parser that word-aligns
+    * loses sync and fails the hash), then moov with a junk `udta`
+    * child before mvhd so finding it takes a real child walk. The
+    * version-1 variant carries 64-bit times; its fixture durations
+    * exceed 2^32, so a 32-bit read wraps and fails the hash.
+    */
+  private def mp4Fixture(brand: String, v1: Boolean,
+                         ts: Long, dur: Long): Array[Byte] = {
+    val mvhd =
+      if (v1) mp4Box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64c(0) ++
+        be64c(0) ++ be32c(ts) ++ be64c(dur) ++ Array.fill[Byte](80)(0))
+      else mp4Box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32c(0) ++
+        be32c(0) ++ be32c(ts) ++ be32c(dur) ++ Array.fill[Byte](80)(0))
+    mp4Box("ftyp", brand.getBytes ++ be32c(0x200) ++ "isomiso2".getBytes) ++
+      mp4Box("free", Array.fill[Byte](11)(0x55.toByte)) ++
+      mp4Box("moov", mp4Box("udta", Array.fill[Byte](7)(0x22.toByte)) ++ mvhd)
+  }
+
+  /** Sniffs as mp4 (ftyp intact, brand readable) but moov declares
+    * more bytes than the input holds — the parser must refuse, not
+    * walk off the end or fabricate a duration.
+    */
+  private def truncatedMp4: Array[Byte] =
+    mp4Box("ftyp", "isom".getBytes ++ be32c(0x200) ++ "isomiso2".getBytes) ++
+      be32c(1000) ++ "moov".getBytes
+
+  /** REAL MP4 box-structure decoding — the video member completing the
+    * m5 (image) / m6 (audio) family: major brand out of ftyp, movie
+    * timescale + duration out of a box-walked moov/mvhd in BOTH field
+    * layouts (version 0 = 32-bit times, version 1 = 64-bit — the v1
+    * fixture durations exceed 2^32 so only a true 64-bit read
+    * matches), all synthesized deterministically from doc_id so the
+    * oracle re-derives every field without seeing a byte, plus a
+    * truncated-moov class proving the parser refuses to fabricate.
+    * Row-local mapPartitions work, zero shuffle.
+    */
+  private val videoHeaders = CatalogQuery(
+    "m7_video_headers",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val withBytes = Tables(s, dir).documents
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = (id % 4) match {
+            case 0 => mp4Fixture("isom", v1 = false,
+              id % 90000 + 600, id % 100000) ++ payload
+            case 1 => mp4Fixture("mp42", v1 = true,
+              id % 48000 + 1000, (1L << 32) + id % 100000) ++ payload
+            case 2 => truncatedMp4
+            case _ => payload
+          }
+          (id, content)
+        }.toDF("doc_id", "content")
+      val parsed = Multimodal.videoInfo(
+          Multimodal.asBlobs(withBytes, "doc_id", "content"))
+        .toDF()
+      // m4/m6 house-style fixture-invariant guard: "ftyp" is plain
+      // ASCII at offset 4, so an unprefixed (r=3) document could
+      // sniff as video if its text cooperates — fail loudly, not as
+      // a hash mismatch. (r=2 cannot fabricate fields: the truncated
+      // moov carries no payload to walk into.)
+      val clash = parsed.filter(
+          pmod($"blob_id", lit(4)) === 3 && $"format" =!= "raw")
+        .count()
+      require(clash == 0L,
+        s"m7 fixture invariant broken: $clash unprefixed docs sniff as video")
+      parsed
+        .select($"blob_id", $"format", $"brand",
+          $"timescale".cast("long").as("timescale"),
+          $"duration".cast("long").as("duration"))
+        .orderBy($"blob_id")
+    },
+    Some("""WITH m AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+           |SELECT doc_id AS blob_id,
+           |  CASE WHEN r = 3 THEN 'raw' ELSE 'mp4' END AS format,
+           |  CASE WHEN r IN (0, 2) THEN 'isom' WHEN r = 1 THEN 'mp42'
+           |       END AS brand,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 90000 + 600 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(doc_id % 48000 + 1000 AS BIGINT)
+           |       END AS timescale,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 100000 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(4294967296 + doc_id % 100000 AS BIGINT)
+           |       END AS duration
+           |FROM m ORDER BY blob_id""".stripMargin),
+    doc = "Real MP4 ftyp/moov/mvhd box parsing: brand, timescale and " +
+      "duration synthesized from doc_id behind odd-size free/udta " +
+      "boxes (forcing a true unaligned box walk, both mvhd versions), " +
+      "parsed back from actual bytes, oracle re-derives them " +
+      "independently; truncated moov yields NULL")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(features, frameSample, resize, routing, imageDims, audioHeaders)
+    Seq(features, frameSample, resize, routing, imageDims, audioHeaders,
+      videoHeaders)
 }

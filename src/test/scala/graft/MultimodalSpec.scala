@@ -148,6 +148,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(2L) == (("text", "raw")))
   }
 
+  test("Mp4Header walks unaligned boxes and honors both mvhd versions") {
+    import graft.operators.Multimodal.Mp4Header
+    def be32(v: Long) = Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, p: Array[Byte]) = be32(8L + p.length) ++ t.getBytes ++ p
+    def file(mvhd: Array[Byte]) =
+      box("ftyp", "isom".getBytes ++ be32(0) ++ "isomiso2".getBytes) ++
+        box("free", Array.fill[Byte](11)(0x55)) ++ // ODD size: no pad in BMFF
+        box("moov", box("udta", Array.fill[Byte](7)(0x22)) ++ mvhd)
+    val v0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(90000) ++ be32(123456) ++ Array.fill[Byte](80)(0))
+    assert(Mp4Header.mvhdInfo(file(v0)) == Some((90000L, 123456L)))
+    assert(Mp4Header.majorBrand(file(v0)) == Some("isom"))
+    // version 1: 64-bit duration above 2^32 — a 32-bit read wraps
+    val big = (1L << 32) + 77L
+    val v1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(48000) ++ be64(big) ++ Array.fill[Byte](80)(0))
+    assert(Mp4Header.mvhdInfo(file(v1)) == Some((48000L, big)))
+    // largesize path: moov with size==1 and a 64-bit size field
+    val inner = box("udta", Array.fill[Byte](7)(0x22)) ++ v0
+    val largeMoov = be32(1) ++ "moov".getBytes ++ be64(16L + inner.length) ++ inner
+    assert(Mp4Header.mvhdInfo(
+      box("ftyp", "isom".getBytes ++ be32(0)) ++ largeMoov) ==
+      Some((90000L, 123456L)))
+    // moov declares more bytes than present → refuse
+    assert(Mp4Header.mvhdInfo(
+      box("ftyp", "isom".getBytes ++ be32(0)) ++ be32(1000) ++ "moov".getBytes).isEmpty)
+    // mvhd payload shorter than its version's layout → refuse
+    val shortV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0))
+    assert(Mp4Header.mvhdInfo(
+      box("ftyp", "isom".getBytes ++ be32(0)) ++ box("moov", shortV1)).isEmpty)
+    // no ftyp → no brand
+    assert(Mp4Header.majorBrand("plain text here".getBytes).isEmpty)
+  }
+
+  test("asBlobs sniffs ftyp as mp4 regardless of the leading box size") {
+    val s = spark
+    import s.implicits._
+    def be32(v: Long) = Array(v >> 24, v >> 16, v >> 8, v).map(x => (x & 0xff).toByte)
+    // size 0x1C is NOT one of the old heuristic's 0x18/0x20 values
+    val mp4 = be32(0x1c) ++ "ftyp".getBytes ++ "isom".getBytes ++ new Array[Byte](16)
+    val noFtyp = be32(0x18) ++ "blah".getBytes ++ new Array[Byte](16)
+    val got = Multimodal.asBlobs(
+        Seq((1L, mp4), (2L, noFtyp)).toDF("id", "content"), "id", "content")
+      .collect().map(b => b.blob_id -> ((b.modality, b.format))).toMap
+    assert(got(1L) == (("video", "mp4")))
+    assert(got(2L) == (("text", "raw")))
+  }
+
   test("sampleFrames keeps every stride-th frame index") {
     val s = spark
     import s.implicits._
