@@ -70,33 +70,53 @@ object Temporal {
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTime: String, rightTime: String,
                        carryCols: Seq[String]): DataFrame = {
-    // at equal __t the right row sorts first (side 0 < 1), so a right
-    // row exactly at leftTime is visible to that left row (<= semantics)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
       .withColumn("__carry_b",
-        last(carryStruct(carryCols), ignoreNulls = true).over(w))
+        last(carryStruct(carryCols), ignoreNulls = true).over(windowBackward(keys)))
     unpackCarry(carried, "__carry_b", carryCols)
   }
+
+  /** Backward-carry window: ascending (__t, __side) — at equal __t the
+    * right row (side 0) sorts first, so a right row exactly at a left
+    * row's time is inside its preceding frame (<= semantics).
+    */
+  private def windowBackward(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Forward-carry window: time-DESCENDING sort with the same GROWING
+    * [unboundedPreceding, currentRow] frame as [[windowBackward]] — in
+    * reversed time order the "latest at-or-before" scan IS the
+    * "earliest at-or-after" scan. At equal __t the right row (side 0)
+    * still sorts first, so an exactly-simultaneous right row is inside
+    * the left row's frame (>= tie semantics, mirroring backward's <=).
+    *
+    * The growing frame is the point: Spark evaluates it incrementally
+    * (one aggregate update per row), while any frame anchored at
+    * unboundedFollowing — the "natural" forward formulation
+    * `first(...) over [currentRow, ∞)` — re-aggregates the remaining
+    * partition for EVERY row, O(rows²) per key. Measured on a5b at
+    * sf0.1: the shrinking-frame form is ~3.4× the backward pass; this
+    * form is sort-cost only.
+    */
+  private def windowForward(keys: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Mirror of [[asofJoinBackward]]: the EARLIEST right row with
     * `right.timeCol >= left.timeCol` (forward as-of, ties include the
     * right row — DuckDB `ASOF ... ON l.ts <= r.ts` semantics). Same
-    * single shuffle; the tie flip is the descending __side in the sort
-    * (left 1 before right 0 at equal __t, so an exactly-simultaneous
-    * right row lands INSIDE the left row's following frame).
+    * single shuffle; the second in-partition sort ([[windowForward]])
+    * buys an O(rows) window pass.
     */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTime: String, rightTime: String,
                       carryCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
       .withColumn("__carry_f",
-        first(carryStruct(carryCols), ignoreNulls = true).over(w))
+        last(carryStruct(carryCols), ignoreNulls = true).over(windowForward(keys)))
     unpackCarry(carried, "__carry_f", carryCols)
   }
 
@@ -104,23 +124,17 @@ object Temporal {
     * closer in time, ties (equidistant candidates) resolving BACKWARD
     * (pandas merge_asof direction='nearest' convention). Both carries
     * run over the SAME union — one shuffle on `keys`, two in-partition
-    * sorted window passes (the second reuses the first's partitioning;
-    * PlanSpec-style single-Exchange shape), still no inequality join.
+    * sorted GROWING-frame passes (never a shrinking frame, see
+    * [[windowForward]]), still no inequality join.
     */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTime: String, rightTime: String,
                       carryCols: Seq[String]): DataFrame = {
-    val wb = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val carried = asofUnion(left, right, keys, leftTime, rightTime, carryCols)
       .withColumn("__carry_b",
-        last(carryStruct(carryCols), ignoreNulls = true).over(wb))
+        last(carryStruct(carryCols), ignoreNulls = true).over(windowBackward(keys)))
       .withColumn("__carry_f",
-        first(carryStruct(carryCols), ignoreNulls = true).over(wf))
+        last(carryStruct(carryCols), ignoreNulls = true).over(windowForward(keys)))
     // distances in integral micros; a missing side is infinitely far.
     // <= keeps the backward candidate on exact ties.
     val db = when(col("__carry_b").isNull, lit(Long.MaxValue))
@@ -204,17 +218,13 @@ object Temporal {
     val ev = events.select(col(keyCol), col(tsCol),
       floor(col(valCol) * lit(1000000)).as("__vmicro"))
     val grid = alignedGrid(ev, keyCol, tsCol, stepSec)
-    val wb = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col(keyCol))
-      .orderBy(col("__t"), col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     asofUnion(grid, ev, Seq(keyCol), "grid_ts", tsCol, Seq("__vmicro"))
       .withColumn("__carry_b",
-        last(carryStruct(Seq("__vmicro")), ignoreNulls = true).over(wb))
+        last(carryStruct(Seq("__vmicro")), ignoreNulls = true)
+          .over(windowBackward(Seq(keyCol))))
       .withColumn("__carry_f",
-        first(carryStruct(Seq("__vmicro")), ignoreNulls = true).over(wf))
+        last(carryStruct(Seq("__vmicro")), ignoreNulls = true)
+          .over(windowForward(Seq(keyCol))))
       .filter(col("__side") === 1)
       .withColumn("__tg", expr("unix_micros(__t) div 1000"))
       .withColumn("__tb", expr("unix_micros(__carry_b.__rt) div 1000"))
