@@ -45,8 +45,9 @@ object TemporalQueries extends QueryModule {
   /** a1's FORWARD mirror: the next error at-or-after each click — the
     * direction DuckDB's own ASOF (`l.ts <= r.ts`) and every
     * label-attachment pipeline ("first outcome after the exposure")
-    * need alongside backward. Same union + window skeleton, frame
-    * flipped to [current, unbounded following].
+    * need alongside backward. Same union + window skeleton, scanned in
+    * time-descending order so the carry stays an incremental growing
+    * frame (see [[graft.operators.Temporal.windowForward]]).
     */
   private val asofForward = CatalogQuery(
     "a1b_asof_forward",
