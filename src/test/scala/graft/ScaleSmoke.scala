@@ -250,6 +250,48 @@ object ScaleSmoke {
       time("a9_funnel")(graft.operators.Temporal
         .funnel(ev, "user_id", "ts", "event_type",
           Seq("view", "click", "purchase")).count())
+      time("a5b_interp")(graft.operators.Temporal.resampleInterp(
+        ev.select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", stepSec = 21600L).count())
+      // CDC ops over the same replicated events; event ids re-offset
+      // per replica because compactLatest re-joins winners by UNIQUE
+      // id — duplicate ids across replicas would multiply the join
+      val evc = ev.withColumn("event_id",
+        col("event_id") + expr("user_id div 1000000") * 100000000L)
+      time("c1_compact")(graft.operators.Changelog.compactLatest(
+        evc, Seq("user_id"), "ts", "event_id",
+        payload = Seq("event_type", "value")).count())
+      time("c2_scd2")(graft.operators.Changelog.scd2Intervals(
+        evc, Seq("user_id"), "ts", "event_id", "event_type").count())
+      // fixed-iteration PageRank over the purchase graph replicated
+      // with offset node ids — disjoint subgraphs, the honest "more
+      // customers" proxy: per-iteration join + aggregate should track
+      // the edge scan linearly
+      val edgePath = s"$tmp/edges"
+      val baseEdges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      (0 until mult).map(r => baseEdges.select(
+          (col("src") + lit(r * 1000000L)).as("src"),
+          (col("dst") + lit(r * 1000000L)).as("dst")))
+        .reduce(_ union _).write.mode("overwrite").parquet(edgePath)
+      time("g1_pagerank")(graft.operators.Graph
+        .pageRank(spark.read.parquet(edgePath), iters = 3).count())
+      // SemDeDup under the operator's own 100 TB contract: nlist grows
+      // with the corpus so per-cell population — and the quadratic
+      // within-cell pair work — stays bounded; the quantizer is
+      // re-trained per scale (its k-means is part of the measured
+      // regime, as it would be in production)
+      time("s7_semdedup") {
+        val cents = Similarity.ivfCentroids(emb, nlist = 16 * mult,
+          maxIter = 5)
+        Similarity.semanticDedup(
+          emb.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding")),
+          cents, threshold = 0.9, nassign = 3).count()
+      }
       // sketch build is the corpus-sized stage of t13: one local w×d
       // grid per task, merged pairwise — cost should track the token
       // scan, shuffle stays O(sketch · partitions)
