@@ -414,8 +414,61 @@ object DedupQueries extends QueryModule {
       "(argmax quality, doc-asc ties): keep the best copy, not an " +
       "arbitrary one; singletons keep themselves")
 
+  /** Fuzzy record matching over customer names: deterministic typos
+    * (doc-id-classed digit→letter substitutions at fixed positions, so
+    * the TRUE edit distance to the own name is exactly the class
+    * number) joined back against the clean names at maxDist=2 via
+    * [[graft.operators.Fuzzy.editDistanceJoin]]'s q-gram prefix
+    * filter. The oracle replays the FULL quadratic levenshtein join in
+    * DuckDB — brute-force ground truth at the gate scale, which is
+    * exactly what the prefix filter must be lossless against (typos of
+    * one customer legitimately match neighboring customers whose names
+    * differ in few digits; the oracle decides those too).
+    */
+  private val fuzzyJoin = CatalogQuery(
+    "d12_edit_distance_join",
+    (s: SparkSession, dir: String) => {
+      val c = Tables(s, dir).customer.select(col("c_custkey"), col("c_name"))
+      val r = pmod(col("c_custkey"), lit(4))
+      val t1 = concat(substring(col("c_name"), 1, 9), lit("z"),
+        substring(col("c_name"), 11, 1000))
+      val t2 = concat(substring(t1, 1, 12), lit("y"),
+        substring(t1, 14, 1000))
+      val t3 = concat(substring(t2, 1, 15), lit("x"),
+        substring(t2, 17, 1000))
+      val typos = c.select(col("c_custkey").as("typo_key"),
+        when(r === 0, col("c_name")).when(r === 1, t1)
+          .when(r === 2, t2).otherwise(t3).as("typo_name"))
+      graft.operators.Fuzzy.editDistanceJoin(
+          typos, c, "typo_key", "c_custkey", "typo_name", "c_name",
+          maxDist = 2)
+        .select(col("left_id").as("typo_key"),
+          col("right_id").as("cust_key"), col("dist"))
+        .orderBy(col("typo_key"), col("cust_key"))
+    },
+    Some("""WITH t AS (
+           |  SELECT c_custkey AS typo_key,
+           |    CASE c_custkey % 4
+           |      WHEN 0 THEN c_name
+           |      WHEN 1 THEN substr(c_name,1,9)||'z'||substr(c_name,11)
+           |      WHEN 2 THEN substr(c_name,1,9)||'z'||substr(c_name,11,2)
+           |                  ||'y'||substr(c_name,14)
+           |      ELSE substr(c_name,1,9)||'z'||substr(c_name,11,2)||'y'
+           |           ||substr(c_name,14,2)||'x'||substr(c_name,17)
+           |    END AS typo_name
+           |  FROM customer)
+           |SELECT t.typo_key, c.c_custkey AS cust_key,
+           |  CAST(levenshtein(t.typo_name, c.c_name) AS BIGINT) AS dist
+           |FROM t, customer c
+           |WHERE levenshtein(t.typo_name, c.c_name) <= 2
+           |ORDER BY typo_key, cust_key""".stripMargin),
+    doc = "Edit-distance similarity join (entity resolution): typo'd " +
+      "customer names matched back at maxDist=2 through the lossless " +
+      "q-gram prefix filter + exact levenshtein verify; the oracle is " +
+      "the full quadratic DuckDB levenshtein join")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical)
+      canonical, fuzzyJoin)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Fuzzy
+
+class FuzzySpec extends SparkSpecBase {
+
+  private def bruteForce(ls: Seq[(Long, String)], rs: Seq[(Long, String)],
+                         k: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (li, lsv) <- ls; (ri, rsv) <- rs
+      dist = lev(lsv, rsv) if dist <= k
+    } yield (li, ri, dist.toLong)).toSet
+  }
+
+  private def run(ls: Seq[(Long, String)], rs: Seq[(Long, String)],
+                  k: Int, q: Int = 2): Set[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Fuzzy.editDistanceJoin(ls.toDF("id", "s"), rs.toDF("id", "s"),
+        "id", "id", "s", "s", maxDist = k, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("hand cases: subs, inserts, deletes, exact, over-threshold") {
+    val ls = Seq(1L -> "kitten", 2L -> "flaw", 3L -> "identical")
+    val rs = Seq(10L -> "sitten", 11L -> "lawn", 12L -> "identical",
+      13L -> "completely-different")
+    assert(run(ls, rs, 2) == bruteForce(ls, rs, 2))
+  }
+
+  test("short strings with ZERO shared grams still pair via the length band") {
+    // ed("ab","cd") = 2 with no common q-grams even padded — only the
+    // short-string fallback can see this pair
+    val ls = Seq(1L -> "ab", 2L -> "x")
+    val rs = Seq(10L -> "cd", 11L -> "xy", 12L -> "wholly-unrelated")
+    val got = run(ls, rs, 2)
+    assert(got == bruteForce(ls, rs, 2))
+    assert(got.contains((1L, 10L, 2L)))
+  }
+
+  test("repeated grams: multiset ordinals keep the prefix filter lossless") {
+    val ls = Seq(1L -> "aaaaaa", 2L -> "ababab")
+    val rs = Seq(10L -> "aaaaab", 11L -> "ababab", 12L -> "bababa")
+    assert(run(ls, rs, 2) == bruteForce(ls, rs, 2))
+  }
+
+  test("differential vs brute force on a seeded random corpus") {
+    val rnd = new scala.util.Random(4242)
+    def word() = (0 until 3 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // small alphabet → many near-pairs
+    val ls = (1L to 60L).map(i => i -> word())
+    val rs = (101L to 160L).map(i => i -> word())
+    for (k <- Seq(0, 1, 2))
+      assert(run(ls, rs, k) == bruteForce(ls, rs, k), s"mismatch at k=$k")
+  }
+
+  test("maxDist=0 degenerates to exact string equality") {
+    val ls = Seq(1L -> "same", 2L -> "other")
+    val rs = Seq(10L -> "same", 11L -> "same", 12L -> "diff")
+    assert(run(ls, rs, 0) ==
+      Set((1L, 10L, 0L), (1L, 11L, 0L)))
+  }
+}
