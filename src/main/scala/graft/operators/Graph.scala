@@ -90,4 +90,66 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as a (possibly directed, possibly duplicated) edge list.
+    *
+    * The naive wedge join — every node joins its full neighbor list
+    * against itself — explodes quadratically on hub nodes (a degree-d
+    * hub emits C(d, 2) wedges; one celebrity node in a social graph is
+    * the whole job). This is the DEGREE-ORDERED orientation instead
+    * (the node-iterator++ / Cohen MR formulation, public literature):
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, so each triangle has exactly ONE vertex with two
+    * out-edges (its minimum) and is generated as exactly one wedge.
+    * Out-degrees under this orientation are bounded by O(√m) on ANY
+    * graph — a hub's wedges are generated by its low-degree
+    * neighbors, not by the hub — so wedge volume is O(m^1.5) worst
+    * case instead of Σd², and a 100 TB power-law graph keeps working.
+    *
+    * Plan: canonicalize + distinct (one shuffle), degree aggregate,
+    * two equi-joins (wedge build on the common endpoint, wedge close
+    * against the canonical edge set), explode each triangle to its 3
+    * corners, count. No cartesian anywhere; the orientation join keys
+    * are plain equality.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: (a < b), self-loops dropped,
+    // duplicates collapsed — persisted: wedge build and wedge close
+    // both read it
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge toward the (degree, id)-larger endpoint
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at each triangle's (degree, id)-minimum vertex; the pair
+    // (x, y) is kept in id order so closing it is one equi-join on
+    // the canonical edge set
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val triangles = wedges
+      .join(und, col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

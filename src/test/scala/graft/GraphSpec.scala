@@ -51,4 +51,42 @@ class GraphSpec extends SparkSpecBase {
     assert(got(1L) > got(2L) && got(2L) > got(3L))
     assert(got(3L) == got(4L) && got(4L) == got(5L))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: hand graphs — triangle, square, K4, star, dup/reversed edges") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // 4-cycle has no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == Map.empty)
+    // K4: 4 triangles, every node in 3
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star: no triangles regardless of hub degree
+    assert(tri((2L to 8L).map(i => (1L, i))) == Map.empty)
+    // duplicate, reversed and self-loop edges must not change counts
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: differential vs brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(777)
+    val n = 30
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val expected = (for {
+      Seq(x, y, z) <- und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+        .combinations(3).toSeq
+      if und((x, y)) && und((y, z)) && und((x, z))
+      node <- Seq(x, y, z)
+    } yield node).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(tri(edges) == expected)
+  }
 }
