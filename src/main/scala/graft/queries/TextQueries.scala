@@ -465,7 +465,56 @@ object TextQueries extends QueryModule {
       "vocab shuffle) probed by the native cms_estimate expression; " +
       "oracle checks exact counts + the deterministic error certificate")
 
+  /** One DuckDB BPE iteration: pair counts over the current vocabulary
+    * representation, argmax with lexicographic tie-break, literal
+    * left-to-right replace — the exact contract
+    * [[graft.operators.Bpe.learnMerges]] documents.
+    */
+  private def bpeIterSql(i: Int, prev: String): String =
+    s"""p$i AS (SELECT l[k] || ' ' || l[k+1] AS pair, sum(freq) AS f
+       |       FROM (SELECT string_split(trim(repr), ' ') AS l, freq,
+       |                    unnest(range(1, len(string_split(trim(repr), ' ')))) AS k
+       |             FROM $prev) s GROUP BY 1),
+       |b$i AS (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
+       |w$i AS (SELECT replace(repr, ' '||(SELECT pair FROM b$i)||' ',
+       |          ' '||replace((SELECT pair FROM b$i),' ','')||' ') AS repr,
+       |          freq FROM $prev)""".stripMargin
+
+  /** BPE tokenizer training: the 5 most frequent adjacent-symbol
+    * merges learned from the corpus word-frequency table. The oracle
+    * unrolls the SAME 5 iterations — same padded representation, same
+    * lexicographic tie-break, same literal replace scan rule — so a
+    * drift anywhere in the merge loop flips the hash.
+    */
+  private val bpe = CatalogQuery(
+    "t14_bpe_merges",
+    (s: SparkSession, dir: String) =>
+      graft.operators.Bpe.learnMerges(docs(s, dir), "text", nMerges = 5)
+        .orderBy(col("iter")),
+    Some(s"""WITH w0 AS (
+            |  SELECT ' ' || regexp_replace(wd, '(.)', '\\1 ', 'g') AS repr,
+            |         count(*) AS freq
+            |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS wd
+            |        FROM documents) t
+            |  WHERE wd <> '' GROUP BY 1),
+            |${bpeIterSql(1, "w0")},
+            |${bpeIterSql(2, "w1")},
+            |${bpeIterSql(3, "w2")},
+            |${bpeIterSql(4, "w3")},
+            |${bpeIterSql(5, "w4")}
+            |SELECT * FROM (
+            |  SELECT CAST(1 AS BIGINT) AS iter, pair, CAST(f AS BIGINT) AS freq FROM b1
+            |  UNION ALL SELECT 2, pair, CAST(f AS BIGINT) FROM b2
+            |  UNION ALL SELECT 3, pair, CAST(f AS BIGINT) FROM b3
+            |  UNION ALL SELECT 4, pair, CAST(f AS BIGINT) FROM b4
+            |  UNION ALL SELECT 5, pair, CAST(f AS BIGINT) FROM b5)
+            |ORDER BY iter""".stripMargin),
+    doc = "BPE merge learning (tokenizer training): corpus-sized work " +
+      "is one tokenize + word-frequency aggregate; each of the 5 merge " +
+      "rounds runs over the shrinking vocabulary relation with a 1-row " +
+      "driver argmax; oracle unrolls the identical 5 iterations")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords, normalize, encoding, vocab, cms)
+      lmScore, keywords, normalize, encoding, vocab, cms, bpe)
 }

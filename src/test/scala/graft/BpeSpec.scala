@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpecBase {
+
+  private def merges(texts: Seq[String], n: Int): Seq[(Long, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    Bpe.learnMerges(texts.toDF("text"), "text", n)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  test("classic corpus: hand-computed merge sequence with lexicographic ties") {
+    // words: low:4 lower:1 lowest:1 newer:2 wider:1
+    // iter1: "l o" and "o w" both 6 — tie breaks to "l o"
+    // iter2: "lo w" 6
+    // iter3: "e r" 4 (lower + newer*2 + wider)
+    val got = merges(Seq("low low low low lower", "lowest newer newer wider"), 3)
+    assert(got == Seq((1L, "l o", 6L), (2L, "lo w", 6L), (3L, "e r", 4L)))
+  }
+
+  test("symbol runs: the literal replace consumes the shared delimiter") {
+    // " a a a a " merges ONE "a a" per scan (the space between pairs
+    // is consumed), so: " aa a a " -> " aa aa " -> " aaaa " — the
+    // contract both engines share, asserted so it never drifts
+    val got = merges(Seq("aaaa"), 3)
+    assert(got == Seq((1L, "a a", 3L), (2L, "a a", 1L), (3L, "aa aa", 1L)))
+  }
+
+  test("regex metacharacters in symbols merge literally") {
+    // '.' and '+' must be quoted in the replace pattern or the merge
+    // corrupts unrelated words
+    val got = merges(Seq("a.b a.b a+b xyb"), 2)
+    assert(got.head._2 == ". b" || got.head._2 == "a .") // freq-2 pair from a.b
+    assert(got.size == 2)
+  }
+
+  test("fewer distinct pairs than requested merges ends early, not in error") {
+    val got = merges(Seq("ab ab"), 10)
+    assert(got.size >= 1 && got.size < 10)
+  }
+}
