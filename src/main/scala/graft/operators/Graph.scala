@@ -91,6 +91,132 @@ object Graph {
     ranks
   }
 
+  /** Minimum hop distance from a source node to every node reachable
+    * within `iters` hops, over the UNDIRECTED view of an edge list:
+    * `(id, dist)`, dist in 0..iters. Nodes not reached in `iters`
+    * hops emit no row (the caller bounds the radius; an unreachable
+    * marker would force materializing the full node set every call).
+    *
+    * This is frontier-based parallel BFS — the textbook distributed
+    * form (Pregel's hello-world). The invariant that makes it scale:
+    * each iteration joins ONLY the current frontier (nodes first
+    * reached last hop) against the adjacency, never the whole visited
+    * set, and membership is subtracted with a left-anti join before
+    * the union — so per-iteration shuffle volume is O(frontier
+    * out-degree), and on a 100 TB graph the cost tracks the expanding
+    * wavefront, not hops × |V|. The adjacency is repartitioned on
+    * `src` once and persisted; frontiers arrive hashed on the same
+    * key, so the per-hop join re-shuffles only the (small) frontier.
+    * Visited-set lineage is cut by persist + materialize each round,
+    * keeping plans constant-size across iterations (the [[Dedup]]
+    * components-loop discipline).
+    */
+  def bfsHops(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    require(iters >= 0)
+    val spark = edges.sparkSession
+    // undirected adjacency: both directions of every edge, self-loops
+    // dropped, deduplicated
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val adj = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    // per-round state is eagerly localCheckpoint'ed, not persisted:
+    // each round references the previous relation TWICE (frontier join
+    // + visited anti-join), so an uncut logical plan doubles per round
+    // and canonicalization/optimization walk it as a tree —
+    // exponential work that overflows the stack within a handful of
+    // hops. Checkpoint truncates lineage to the materialized RDD (the
+    // [[Dedup.connectedComponents]] loop discipline).
+    var visited = Seq((source, 0)).toDF("id", "dist")
+      .select(col("id").cast("long"), col("dist").cast("int"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("id"))
+    for (k <- 1 to iters) {
+      // neighbors of the frontier not yet assigned a (smaller) dist
+      val reached = adj
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(k).cast("int"))
+      val next = visited.unionAll(reached).localCheckpoint(true)
+      visited = next
+      // read the new frontier back OUT of the checkpointed relation —
+      // deriving it from `reached` would re-run the whole round's
+      // join/anti-join when the next round evaluates it
+      frontier = next.filter(col("dist") === k).select(col("id"))
+    }
+    visited
+  }
+
+  /** Single-source shortest path lengths under positive integer edge
+    * weights, bounded to paths of at most `iters` edges:
+    * `(id, d)` for every node with a finite ≤`iters`-hop distance.
+    * Edges are DIRECTED as given (callers symmetrize for undirected
+    * graphs); parallel edges collapse to their minimum weight.
+    *
+    * Distributed Bellman-Ford with the delta/changed-set refinement:
+    * round k relaxes only edges leaving nodes whose distance IMPROVED
+    * in round k−1 — a node whose estimate is unchanged re-offers
+    * exactly the candidates it already offered, so skipping it is
+    * lossless, by induction round k's estimates equal full
+    * Bellman-Ford's d_k(v) = "shortest path using ≤ k edges" (the
+    * recurrence the oracle replays with FULL relaxations). Weights
+    * stay integral, so `min` is total and replayable with no float
+    * anywhere.
+    *
+    * Shape at 100 TB: same wavefront discipline as [[bfsHops]] — the
+    * adjacency repartitions on `src` once and persists; each round is
+    * one frontier⋈adjacency equi-join, one map-side-combined min
+    * aggregate, one full-outer merge against the estimate relation;
+    * shuffle volume tracks the changed set, which collapses as
+    * estimates converge, never hops × |E|.
+    */
+  def bellmanFord(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    require(iters >= 0)
+    val spark = edges.sparkSession
+    val fin = Long.MaxValue
+    val adj = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    // eagerly localCheckpoint'ed per round — each round references the
+    // previous relation twice (dist merge + frontier relax), so an
+    // uncut plan doubles per round; see [[bfsHops]]
+    var state = Seq((source, 0L, true)).toDF("id", "d", "improved")
+      .localCheckpoint(true)
+    var dist = state.select(col("id"), col("d"))
+    var frontier = dist
+    for (_ <- 1 to iters) {
+      val cand = adj
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("d") + col("w")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      val merged = dist.withColumnRenamed("d", "od")
+        .join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("od"), lit(fin)),
+            coalesce(col("nd"), lit(fin))).as("d"),
+          (col("nd").isNotNull &&
+            (col("od").isNull || col("nd") < col("od"))).as("improved"))
+        .localCheckpoint(true)
+      state = merged
+      // both views read back out of the ONE checkpointed relation (the
+      // bfsHops lineage rule)
+      dist = merged.select(col("id"), col("d"))
+      frontier = merged.filter(col("improved")).select(col("id"), col("d"))
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as a (possibly directed, possibly duplicated) edge list.
     *

@@ -105,5 +105,109 @@ object GraphQueries extends QueryModule {
       "corner, wedge volume O(m^1.5) on any graph); oracle enumerates " +
       "canonical triangles by brute-force three-way join")
 
-  override def queries: Seq[CatalogQuery] = Seq(pagerank, triangles)
+  /** Frontier BFS over the undirected customer↔supplier purchase graph
+    * (same edge derivation and node-id parity as g1): minimum hop
+    * distance from customer 1 within 3 hops. The bipartite hub
+    * structure makes hop semantics interesting — odd distances are
+    * suppliers, even are customers — and leaves genuinely unreached
+    * nodes at radius 3, so the "no row for unreached" contract is
+    * exercised, not vacuous. The oracle unrolls the same three
+    * frontier expansions with EXCEPT as the visited-set subtraction.
+    */
+  private val bfs = CatalogQuery(
+    "g3_bfs_hops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.bfsHops(edges, source = 2L, iters = 3)
+        .select(col("id"), col("dist").cast("int").as("dist"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0
+           |      UNION SELECT dst, src FROM e0),
+           |v0 AS (SELECT CAST(2 AS BIGINT) AS id, 0 AS dist),
+           |n1 AS (SELECT DISTINCT e.dst AS id FROM e
+           |         JOIN v0 f ON e.src = f.id AND f.dist = 0
+           |       EXCEPT SELECT id FROM v0),
+           |v1 AS (SELECT id, dist FROM v0
+           |       UNION ALL SELECT id, 1 FROM n1),
+           |n2 AS (SELECT DISTINCT e.dst AS id FROM e
+           |         JOIN v1 f ON e.src = f.id AND f.dist = 1
+           |       EXCEPT SELECT id FROM v1),
+           |v2 AS (SELECT id, dist FROM v1
+           |       UNION ALL SELECT id, 2 FROM n2),
+           |n3 AS (SELECT DISTINCT e.dst AS id FROM e
+           |         JOIN v2 f ON e.src = f.id AND f.dist = 2
+           |       EXCEPT SELECT id FROM v2),
+           |v3 AS (SELECT id, dist FROM v2
+           |       UNION ALL SELECT id, 3 FROM n3)
+           |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS INT) AS dist
+           |FROM v3 ORDER BY id""".stripMargin),
+    doc = "Frontier-parallel BFS (3 hops from customer 1, undirected): " +
+      "per hop one frontier⋈adjacency equi-join + one anti-join vs " +
+      "visited — shuffle volume tracks the wavefront, never hops×|V|; " +
+      "adjacency repartitioned on src once; oracle unrolls the same " +
+      "expansions with EXCEPT")
+
+  private val ssspRelaxSql = (p: String) =>
+    s"""SELECT id, min(d) AS d FROM (
+       |  SELECT id, d FROM $p
+       |  UNION ALL SELECT e.dst, $p.d + e.w FROM e JOIN $p ON e.src = $p.id)
+       |GROUP BY id""".stripMargin
+
+  /** Weighted single-source shortest paths over the co-purchase part
+    * graph (g2's adjacency, weighted by association strength: more
+    * shared orders → cheaper edge, `greatest(1, 1000 div c)`). The
+    * engine runs changed-set Bellman-Ford; the oracle unrolls four
+    * FULL relaxations — the delta refinement must be invisible in the
+    * result, which is exactly the lossless-skipping claim under test.
+    */
+  private val sssp = CatalogQuery(
+    "g4_sssp",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("a"), col("b"),
+          greatest(lit(1L), expr("1000L div c")).as("w"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      Graph.bellmanFord(edges, source = 1L, iters = 4)
+        .orderBy(col("id"))
+    },
+    Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            |pairs AS (
+            |  SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(*) AS c
+            |  FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
+            |   AND l1.l_partkey < l2.l_partkey
+            |  GROUP BY 1,2),
+            |e AS (SELECT a AS src, b AS dst, greatest(1, 1000 // c) AS w
+            |      FROM pairs
+            |      UNION ALL SELECT b, a, greatest(1, 1000 // c) FROM pairs),
+            |d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+            |d1 AS (${ssspRelaxSql("d0")}),
+            |d2 AS (${ssspRelaxSql("d1")}),
+            |d3 AS (${ssspRelaxSql("d2")}),
+            |d4 AS (${ssspRelaxSql("d3")})
+            |SELECT CAST(id AS BIGINT) AS id, CAST(d AS BIGINT) AS d
+            |FROM d4 ORDER BY id""".stripMargin),
+    doc = "Weighted SSSP (≤4-edge paths from part 1) by changed-set " +
+      "Bellman-Ford: per round one frontier⋈adjacency join + min " +
+      "aggregate + full-outer merge, relaxing only nodes improved " +
+      "last round (lossless; oracle replays FULL relaxations); " +
+      "integer weights, no float")
+
+  override def queries: Seq[CatalogQuery] =
+    Seq(pagerank, triangles, bfs, sssp)
 }

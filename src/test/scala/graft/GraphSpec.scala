@@ -89,4 +89,82 @@ class GraphSpec extends SparkSpecBase {
     } yield node).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(tri(edges) == expected)
   }
+
+  private def bfs(edges: Seq[(Long, Long)], source: Long,
+                  iters: Int): Map[Long, Int] = {
+    val s = spark
+    import s.implicits._
+    Graph.bfsHops(edges.toDF("src", "dst"), source, iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfsHops: path graph distances, radius cut, undirected traversal") {
+    // path 1-2-3-4-5, edges given in MIXED directions: traversal must
+    // be undirected
+    val path = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L))
+    assert(bfs(path, source = 1L, iters = 4) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // radius 2 stops the wavefront: nodes 4, 5 emit no row
+    assert(bfs(path, source = 1L, iters = 2) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // zero iterations = just the source
+    assert(bfs(path, source = 3L, iters = 0) == Map(3L -> 0))
+  }
+
+  test("bfsHops: min distance wins on diamonds; disconnected unreached") {
+    // diamond 1-2-4, 1-3-4 plus long way 4-5-6: dist(4)=2 via either
+    // branch, never 3; 7-8 is a separate component and must not appear
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (7L, 8L))
+    assert(bfs(g, source = 1L, iters = 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 4))
+  }
+
+  test("bfsHops: duplicate and self-loop edges are harmless") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L))
+    assert(bfs(g, source = 1L, iters = 3) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  private def sssp(edges: Seq[(Long, Long, Long)], source: Long,
+                   iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.bellmanFord(edges.toDF("src", "dst", "w"), source, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bellmanFord: cheaper long path beats expensive direct edge") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — but only once round 2
+    // has run. Round 1 must report the 10 (≤1-edge contract).
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(sssp(g, 1L, iters = 1) == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(sssp(g, 1L, iters = 2) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("bellmanFord: directed edges, parallel-edge min, radius bound") {
+    // parallel 1→2 edges collapse to w=1; 3→1 is directed away so 3
+    // is unreachable; 4 is beyond the 1-round radius
+    val g = Seq((1L, 2L, 5L), (1L, 2L, 1L), (3L, 1L, 1L), (2L, 4L, 1L))
+    assert(sssp(g, 1L, iters = 1) == Map(1L -> 0L, 2L -> 1L))
+    assert(sssp(g, 1L, iters = 3) == Map(1L -> 0L, 2L -> 1L, 4L -> 2L))
+  }
+
+  test("bellmanFord: changed-set rounds equal full Bellman-Ford on a random graph") {
+    val rnd = new scala.util.Random(2026)
+    val n = 25
+    val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong,
+      rnd.nextInt(n).toLong, 1L + rnd.nextInt(9)))
+    for (iters <- Seq(1, 3, 6)) {
+      // full Bellman-Ford reference: d_k(v) = min cost over ≤k edges
+      var d = Map(0L -> 0L)
+      for (_ <- 1 to iters) {
+        val relaxed = edges.flatMap { case (u, v, w) =>
+          d.get(u).map(du => v -> (du + w)) }
+        d = (d.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      assert(sssp(edges, 0L, iters) == d, s"iters=$iters")
+    }
+  }
 }
