@@ -514,7 +514,51 @@ object TextQueries extends QueryModule {
       "rounds runs over the shrinking vocabulary relation with a 1-row " +
       "driver argmax; oracle unrolls the identical 5 iterations")
 
+  /** PMI collocations: log is monotone, so ranking by PMI equals
+    * ranking by its integer-ratio argument — scored in exact 64-bit
+    * micro-units on both sides (see [[graft.operators.Collocations]]
+    * for the determinism argument and the 100 TB cascade shape).
+    */
+  private val collocations = CatalogQuery(
+    "t15_collocations",
+    (s: SparkSession, dir: String) =>
+      graft.operators.Collocations.pmiTopK(docs(s, dir), k = 100, minCount = 5L),
+    Some("""WITH toks AS (
+           |  SELECT lang,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM documents),
+           |occ AS (
+           |  SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+           |  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+           |big AS (
+           |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+           |  FROM occ GROUP BY 1,2,3),
+           |heads AS (
+           |  SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1h
+           |  FROM big GROUP BY 1,2),
+           |tails AS (
+           |  SELECT lang, w2, CAST(sum(c12) AS BIGINT) AS c2t
+           |  FROM big GROUP BY 1,2),
+           |tot AS (
+           |  SELECT lang, CAST(sum(c12) AS BIGINT) AS nb
+           |  FROM big GROUP BY 1)
+           |SELECT b.lang, b.w1, b.w2, b.c12,
+           |  CAST((b.c12 * t.nb * 1000000) // (h.c1h * tl.c2t)
+           |       AS BIGINT) AS lift_micro
+           |FROM big b JOIN heads h ON b.lang = h.lang AND b.w1 = h.w1
+           |JOIN tails tl ON b.lang = tl.lang AND b.w2 = tl.w2
+           |JOIN tot t ON b.lang = t.lang
+           |WHERE b.c12 >= 5
+           |ORDER BY lift_micro DESC, b.lang, b.w1, b.w2
+           |LIMIT 100""".stripMargin),
+    doc = "Top-100 collocations by PMI rank in exact integer lift " +
+      "micro-units (bigram event space, min-support 5): shrinking " +
+      "aggregation cascade + equi-joins on (lang, word), O(langs) " +
+      "totals broadcast, TakeOrderedAndProject top-k — no float, no " +
+      "global sort")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
-      lmScore, keywords, normalize, encoding, vocab, cms, bpe)
+      lmScore, keywords, normalize, encoding, vocab, cms, bpe,
+      collocations)
 }
