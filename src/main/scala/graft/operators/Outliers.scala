@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust univariate outlier detection — Tukey's IQR fences, the
+  * standard first-pass anomaly screen over a metric stream (z-scores
+  * need two moments a single wild value can poison; quartiles don't).
+  *
+  * Determinism is the interesting part. The fences come from exact
+  * interpolated quartiles, and "exact" is meant literally: the metric
+  * is first truncated to integer micro-units, and an interpolated
+  * quartile of INTEGERS is an exact quarter-integer — position
+  * h = p·(n−1) has denominator 4 for p ∈ {¼, ¾}, and the arithmetic
+  * `lo + frac·(hi − lo)` on integers below 2^51 with frac ∈
+  * {0, ¼, ½, ¾} is exact in IEEE doubles, in any engine that uses the
+  * standard type-7 definition (Spark `percentile` and DuckDB
+  * `quantile_cont` both do). Scaling by 4 therefore lands on an exact
+  * BIGINT in both engines, and the whole fence test —
+  * `8v < 2q₂₅ − 3(q₇₅−q₂₅)` (i.e. v < p25 − 1.5·IQR in eighth-units)
+  * — runs in 64-bit integer arithmetic with zero float-comparison
+  * hazard. No rounding tolerance, no ulp luck: the hash compare is
+  * exact by construction.
+  *
+  * Shape at 100 TB: one hash aggregate builds the per-key quartiles
+  * (Spark's percentile buffer is a per-group value-count map — bounded
+  * by DISTINCT metric values per key, which micro-truncation caps),
+  * the fence relation is O(keys) rows and broadcasts for free, and the
+  * scan that applies the fence is a single codegen'd pass — no window,
+  * no per-key sort of the full data, no second shuffle of the events.
+  */
+object Outliers {
+
+  /** Rows of `df` whose `valueCol` falls outside
+    * `[p25 − k·IQR, p75 + k·IQR]` within their `keyCol` group, with
+    * k = 1.5 fixed (encoded as the exact rational 3/2):
+    * `(keep of keepCols, keyCol, value_micro)`. The metric is
+    * truncated to micro-units (`floor(value·10^6)` as BIGINT) — that
+    * truncation IS the published contract of the operator, not a
+    * hidden approximation.
+    */
+  def iqrOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  keepCols: Seq[String]): DataFrame = {
+    val ev = df.select(
+      (keepCols.map(col) :+ col(keyCol) :+
+        floor(col(valueCol) * lit(1000000L)).cast("long").as("v")): _*)
+    // exact quarter-integer quartiles, scaled ×4 onto BIGINT
+    val fences = ev.groupBy(col(keyCol))
+      .agg(expr("percentile(v, array(0.25, 0.75))").as("pp"))
+      .select(col(keyCol),
+        (element_at(col("pp"), 1) * lit(4)).cast("long").as("q25"),
+        (element_at(col("pp"), 2) * lit(4)).cast("long").as("q75"))
+    ev.join(broadcast(fences), keyCol)
+      .filter(
+        col("v") * 8 < col("q25") * 2 - (col("q75") - col("q25")) * 3 ||
+          col("v") * 8 > col("q75") * 2 + (col("q75") - col("q25")) * 3)
+      .select((keepCols.map(col) :+ col(keyCol) :+
+        col("v").as("value_micro")): _*)
+  }
+}

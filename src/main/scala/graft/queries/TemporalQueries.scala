@@ -415,7 +415,39 @@ object TemporalQueries extends QueryModule {
       "(chained whole-partition window minima, one shuffle) vs the " +
       "oracle's natural three-join cascade")
 
+  /** Tukey IQR-fence anomaly screen over the event metric, per event
+    * type — exact integer fence arithmetic end to end (see
+    * [[graft.operators.Outliers]] for why interpolated quartiles of
+    * micro-truncated integers are bit-exact across engines).
+    */
+  private val outliers = CatalogQuery(
+    "a10_value_outliers",
+    (s, dir) =>
+      graft.operators.Outliers.iqrOutliers(Tables(s, dir).events,
+          keyCol = "event_type", valueCol = "value",
+          keepCols = Seq("event_id"))
+        .orderBy(col("event_id")),
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type,
+           |    CAST(floor(value*1000000) AS BIGINT) AS v
+           |  FROM events),
+           |f AS (
+           |  SELECT event_type,
+           |    CAST(quantile_cont(v, 0.25)*4 AS BIGINT) AS q25,
+           |    CAST(quantile_cont(v, 0.75)*4 AS BIGINT) AS q75
+           |  FROM ev GROUP BY 1)
+           |SELECT e.event_id, e.event_type, e.v AS value_micro
+           |FROM ev e JOIN f USING (event_type)
+           |WHERE 8*e.v < 2*f.q25 - 3*(f.q75-f.q25)
+           |   OR 8*e.v > 2*f.q75 + 3*(f.q75-f.q25)
+           |ORDER BY e.event_id""".stripMargin),
+    doc = "Per-type Tukey fences (p25/p75 ± 1.5·IQR) in exact " +
+      "eighth-micro-units: one percentile aggregate -> O(types) fence " +
+      "relation broadcast -> single codegen'd scan; no window, no " +
+      "re-shuffle of the events")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, sessions, json, intervalFollow,
-      resample, resampleLinear, rollingActives, cohorts, twap, funnelQ)
+      resample, resampleLinear, rollingActives, cohorts, twap, funnelQ,
+      outliers)
 }
