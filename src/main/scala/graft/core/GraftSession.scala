@@ -28,8 +28,9 @@ object GraftSession {
       // graft results feed a hash-compare oracle: never silently promote
       // to ANSI error behavior differences.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw int64 so
-      // Tables.events can truncate to micros deterministically.
+      // some events.parquet generations carry TIMESTAMP(NANOS); read
+      // those as raw int64 so EventTime.normalize can truncate to
+      // micros deterministically (timestamp[us] files are unaffected).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native graft expressions (token_count, ...) as SQL functions
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Lazy handles to the star-schema + document corpus parquet tables
   * (TESTDATA.md). Each accessor is a fresh declarative scan, so Catalyst
@@ -30,15 +29,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = read("part")
   def orders: DataFrame = read("orders")
   def lineitem: DataFrame = read("lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's TimestampType
-    * (micros) can't hold natively — read the raw int64 nanos and truncate
-    * to micros with INTEGER division (`div`), matching DuckDB's own
-    * nanos→micros truncation bit-for-bit. (float division would round
-    * through double and drift 1µs on ~12% of 2024-epoch values.)
-    * The nanosAsLong flag is set once in GraftSession, not here.
+  /** events.parquet has shipped `ts` both as TIMESTAMP(NANOS) (read as
+    * raw int64 under GraftSession's nanosAsLong flag) and as plain
+    * timestamp[us]; [[EventTime.normalize]] branches on the actual file
+    * schema so either encoding lands as TimestampType.
     */
-  def events: DataFrame =
-    read("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events: DataFrame = EventTime.normalize(read("events"))
   def documents: DataFrame = read("documents")
   def embeddings: DataFrame = read("embeddings")
 }

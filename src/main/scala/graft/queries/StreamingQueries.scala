@@ -59,23 +59,24 @@ object StreamingQueries extends QueryModule {
     s.table(name)
   }
 
-  /** The raw-nanos events stream every event-time streaming row reads:
-    * int64-nanos schema (nanosAsLong), truncated to micros with
-    * INTEGER division exactly as `Tables.events` does. One definition
-    * — st2/st4/st5/st6 sharing it is what keeps their event-time
-    * semantics identical; a per-row copy that drifted (different
-    * source, float division) would silently diverge one stream's
-    * clock. Reads the 3-file StreamReplay copy one file per batch —
-    * including the planted late 'view' every consumer must drop.
+  /** The events stream every event-time streaming row reads,
+    * normalized to TimestampType through the SAME schema-adaptive
+    * helper batch `Tables.events` uses ([[graft.core.EventTime]]).
+    * One definition — st2/st4/st5/st6 sharing it is what keeps their
+    * event-time semantics identical; a per-row copy that drifted
+    * (different source, float division on the nanos encoding) would
+    * silently diverge one stream's clock. Reads the 3-file
+    * StreamReplay copy one file per batch — including the planted
+    * late 'view' every consumer must drop.
     */
   private def eventsStream(s: SparkSession, dir: String) = {
     val replay = graft.streaming.StreamReplay.ensureEvents(s, dir)
     val schema = s.read.parquet(replay).schema
-    s.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(replay)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.EventTime.normalize(
+      s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay))
   }
 
   private val streamClean = CatalogQuery(

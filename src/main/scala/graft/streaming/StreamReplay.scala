@@ -58,34 +58,40 @@ object StreamReplay {
   val SentinelMinId = 900000000L
 
   private val Day = 86400L
-  private val Nano = 1000000000L
   // 2024-01-01T00:00:00Z; the events generator spans Jan 1-30 at every
   // scale factor (TESTDATA.md), so fixed cuts at day 10 and day 20
   // give three non-empty, event-time-ordered splits.
   private val Epoch2024 = 1704067200L
-  private val CutANanos = (Epoch2024 + 10 * Day) * Nano
-  private val CutBNanos = (Epoch2024 + 20 * Day) * Nano
-  private val LateEventNanos = (Epoch2024 + 6 * 3600L) * Nano
+  private val CutASeconds = Epoch2024 + 10 * Day
+  private val CutBSeconds = Epoch2024 + 20 * Day
+  private val LateEventSeconds = Epoch2024 + 6 * 3600L
 
   /** Replay dir for `<dir>/events.parquet`: 3 ts-ordered splits, a
-    * late sentinel 'view' in the last. ts stays int64-nanos, exactly
-    * as the source file (the nanosAsLong read path).
+    * late sentinel 'view' in the last. `ts` keeps the SOURCE file's
+    * physical encoding (int64-nanos or timestamp[us] — cut points and
+    * the sentinel are expressed via [[graft.core.EventTime.rawLiteral]]
+    * in whichever dtype the file actually has), so downstream readers
+    * normalize the replay copy exactly as they would the original.
+    * Cache key r2: r1 dirs were built nanos-only and must regenerate.
     */
   def ensureEvents(spark: SparkSession, dir: String): String =
-    IndexCache.ensure("graft-replay-events", s"$dir/events.parquet", "r1",
+    IndexCache.ensure("graft-replay-events", s"$dir/events.parquet", "r2",
       marker = "_REPLAY_OK") { scratch =>
       val ev = spark.read.parquet(s"$dir/events.parquet")
+      val tsType = ev.schema("ts").dataType
+      def tsAt(epochSeconds: Long) =
+        graft.core.EventTime.rawLiteral(tsType, epochSeconds)
       val late = spark.range(1).select(
         lit(-1L).as("event_id"),
-        lit(LateEventNanos).as("ts"),
+        tsAt(LateEventSeconds).as("ts"),
         lit(SentinelUserId).as("user_id"),
         lit("view").as("event_type"),
         lit(0.5).as("value"),
         lit(null).cast("string").as("props"))
       writeSplits(scratch, Seq(
-        ev.filter(col("ts") < CutANanos),
-        ev.filter(col("ts") >= CutANanos && col("ts") < CutBNanos),
-        ev.filter(col("ts") >= CutBNanos).unionByName(late)))
+        ev.filter(col("ts") < tsAt(CutASeconds)),
+        ev.filter(col("ts") >= tsAt(CutASeconds) && col("ts") < tsAt(CutBSeconds)),
+        ev.filter(col("ts") >= tsAt(CutBSeconds)).unionByName(late)))
     }
 
   /** Replay dir for `<dir>/documents.parquet`: 3 doc_id-ordered

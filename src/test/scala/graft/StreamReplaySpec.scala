@@ -42,8 +42,7 @@ class StreamReplaySpec extends SparkSpecBase {
     val replay = StreamReplay.ensureEvents(spark, dir)
     val reader = spark.readStream.schema(spark.read.parquet(replay).schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    val agg = reader.parquet(replay)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.core.EventTime.normalize(reader.parquet(replay))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -67,8 +66,8 @@ class StreamReplaySpec extends SparkSpecBase {
     val single = hourly(maxFilesPerTrigger = None)
     val multi = hourly(maxFilesPerTrigger = Some(1))
     // pristine truth for that hour, from the original table
-    val pristine = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val pristine = graft.core.EventTime.normalize(
+        spark.read.parquet(s"$dir/events.parquet"))
       .filter(date_trunc("hour", col("ts")) === lit(sentinelHour) &&
         col("event_type") === "view")
       .count()
