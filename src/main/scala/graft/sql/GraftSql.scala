@@ -22,28 +22,60 @@ import graft.core.Tables
   */
 object GraftSql {
 
-  /** Register every TESTDATA table as a temp view on this session,
-    * through the same [[Tables]] accessors the DataFrame catalog reads
-    * (so `events` carries the nanos→micros truncation and the native
-    * function family is registered). Idempotent.
+  /** Table-name → lazy accessor thunks: evaluation is deferred until a
+    * query actually references the table, because an accessor call
+    * touches the parquet footer (and `events` normalizes its schema) —
+    * eager evaluation would make ONE unreadable table fail every SQL
+    * query on the session, including ones that never mention it.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    val tt = Tables(spark, dir)
-    Seq(
-      "region" -> tt.region, "nation" -> tt.nation,
-      "customer" -> tt.customer, "supplier" -> tt.supplier,
-      "part" -> tt.part, "orders" -> tt.orders,
-      "lineitem" -> tt.lineitem, "events" -> tt.events,
-      "documents" -> tt.documents, "embeddings" -> tt.embeddings
-    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  private def accessors(tt: Tables): ListMap[String, () => DataFrame] =
+    ListMap(
+      "region" -> (() => tt.region), "nation" -> (() => tt.nation),
+      "customer" -> (() => tt.customer), "supplier" -> (() => tt.supplier),
+      "part" -> (() => tt.part), "orders" -> (() => tt.orders),
+      "lineitem" -> (() => tt.lineitem), "events" -> (() => tt.events),
+      "documents" -> (() => tt.documents), "embeddings" -> (() => tt.embeddings))
+
+  /** Every registrable TESTDATA view name, in registration order. */
+  val tableNames: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+
+  /** The TESTDATA tables a SQL text references, by word-boundary match
+    * (`_` is a word character, so `l_partkey` does not hit `part` but
+    * `JOIN part ON` does). A false positive only registers an unused
+    * view; a miss would fail analysis, and word-boundary containment
+    * cannot miss a genuine table reference.
+    */
+  private[graft] def referencedTables(sqlText: String): Seq[String] = {
+    val lower = sqlText.toLowerCase
+    tableNames.filter(t => s"\\b$t\\b".r.findFirstIn(lower).isDefined)
   }
 
-  /** Run one named catalog query as SQL text (views must be registered
-    * or are registered here).
+  /** Register every TESTDATA table as a temp view on this session,
+    * through the same [[Tables]] accessors the DataFrame catalog reads
+    * (so `events` carries the schema-adaptive ts normalization and the
+    * native function family is registered). Idempotent.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    registerViews(spark, dir, tableNames)
+
+  /** Register only `tables` — the per-query entry [[run]] uses, so a
+    * query's failure domain is exactly the tables it reads.
+    */
+  def registerViews(spark: SparkSession, dir: String,
+                    tables: Seq[String]): Unit = {
+    val byName = accessors(Tables(spark, dir))
+    tables.foreach(name => byName(name)().createOrReplaceTempView(name))
+  }
+
+  /** Run one named catalog query as SQL text, registering ONLY the
+    * views that query references.
     */
   def run(spark: SparkSession, dir: String, name: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(texts.getOrElse(name, pipelineTexts(name)))
+    val text = texts.getOrElse(name, pipelineTexts(name))
+    registerViews(spark, dir, referencedTables(text))
+    spark.sql(text)
   }
 
   /** Spark-SQL text per relational catalog query, keyed by the exact
