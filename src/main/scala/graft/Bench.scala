@@ -118,7 +118,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    println(line)
+    // Sidecar copy: the driver captures only a bounded stdout tail, and
+    // round 7's line was truncated past parseability by 20 error
+    // messages. The file survives any tail size.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

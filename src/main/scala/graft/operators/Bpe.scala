@@ -30,12 +30,34 @@ import org.apache.spark.storage.StorageLevel
   */
 object Bpe {
 
+  /** Hard cap on `nMerges`: each merge is one Spark job plus ONE 1-row
+    * driver collect, strictly sequential (merge i+1's pair counts
+    * depend on merge i's fused vocabulary — the algorithm's data
+    * dependence, not an implementation shortcut). The cap makes the
+    * driver-roundtrip cost contract explicit: at ~0.1-1 s of scheduling
+    * per round, 2000 merges is already hours of wall clock on a busy
+    * cluster, and a 50k-merge production vocabulary should be learned
+    * with a dedicated tokenizer-training run, not this relation-per-
+    * round loop.
+    */
+  val MaxMerges = 2000
+
   /** The first `nMerges` learned merges as (iter, pair, freq) — iter
     * is 1-based rank, pair the space-separated symbol pair, freq its
     * corpus frequency at the time of the merge.
+    *
+    * COST CONTRACT: runtime is `nMerges` SEQUENTIAL Spark jobs (pair
+    * count + argmax each), i.e. O(nMerges) driver round-trips that no
+    * amount of executors parallelizes away; `nMerges` is validated
+    * against [[MaxMerges]] up front so a runaway vocabulary size fails
+    * in milliseconds instead of scheduling thousands of jobs.
     */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(nMerges <= MaxMerges,
+      s"nMerges = $nMerges exceeds MaxMerges = $MaxMerges: each merge is " +
+        "a sequential Spark job + driver round-trip (see the cost " +
+        "contract); learn large vocabularies in a dedicated run")
     val spark = docs.sparkSession
     // word-frequency table → padded space-joined char representation
     var reprs = docs

@@ -41,4 +41,13 @@ class BpeSpec extends SparkSpecBase {
     val got = merges(Seq("ab ab"), 10)
     assert(got.size >= 1 && got.size < 10)
   }
+
+  test("a runaway nMerges fails fast, before any Spark job is scheduled") {
+    // each merge is a sequential job + driver round-trip; the cap turns
+    // a 50k-vocabulary request from hours of scheduling into an
+    // immediate, explanatory failure
+    val err = intercept[IllegalArgumentException](merges(Seq("ab"), 50000))
+    assert(err.getMessage.contains("MaxMerges"))
+    assert(Bpe.MaxMerges >= 100) // t14 and real small vocabularies stay legal
+  }
 }
