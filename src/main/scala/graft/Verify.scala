@@ -12,7 +12,16 @@ import graft.core.GraftSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-list restricting which queries dump —
+    // a dev shortcut for re-checking one operator without the full
+    // catalog pass; the driver always runs unfiltered
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet)
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
@@ -21,14 +30,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.forall(_.contains(name))) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // drop intermediates persisted inside operators (d3, s3) so 40+
+        // query dumps don't accumulate block-manager memory
+        spark.catalog.clearCache()
       }
-      // drop intermediates persisted inside operators (d3, s3) so 40+
-      // query dumps don't accumulate block-manager memory
-      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,10 +44,52 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** Candidate-volume accounting for one edit-distance join — the
+    * number that predicts 100× behavior: if `gramCandidates /
+    * outputPairs` grows across a scale decade, the prefix filter is
+    * losing selectivity and needs tightening (larger q, length-aware
+    * prefixes) BEFORE the corpus grows into it. Emitted by the scaling
+    * study per scale multiple.
+    */
+  final case class EditJoinStats(gramCandidates: Long, shortCandidates: Long,
+                                 verifyCandidates: Long, outputPairs: Long)
+
   def editDistanceJoin(left: DataFrame, right: DataFrame,
                        leftId: String, rightId: String,
                        leftStr: String, rightStr: String,
-                       maxDist: Int, q: Int = 2): DataFrame = {
+                       maxDist: Int, q: Int = 2): DataFrame =
+    build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q).result
+
+  /** Run the join measuring each pruning stage's row volume. Persists
+    * the candidate stages so the counts don't recompute the prefix
+    * pipeline; diagnostic-path cost only — [[editDistanceJoin]] itself
+    * materializes nothing.
+    */
+  def profile(left: DataFrame, right: DataFrame,
+              leftId: String, rightId: String,
+              leftStr: String, rightStr: String,
+              maxDist: Int, q: Int = 2): EditJoinStats = {
+    val b = build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val gram = b.candGram.persist(lvl)
+    val short = b.candShort.persist(lvl)
+    try {
+      val verify = gram.unionAll(short).distinct()
+        .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
+        .persist(lvl)
+      try EditJoinStats(gram.count(), short.count(), verify.count(),
+        verify.filter(levenshtein(col("__ls"), col("__rs")) <= maxDist).count())
+      finally verify.unpersist()
+    } finally { gram.unpersist(); short.unpersist() }
+  }
+
+  private final case class Build(candGram: DataFrame, candShort: DataFrame,
+                                 result: DataFrame)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    leftId: String, rightId: String,
+                    leftStr: String, rightStr: String,
+                    maxDist: Int, q: Int): Build = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = q * maxDist + 1
@@ -108,11 +150,12 @@ object Fuzzy {
         "__b")
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
-    candGram.unionAll(candShort)
+    val result = candGram.unionAll(candShort)
       .distinct()
       .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
       .filter(levenshtein(col("__ls"), col("__rs")) <= maxDist)
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
         levenshtein(col("__ls"), col("__rs")).cast("long").as("dist"))
+    Build(candGram, candShort, result)
   }
 }

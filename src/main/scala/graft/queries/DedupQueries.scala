@@ -448,9 +448,14 @@ object DedupQueries extends QueryModule {
       val typos = base.select(col("doc_id").as("typo_key"),
         when(r === 0, col("fp")).when(r === 1, t1)
           .when(r === 2, t2).otherwise(t3).as("typo_name"))
+      // q=3: measured on this exact population (SCALING_r08 d12
+      // candidate series), 3-grams nearly halve gram candidates vs
+      // q=2 (1.81M -> 1.00M at 1x, identical 4146-pair output) and
+      // q=4 buys only 18% more — prefix selectivity, the number that
+      // predicts 100x behavior, is the q=3 sweet spot here
       graft.operators.Fuzzy.editDistanceJoin(
           typos, base, "typo_key", "doc_id", "typo_name", "fp",
-          maxDist = 2)
+          maxDist = 2, q = 3)
         .select(col("left_id").as("typo_key"),
           col("right_id").as("doc_key"), col("dist"))
         .orderBy(col("typo_key"), col("doc_key"))

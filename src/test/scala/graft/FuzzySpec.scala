@@ -61,8 +61,9 @@ class FuzzySpec extends SparkSpecBase {
       .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // small alphabet → many near-pairs
     val ls = (1L to 60L).map(i => i -> word())
     val rs = (101L to 160L).map(i => i -> word())
-    for (k <- Seq(0, 1, 2))
-      assert(run(ls, rs, k) == bruteForce(ls, rs, k), s"mismatch at k=$k")
+    for (k <- Seq(0, 1, 2); q <- Seq(2, 3))
+      assert(run(ls, rs, k, q) == bruteForce(ls, rs, k),
+        s"mismatch at k=$k q=$q")
   }
 
   test("maxDist=0 degenerates to exact string equality") {
@@ -70,5 +71,23 @@ class FuzzySpec extends SparkSpecBase {
     val rs = Seq(10L -> "same", 11L -> "same", 12L -> "diff")
     assert(run(ls, rs, 0) ==
       Set((1L, 10L, 0L), (1L, 11L, 0L)))
+  }
+
+  test("profile's stage counts are consistent with the join it profiles") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def word() = (0 until 3 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val ls = (1L to 50L).map(i => i -> word())
+    val rs = (101L to 150L).map(i => i -> word())
+    val st = Fuzzy.profile(ls.toDF("id", "s"), rs.toDF("id", "s"),
+      "id", "id", "s", "s", maxDist = 2)
+    // output == the real join's output (profile measures, never alters)
+    assert(st.outputPairs == run(ls, rs, 2).size)
+    // each stage only prunes: candidates >= survivors >= output
+    assert(st.gramCandidates + st.shortCandidates >= st.verifyCandidates)
+    assert(st.verifyCandidates >= st.outputPairs)
+    assert(st.outputPairs > 0, "fixture must produce pairs to be meaningful")
   }
 }

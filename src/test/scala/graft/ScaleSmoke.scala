@@ -308,6 +308,45 @@ object ScaleSmoke {
       time("s6_centroids")(Similarity.labelCentroids(
         emb.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")))
         .count())
+      // edit-distance join with CANDIDATE accounting (d12's shape: the
+      // catalog's synthetic-typo population over 40-char fingerprints).
+      // The ratio candidates/output is the number that predicts 100×
+      // behavior — a prefix filter losing selectivity shows up here as
+      // super-linear gram-candidate growth long before wall time does.
+      // Dense-mode replicas duplicate every fingerprint, so the TRUE
+      // pair output grows ~quadratically (mult² cliques) — candidate
+      // growth must track the output, not outrun it; tagged mode keeps
+      // outputs linear
+      locally {
+        val base = docs.select(col("doc_id"),
+          substring(col("text"), 1, 40).as("fp"))
+        val rr = pmod(col("doc_id"), lit(4))
+        val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
+          substring(col("fp"), 11, 1000))
+        val t2 = concat(substring(t1, 1, 12), lit("y"),
+          substring(t1, 14, 1000))
+        val t3 = concat(substring(t2, 1, 15), lit("x"),
+          substring(t2, 17, 1000))
+        val typos = base.select(col("doc_id").as("typo_key"),
+          when(rr === 0, col("fp")).when(rr === 1, t1)
+            .when(rr === 2, t2).otherwise(t3).as("typo_name"))
+        // candidate accounting (both gram sizes) OUTSIDE the timed
+        // block — the timed number stays the pure join
+        if (opsFilter.forall(_.contains("d12_edit_join")))
+          for (qq <- Seq(2, 3)) {
+            val st = graft.operators.Fuzzy.profile(typos, base,
+              "typo_key", "doc_id", "typo_name", "fp", maxDist = 2, q = qq)
+            println(s"""{"scale":$mult,"op":"d12_candidates_q$qq",""" +
+              s""""gram_candidates":${st.gramCandidates},""" +
+              s""""short_candidates":${st.shortCandidates},""" +
+              s""""verify_candidates":${st.verifyCandidates},""" +
+              s""""output_pairs":${st.outputPairs}}""")
+            spark.catalog.clearCache()
+          }
+        time("d12_edit_join")(graft.operators.Fuzzy.editDistanceJoin(
+          typos, base, "typo_key", "doc_id", "typo_name", "fp",
+          maxDist = 2).count())
+      }
 
       opsFilter.foreach { f =>
         val unknown = f -- opNames
