@@ -41,6 +41,22 @@ import org.apache.spark.sql.functions._
   * Output: (left_id, right_id, dist), dist ≤ maxDist, exact — fixed
   * output names, so identically-named id columns on the two inputs
   * never collide.
+  *
+  * 100 TB contract (measured, SCALING_r08 candidate series): prefix
+  * selectivity is a PRODUCT of per-gram frequencies, so on a corpus
+  * whose gram frequencies grow with N the candidate set grows ~N² even
+  * while the true answer grows linearly (tagged decade: 241× → 1734×
+  * candidates-per-output across 10×). The exact join is therefore
+  * meant to run WITHIN bounded blocks at scale — LSH band buckets,
+  * dedup clusters, per-source strata (all in this library) — where it
+  * is candidate-optimal; it is not a license to skip blocking on an
+  * unbounded self-join. Positional filtering cannot tighten this
+  * implementation: ordinal-multiset matching pairs occurrences whose
+  * positions can legally shift past maxDist when an edit hits an
+  * earlier same-gram occurrence, so a position window would drop true
+  * pairs. Use q=3 for ~2× fewer candidates than q=2 at identical
+  * output on 40-char-scale strings ([[profile]] measures this per
+  * population).
   */
 object Fuzzy {
 
