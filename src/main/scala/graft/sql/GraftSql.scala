@@ -388,6 +388,51 @@ object GraftSql {
         | upper(substring(source, 4, 10)) AS src_num
         |FROM documents ORDER BY doc""".stripMargin,
 
+    // quality scoring as pure SQL: same formula as withQuality, each
+    // ratio computed once in a layered select (never a complex
+    // expression re-evaluated inside a lambda), quality from the
+    // UNROUNDED ratios exactly like the DataFrame form
+    "t2_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc, text AS t,
+        |    filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc, CAST(size(ws) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(t) > 0
+        |      THEN CAST(length(regexp_replace(t, '[^.,!?;:]', '')) AS DOUBLE)
+        |           / length(t) ELSE 0.0d END AS punct_ratio,
+        |    CASE WHEN size(ws) > 0
+        |      THEN CAST(size(filter(ws, w ->
+        |             array_contains(array('the','a','of','to','and'), w)))
+        |             AS DOUBLE) / size(ws) ELSE 0.0d END AS stop_ratio,
+        |    CASE WHEN size(ws) > 0
+        |      THEN CAST(aggregate(ws, 0L, (a, w) -> a + length(w)) AS DOUBLE)
+        |           / size(ws) ELSE 0.0d END AS mtl
+        |  FROM f)
+        |SELECT doc, n_tokens,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stop_ratio, 6) AS stopword_ratio,
+        |  round(mtl, 4) AS mean_token_len,
+        |  round(CASE WHEN n_tokens > 0
+        |    THEN 0.5d * least(1.0d, n_tokens / 50.0d)
+        |       + 0.25d * (1.0d - punct_ratio)
+        |       + 0.25d * least(1.0d, 4.0d * stop_ratio)
+        |    ELSE 0.0d END, 6) AS quality
+        |FROM g ORDER BY doc""".stripMargin,
+
+    // semantic twin of the prefix-sum shuffle position: a global
+    // window expresses the same order in one statement (fine as a
+    // parity twin; the DataFrame form's distributed prefix sum is the
+    // 100 TB plan — same note as q17)
+    "x4_corpus_shuffle" ->
+      """SELECT doc_id AS doc,
+        |  CAST(row_number() OVER (ORDER BY
+        |    concat(substring(md5(concat('shuf1:', CAST(doc_id AS STRING))),
+        |      1, 8), '-', CAST(doc_id AS STRING))) - 1 AS BIGINT)
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc""".stripMargin,
+
     "x1_corpus_mix" ->
       """WITH kept AS (
         |  SELECT * FROM documents

@@ -85,6 +85,21 @@ class EventTimeEncodingSpec extends SparkSpecBase {
     }
   }
 
+  test("timestamp_ntz normalizes to the same instants (session tz is UTC)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evt-ntz").toString
+    logicalEvents.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("props", lit(null).cast("string"))
+      .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ntz = graft.core.Tables(spark, dir).events
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(canonical(ntz) ==
+      canonical(graft.core.Tables(spark, microsDir).events))
+  }
+
   test("EventTime rejects an un-normalizable ts encoding loudly") {
     import spark.implicits._
     val bad = Seq(("x", 1)).toDF("ts", "k")
