@@ -25,10 +25,18 @@ def load_series(path):
         return d["queries_min"], d.get("queries", {})
     if "queries" in d and isinstance(d["queries"], dict):
         return d["queries"], d["queries"]
-    # driver artifact: recover what the truncated tail shows
+    # driver artifact: recover what the truncated tail shows. Anchor at
+    # the LAST `"queries"` dict start if present so scalar fields
+    # ("value", "sentinel_baseline_sec") and any later queries_min dict
+    # can't masquerade as query entries; stop at the first closing
+    # brace after the anchor.
     tail = d.get("tail", raw)
-    pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
-    return {k: float(v) for k, v in pairs}, {}
+    m = re.search(r'"queries":\{', tail)
+    region = tail[m.end():] if m else tail
+    region = region.split("}", 1)[0]
+    pairs = re.findall(r'"([a-z][a-z0-9_]*)":(-?[0-9]+\.[0-9]+)', region)
+    scalars = {"value", "sentinel_baseline_sec", "sf", "n", "rc", "cpus"}
+    return {k: float(v) for k, v in pairs if k not in scalars}, {}
 
 
 def main():
@@ -39,6 +47,13 @@ def main():
     overlap = sorted(set(cur_min) & set(prev))
     flagged = []
     for q in overlap:
+        # -1.0 is Bench's errored-run marker: a query that went from
+        # working to broken is the worst regression, not an unflagged
+        # negative ratio
+        if cur_min[q] < 0:
+            print(f"{q:42s} prev={prev[q]:7.3f} min= ERRORED <-- ")
+            flagged.append((q, float("inf")))
+            continue
         r = cur_min[q] / prev[q] if prev[q] > 0 else float("inf")
         mark = " <-- " if r > flag else ""
         med = f" med={cur_med[q]:7.3f}" if q in cur_med else ""

@@ -122,10 +122,16 @@ object Bench {
     println(line)
     // Sidecar copy: the driver captures only a bounded stdout tail, and
     // round 7's line was truncated past parseability by 20 error
-    // messages. The file survives any tail size.
-    java.nio.file.Files.write(
+    // messages. The file survives any tail size. Best-effort — an
+    // unwritable cwd must not fail a bench whose results already
+    // printed.
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] sidecar write failed (results already " +
+        s"printed above): $e")
+    }
     spark.stop()
   }
 }

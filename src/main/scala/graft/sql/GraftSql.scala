@@ -468,10 +468,19 @@ object SqlRunner {
       shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GraftSql.registerViews(spark, sfDir)
-    val df = GraftSql.texts.get(query)
-      .orElse(GraftSql.pipelineTexts.get(query)).map(spark.sql)
-      .getOrElse(spark.sql(query))
+    // per-query registration on BOTH paths, so a corrupt table only
+    // fails queries that read it — raw SQL registers the tables its
+    // text references (a false positive registers an unused view; the
+    // harmless direction)
+    val df =
+      if (GraftSql.texts.contains(query) ||
+          GraftSql.pipelineTexts.contains(query)) {
+        GraftSql.run(spark, sfDir, query)
+      } else {
+        GraftSql.registerViews(spark, sfDir,
+          GraftSql.referencedTables(query))
+        spark.sql(query)
+      }
     df.show(100, truncate = false)
     spark.stop()
   }

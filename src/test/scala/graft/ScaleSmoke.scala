@@ -343,9 +343,12 @@ object ScaleSmoke {
               s""""output_pairs":${st.outputPairs}}""")
             spark.catalog.clearCache()
           }
+        // q=3: time the SHIPPED configuration (DedupQueries d12) —
+        // timing the default q=2 here would conflate the q change with
+        // scaling drift in cross-round comparisons
         time("d12_edit_join")(graft.operators.Fuzzy.editDistanceJoin(
           typos, base, "typo_key", "doc_id", "typo_name", "fp",
-          maxDist = 2).count())
+          maxDist = 2, q = 3).count())
       }
 
       opsFilter.foreach { f =>
