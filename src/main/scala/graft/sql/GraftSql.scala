@@ -461,7 +461,11 @@ object GraftSql {
   */
 object SqlRunner {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, query) = args.take(2)
+    require(args.length >= 2,
+      "usage: SqlRunner <sfDir> <catalog-query-name | raw SQL...>")
+    // sbt's runMain splits the quoted command on spaces, so raw SQL
+    // arrives as many args — everything after sfDir is the query text
+    val (sfDir, query) = (args(0), args.drop(1).mkString(" "))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = graft.core.GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-sql"),
