@@ -433,6 +433,38 @@ object GraftSql {
         |    AS shuffle_pos
         |FROM documents ORDER BY doc""".stripMargin,
 
+    // window spelling of the bounded per-stratum cap — the same
+    // selection CorpusMixSpec proves equal to the aggregate path the
+    // DataFrame form ships (semantic twin; the O(strata*k) aggregate
+    // is the 100 TB plan)
+    "x5_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      substring(md5(concat('cap1:', CAST(doc_id AS STRING))), 1, 8),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id AS doc, source, CAST(rk AS BIGINT) AS cap_rank
+        |FROM r WHERE rk <= 10 ORDER BY doc""".stripMargin,
+
+    // fractional-epoch mixing: integral copies plus one hash-gated
+    // extra for the fractional part, exploded to per-copy rows
+    "x9_mixture_epochs" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE source WHEN 'src1' THEN 2 WHEN 'src3' THEN 0
+        |           WHEN 'src5' THEN 0 ELSE 1 END
+        |      + CASE WHEN substring(md5(concat('epoch1:',
+        |            CAST(doc_id AS STRING))), 1, 8)
+        |          < CASE source WHEN 'src1' THEN '80000000'
+        |              WHEN 'src3' THEN '80000000' ELSE '00000000' END
+        |        THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |  FROM documents)
+        |SELECT doc_id AS doc, source,
+        |  explode(sequence(0L, copies - 1)) AS rep
+        |FROM c WHERE copies > 0
+        |ORDER BY doc, rep""".stripMargin,
+
     "x1_corpus_mix" ->
       """WITH kept AS (
         |  SELECT * FROM documents
