@@ -307,7 +307,40 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 100): DataFrame = {
+                        maxDf: Int = 100): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxDf)
+      .select(col("i"), col("j"),
+        round(col("c").cast("double") / (col("szi") + col("szj") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Near-dup pairs by n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) —
+    * over the same inverted-index core as [[ngramJaccardPairs]]. The
+    * asymmetric-size metric Jaccard misses: a document quoted whole
+    * inside a much longer one has containment 1.0 but Jaccard
+    * |A|/|B| ≈ 0, so threshold-Jaccard can never flag subset
+    * duplication (boilerplate wrapping, quoted articles, prompt
+    * templates around a shared passage) no matter how it is tuned.
+    * Containment ≥ Jaccard always, so at the same threshold the pair
+    * set is a superset of the Jaccard answer. Identical scale shape:
+    * one shingle explode, stop-shingle df guard, bucket-key self-join —
+    * never all-pairs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 100): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxDf)
+      .select(col("i"), col("j"),
+        round(col("c").cast("double") / least(col("szi"), col("szj")), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+
+  /** Shared co-occurrence core of the exact set-overlap pair finders:
+    * (i, j, c, szi, szj) with i < j, c = |A∩B| counted via the shingle
+    * inverted-index self-join, szi/szj = full shingle-set sizes.
+    */
+  private def shingleCoOccurrence(df: DataFrame, idCol: String, textCol: String,
+                                  n: Int, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Annotate each (doc, shingle) row with the doc's set size and the
     // shingle's document frequency via two window passes over the SAME
@@ -334,10 +367,6 @@ object Dedup {
       .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
         col("a.sz").as("szi"), col("b.sz").as("szj"))
       .agg(count(lit(1)).as("c"))
-      .select(col("i"), col("j"),
-        round(col("c").cast("double") / (col("szi") + col("szj") - col("c")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash permutation parameters: fixed seed so signatures (and the

@@ -315,4 +315,59 @@ object TextAnalysis {
       .select(col("rank"), col("w"), col("cnt"),
         expr("cum * 1000000 div total").as("cum_share_ppm"))
   }
+
+  /** Per-stratum unigram distribution drift vs the whole corpus, as
+    * TOTAL VARIATION distance — ½ Σ_w |p_s(w) − p(w)| — in exact
+    * integer micro-units. TV is chosen over KL/JS precisely because it
+    * is RATIONAL in the counts: with c = count(s,w), T_s = stratum
+    * tokens, C_w = global word count, N = corpus tokens,
+    *
+    *   TV(s) · 2·T_s·N  =  Σ_{w∈s} |c·N − C_w·T_s|  +  T_s·(N − Σ_{w∈s} C_w)
+    *
+    * (the closed-form second term folds in every word ABSENT from the
+    * stratum, so the word join only ever touches (s,w) pairs that
+    * exist). No log, no float: the DuckDB oracle replays it bit-exact,
+    * which no KL formulation survives (ln differs in the last ulp
+    * across engines and a divergence SUM accumulates the drift).
+    *
+    * Scale shape: one tokenize pass → (stratum, word) count aggregate;
+    * everything downstream is a SHRINKING cascade off that relation
+    * (global word counts via a second groupBy, stratum totals via a
+    * third) — the corpus is scanned once. The word-keyed join is
+    * equi-join on `w`, already hash-partitioned by the groupBy; the
+    * stratum totals and N are O(strata)/O(1) broadcasts. Products are
+    * computed in DECIMAL(38,0), exact far past int64 (c·N reaches
+    * 1e26 at 100 TB); the final micro-unit division is integral `div`
+    * on decimals — no intermediate rounding on either engine.
+    */
+  def sourceDivergence(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = df.select(col(strataCol).as("stratum"),
+        explode(words(col(textCol))).as("w"))
+      .groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordTot = c.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val strataTot = c.groupBy(col("stratum")).agg(sum(col("c")).as("ts"))
+    val corpusTot = strataTot.agg(sum(col("ts")).as("n"))
+    c.join(wordTot, Seq("w"))
+      .join(broadcast(strataTot), Seq("stratum"))
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col("stratum"), col("ts"), col("n"))
+      .agg(
+        sum(abs(col("c").cast(dec) * col("n") - col("cw").cast(dec) * col("ts")))
+          .as("sum_abs"),
+        sum(col("cw").cast(dec)).as("sum_cw"))
+      .select(
+        col("stratum").as("source"),
+        col("ts").as("n_tokens"),
+        // distinct internal names (tvn/tvd): a `tv_num` output alias
+        // below would otherwise be captured by lateral column alias
+        // resolution (see SimilarityQueries.perturbed for the trap)
+        (col("sum_abs") + col("ts").cast(dec) * (col("n") - col("sum_cw")))
+          .as("tvn"),
+        (col("ts").cast(dec) * col("n") * 2).as("tvd"))
+      .select(col("source"), col("n_tokens"),
+        col("tvn").cast("long").as("tv_num"),
+        expr("CAST(tvn * 1000000 div tvd AS BIGINT)").as("tv_micro"))
+  }
 }

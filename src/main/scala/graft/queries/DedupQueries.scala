@@ -60,6 +60,40 @@ object DedupQueries extends QueryModule {
     doc = "Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via " +
       "shingle inverted-index join (no cross join)")
 
+  /** d13 replays d2's inverted-index core with the asymmetric metric:
+    * containment |A∩B|/min(|A|,|B|), which flags subset duplication
+    * (a short doc quoted whole inside a long one) that Jaccard
+    * structurally cannot. Oracle = the same DuckDB shingle replay with
+    * `least(sa.sz, sb.sz)` in the denominator; at threshold 0.8 the
+    * answer is a strict superset of d2's 25 pairs, so a silent recall
+    * loss in the shared core flips BOTH rows red.
+    */
+  private val containment = CatalogQuery(
+    "d13_containment_dedup",
+    (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100)
+        .orderBy(col("i"), col("j")),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+           |           FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2)
+           |SELECT i, j,
+           |       round(c*1.0/least(sa.sz, sb.sz), 6) AS containment
+           |FROM common
+           |JOIN sizes sa ON sa.doc_id = i
+           |JOIN sizes sb ON sb.doc_id = j
+           |WHERE c*1.0/least(sa.sz, sb.sz) >= 0.8
+           |ORDER BY i, j""".stripMargin),
+    doc = "Subset-duplication pairs by word-3-gram containment " +
+      "|A∩B|/min(|A|,|B|) >= 0.8 over the d2 inverted-index core")
+
   private val minhash = CatalogQuery(
     "d3_minhash_lsh_dedup",
     (s, dir) =>
@@ -486,7 +520,7 @@ object DedupQueries extends QueryModule {
       "query's reason to exist)")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(exact, ngram, minhash, simhash, pipeline, incremental,
+    Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
       canonical, fuzzyJoin)
 }

@@ -351,7 +351,73 @@ object PipelineQueries extends QueryModule {
       "hash uniforms): length-biased, reproducible under retry, " +
       "nested in k")
 
+  /** Split-leakage audit: near-duplicate pairs whose two documents
+    * landed in DIFFERENT train/val/test splits — the eval-contamination
+    * failure mode a random split guarantees on a corpus with
+    * near-dups (a test doc with a train-side twin is a leaked label).
+    * Composes two independently-oracled cores (x1's md5 split
+    * assignment, d2's shingle-Jaccard pairs) and is replayed end-to-end
+    * by DuckDB. At 100 TB both legs keep their own scale shapes; the
+    * final joins are id-keyed equi-joins of the (tiny) pair relation
+    * against the split projection.
+    */
+  private val splitLeakage = CatalogQuery(
+    "x11_split_leakage",
+    (s: SparkSession, dir: String) => {
+      val d = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 100)
+      val splits = CorpusMix.withSplit(d, "doc_id")
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("i"), col("split").as("split_i")),
+          Seq("i"))
+        .join(splits.select(col("doc_id").as("j"), col("split").as("split_j")),
+          Seq("j"))
+        .filter(col("split_i") =!= col("split_j"))
+        .select(col("i"), col("j"), col("jaccard"),
+          col("split_i"), col("split_j"))
+        .orderBy(col("i"), col("j"))
+    },
+    // split thresholds replay x1's md5 hex assignment: 0.8·2^32 =
+    // 0xcccccccc, 0.9·2^32 = 0xe6666666 (CorpusMix.thresholdHex)
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+           |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+           |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+           |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |common AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+           |           FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+           |           GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT i, j, round(c*1.0/(sa.sz + sb.sz - c), 6) AS jaccard
+           |  FROM common
+           |  JOIN sizes sa ON sa.doc_id = i
+           |  JOIN sizes sb ON sb.doc_id = j
+           |  WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8),
+           |splits AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8)
+           |              < 'cccccccc' THEN 'train'
+           |         WHEN substr(md5('split:'||CAST(doc_id AS VARCHAR)),1,8)
+           |              < 'e6666666' THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT p.i, p.j, p.jaccard,
+           |       si.split AS split_i, sj.split AS split_j
+           |FROM pairs p
+           |JOIN splits si ON si.doc_id = p.i
+           |JOIN splits sj ON sj.doc_id = p.j
+           |WHERE si.split <> sj.split
+           |ORDER BY p.i, p.j""".stripMargin),
+    doc = "Eval-contamination audit: word-3-gram Jaccard >= 0.8 " +
+      "near-dup pairs that straddle train/val/test split boundaries " +
+      "(id-keyed equi-joins of the pair relation against the split " +
+      "projection; both legs reuse independently-oracled cores)")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget, epochs, weighted)
+      tokenBudget, epochs, weighted, splitLeakage)
 }

@@ -369,7 +369,85 @@ object StreamingQueries extends QueryModule {
       "in append mode; oracle replays the batch DAU plus the emission " +
       "frontier")
 
+  /** The foreachBatch EXACTLY-ONCE FILE SINK surface — the one
+    * production streaming pattern the memory-sink rows (st1-st6)
+    * cannot exercise. Finalized daily (day, event_type) counts are
+    * written per micro-batch into `batch_id=<id>/` subdirs with
+    * `mode=overwrite`: the deterministic batch id + full-overwrite
+    * write is the standard idempotence recipe (a batch re-executed
+    * after a failure replaces its own output instead of appending a
+    * duplicate — the checkpoint pins which offsets each id covers).
+    * The emitted answer is then the trending report read back FROM THE
+    * FILES: top-3 event types per finalized day. The rank runs
+    * batch-side over the day×type grain — O(days·types) rows no
+    * matter the event volume, so the window sort is safe at 100 TB.
+    * Late-sentinel falsifiability rides the counts like st2/st6: a
+    * leaked Jan-1 'view' shifts that day's n_events and flips the
+    * hash against the pristine-table oracle.
+    */
+  private val streamTrending = CatalogQuery(
+    "st7_streaming_trending",
+    (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("date").as("day"),
+          col("event_type"), col("n_events"))
+      val sink = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_st7_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        .getAbsolutePath
+      // Hive-style batch_id=<id> subdirs under one data root: the read
+      // back is plain partition discovery (no glob), and each re-run
+      // of a batch replaces exactly its own partition directory
+      val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, id) =>
+          batch.write.mode("overwrite").parquet(s"$sink/data/batch_id=$id")
+      val q = daily.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$sink/_chk")
+        .foreachBatch(writeBatch)
+        .start()
+      try {
+        q.awaitTermination()
+        val batches = q.recentProgress.map(_.batchId).distinct.length
+        require(batches >= 3,
+          s"st7: replay must run >= 3 batches (maxFilesPerTrigger=1 " +
+            s"over the split fixture), got $batches")
+      } finally q.stop()
+      val fin = s.read.parquet(s"$sink/data")
+      val byDay = Window.partitionBy(col("day"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      fin.withColumn("rk", row_number().over(byDay).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("day"), col("rk"), col("event_type"), col("n_events"))
+        .orderBy(col("day"), col("rk"))
+    },
+    Some("""WITH wm AS (
+           |  SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+           |  FROM events),
+           |g AS (
+           |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+           |           AS day,
+           |         event_type, CAST(count(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1, 2),
+           |f AS (SELECT g.* FROM g, wm
+           |      WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= w),
+           |r AS (
+           |  SELECT day, event_type, n_events,
+           |    CAST(row_number() OVER (PARTITION BY day
+           |           ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+           |  FROM f)
+           |SELECT day, rk, event_type, n_events
+           |FROM r WHERE rk <= 3 ORDER BY day, rk""".stripMargin),
+    doc = "Streaming trending top-3 event types per finalized day " +
+      "through a foreachBatch exactly-once file sink (batch-id-keyed " +
+      "overwrite dirs = idempotent re-execution); oracle replays the " +
+      "batch counts, the emission frontier, and the rank")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
-      streamAttribution, streamDau)
+      streamAttribution, streamDau, streamTrending)
 }

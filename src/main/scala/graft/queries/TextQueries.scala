@@ -557,8 +557,49 @@ object TextQueries extends QueryModule {
       "totals broadcast, TakeOrderedAndProject top-k — no float, no " +
       "global sort")
 
+  /** Corpus-drift audit: per-source total-variation distance from the
+    * corpus unigram distribution, in exact integer micro-units. TV
+    * (not KL/JS) because it is rational in the counts — see
+    * [[graft.operators.TextAnalysis.sourceDivergence]] for the
+    * closed-form absent-word fold and the DECIMAL(38,0) contract. The
+    * oracle recomputes the whole thing from scratch in HUGEINT.
+    */
+  private val divergence = CatalogQuery(
+    "t16_source_divergence",
+    (s: SparkSession, dir: String) =>
+      graft.operators.TextAnalysis.sourceDivergence(docs(s, dir), "source", "text")
+        .orderBy(col("source")),
+    Some("""WITH toks AS (
+           |  SELECT source,
+           |    unnest(list_filter(string_split_regex(text,'\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           |      FROM toks GROUP BY 1, 2),
+           |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+           |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM c GROUP BY 1),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+           |j AS (
+           |  SELECT c.source,
+           |    sum(abs(CAST(c.c AS HUGEINT)*n.n - CAST(cw.cw AS HUGEINT)*st.ts))
+           |      AS sum_abs,
+           |    sum(CAST(cw.cw AS HUGEINT)) AS sum_cw
+           |  FROM c JOIN cw USING (w) JOIN st ON c.source = st.source
+           |  CROSS JOIN n
+           |  GROUP BY 1)
+           |SELECT j.source, st.ts AS n_tokens,
+           |  CAST(j.sum_abs + CAST(st.ts AS HUGEINT)*(n.n - j.sum_cw)
+           |       AS BIGINT) AS tv_num,
+           |  CAST((j.sum_abs + CAST(st.ts AS HUGEINT)*(n.n - j.sum_cw)) * 1000000
+           |       // (2 * CAST(st.ts AS HUGEINT) * n.n) AS BIGINT) AS tv_micro
+           |FROM j JOIN st ON j.source = st.source CROSS JOIN n
+           |ORDER BY j.source""".stripMargin),
+    doc = "Per-source unigram total-variation drift vs the corpus in " +
+      "exact integer micro-units: one tokenize pass, shrinking " +
+      "aggregation cascade, word-keyed equi-join — no float, no log, " +
+      "no cross join beyond O(1) scalar broadcasts")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
       lmScore, keywords, normalize, encoding, vocab, cms, bpe,
-      collocations)
+      collocations, divergence)
 }

@@ -481,7 +481,95 @@ object GraftSql {
         |         ELSE 'test' END AS split
         |  FROM kept)
         |SELECT lang, split, count(1) AS n_docs
-        |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+        |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // gap sessionization through SQL-text session_window — the
+    // temporal family's first twin; field access on the struct uses
+    // backticked `end` (reserved word in the SQL parser)
+    "a2_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, session_window(ts, '30 minutes') AS w,
+        |         count(1) AS n_events
+        |  FROM events GROUP BY user_id, session_window(ts, '30 minutes'))
+        |SELECT user_id, w.start AS session_start,
+        |       w.`end` - INTERVAL 30 MINUTES AS session_end, n_events
+        |FROM s ORDER BY user_id, session_start""".stripMargin,
+
+    // t16 as pure SQL: the whole TV-divergence cascade — including the
+    // DECIMAL(38,0) products and the integral `div` — is expressible
+    // as one statement; parity here proves the native decimal path,
+    // not just the DataFrame wrapper
+    "t16_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, explode(filter(split(text, '\\s+'), w -> w != ''))
+        |           AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |cw AS (SELECT w, sum(c) AS cw FROM c GROUP BY 1),
+        |st AS (SELECT source, sum(c) AS ts FROM c GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM c),
+        |j AS (
+        |  SELECT c.source,
+        |    sum(abs(CAST(c.c AS DECIMAL(38,0)) * n.n -
+        |            CAST(cw.cw AS DECIMAL(38,0)) * st.ts)) AS sum_abs,
+        |    sum(CAST(cw.cw AS DECIMAL(38,0))) AS sum_cw
+        |  FROM c JOIN cw USING (w) JOIN st ON c.source = st.source
+        |  CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT j.source, st.ts AS n_tokens,
+        |  CAST(j.sum_abs + CAST(st.ts AS DECIMAL(38,0)) * (n.n - j.sum_cw)
+        |       AS BIGINT) AS tv_num,
+        |  CAST((j.sum_abs + CAST(st.ts AS DECIMAL(38,0)) * (n.n - j.sum_cw))
+        |         * 1000000
+        |       div (2 * CAST(st.ts AS DECIMAL(38,0)) * n.n)
+        |       AS BIGINT) AS tv_micro
+        |FROM j JOIN st ON j.source = st.source CROSS JOIN n
+        |ORDER BY j.source""".stripMargin,
+
+    // x11 as pure SQL: shingle inverted-index Jaccard + md5 split
+    // assignment + the straddle filter in one statement. The shingle
+    // index explode guards short docs (sequence() counts DOWN for a
+    // negative span — the Dedup.shingles trap)
+    "x11_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  -- CAST, not `* 1.0`: Spark parses the 1.0 literal as
+        |  -- DECIMAL(2,1), which would type jaccard decimal(29,6)
+        |  SELECT i, j,
+        |    round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+        |splits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT p.i, p.j, p.jaccard, si.split AS split_i, sj.split AS split_j
+        |FROM pairs p
+        |JOIN splits si ON si.doc_id = p.i
+        |JOIN splits sj ON sj.doc_id = p.j
+        |WHERE si.split <> sj.split
+        |ORDER BY p.i, p.j""".stripMargin
   )
 }
 

@@ -13,6 +13,36 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(CorpusMix.thresholdHex(1.5) == "g") // any over-rate keeps all
   }
 
+  test("split leakage audit flags a planted cross-split near-dup pair") {
+    val s = spark
+    import s.implicits._
+    // find two ids withSplit assigns to DIFFERENT splits, give them
+    // identical 40-word texts, pad the corpus with unrelated docs
+    val probe = CorpusMix.withSplit(
+        (0L until 50L).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    val (idA, idB) = {
+      val bySplit = probe.groupBy(_._2).map { case (k, v) => k -> v.keys.min }
+      val two = bySplit.values.toSeq.sorted.take(2)
+      (two(0), two(1))
+    }
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(idA -> shared, idB -> shared) ++
+      (100L until 110L).map(i => i -> (1 to 40).map(j => s"u${i}w$j").mkString(" "))
+    val d = corpus.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 100)
+    val splits = CorpusMix.withSplit(d, "doc_id")
+      .select(col("doc_id"), col("split"))
+    val leaked = pairs
+      .join(splits.select(col("doc_id").as("i"), col("split").as("split_i")), Seq("i"))
+      .join(splits.select(col("doc_id").as("j"), col("split").as("split_j")), Seq("j"))
+      .filter(col("split_i") =!= col("split_j"))
+      .select(col("i"), col("j")).as[(Long, Long)].collect().toSet
+    assert(leaked == Set((math.min(idA, idB), math.max(idA, idB))),
+      s"exactly the planted cross-split twin must be flagged, got $leaked")
+  }
+
   test("stratifiedSample is deterministic, per-stratum, and near the rate") {
     val s = spark
     import s.implicits._

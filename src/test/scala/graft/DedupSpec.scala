@@ -31,6 +31,31 @@ class DedupSpec extends SparkSpecBase {
       s"LSH missed ${exact.diff(lsh).size} of ${exact.size} true pairs")
   }
 
+  test("containment flags subset duplication Jaccard misses; superset of the Jaccard answer") {
+    val s = spark
+    import s.implicits._
+    // a short doc that is a verbatim prefix of a long one: containment
+    // 1.0 by construction, Jaccard ≈ |A|/|B| — far below any threshold
+    val longWords = (1 to 60).map(i => s"w$i").mkString(" ")
+    val shortWords = (1 to 12).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, longWords), (2L, shortWords)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(pair, "doc_id", "text", threshold = 0.9)
+      .collect()
+    assert(cont.length == 1 && cont.head.getLong(0) == 1L &&
+      cont.head.getLong(1) == 2L && cont.head.getDouble(2) == 1.0,
+      s"prefix subset must score containment 1.0: ${cont.mkString(",")}")
+    assert(Dedup.ngramJaccardPairs(pair, "doc_id", "text", threshold = 0.5)
+      .collect().isEmpty, "Jaccard must NOT flag the asymmetric pair")
+    // same core, weaker denominator: containment pairs ⊇ Jaccard pairs
+    // at equal threshold on the real corpus
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val con = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty && jac.subsetOf(con),
+      s"containment must cover the Jaccard answer; missing ${jac.diff(con).size}")
+  }
+
   test("SimHash finds the very-high-similarity pairs and reports true Hamming") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -99,4 +99,28 @@ class StreamReplaySpec extends SparkSpecBase {
       .agg(min(col("doc_id"))).head().getLong(0)
     assert(out.filter(col("doc_id") === minId).count() == 1)
   }
+
+  test("st7 foreachBatch file sink equals the batch trending twin") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = SparkEntry.queries("st7_streaming_trending")(spark, dir)
+      .collect().toSeq
+    // batch twin over the pristine table: counts, emission frontier
+    // (max ts - 1h), per-day rank — the oracle's logic in Spark
+    val ev = graft.core.Tables(spark, dir).events
+    val wm = ev.agg((max(col("ts")).cast("long") - 3600L).as("w"))
+    val g = ev.groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(wm))
+      .filter(col("day").cast("timestamp").cast("long") + 86400L <= col("w"))
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val batchTwin = g.withColumn("rk", row_number().over(byDay).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("day"), col("rk"), col("event_type"), col("n_events"))
+      .orderBy(col("day"), col("rk"))
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchTwin,
+      s"stream emitted ${streamed.size} rows, batch twin ${batchTwin.size}")
+  }
 }

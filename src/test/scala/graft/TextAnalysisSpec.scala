@@ -12,6 +12,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("sourceDivergence computes exact TV micro-units incl. absent-word mass") {
+    val s = spark
+    import s.implicits._
+    // stratum A = "a a b" (T=3), B = "b c" (T=2); N=5, C=(a:2, b:2, c:1)
+    // TV(A) = ½(|2/3−2/5| + |1/3−2/5| + |0−1/5|) = 4/15 → 266666 µ
+    // TV(B) = ½(|0−2/5| + |1/2−2/5| + |1/2−1/5|) = 2/5  → 400000 µ
+    // (word c is ABSENT from A and a from B — the closed-form fold)
+    val rows = TextAnalysis.sourceDivergence(
+        Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text"),
+        "source", "text")
+      .orderBy(col("source")).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("A", 3L, 8L, 266666L), ("B", 2L, 8L, 400000L)))
+  }
+
+  test("sourceDivergence is zero for identically-distributed strata") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.sourceDivergence(
+        Seq(("A", "x y"), ("B", "x y"), ("B", "x y")).toDF("source", "text"),
+        "source", "text")
+      .collect()
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
+
   test("tokenStats counts whitespace and BPE-ish tokens") {
     val row = TextAnalysis.tokenStats(
       df((1L, "the quick brown fox!! 42 jumps")), "doc_id", "text").head
