@@ -180,6 +180,54 @@ object CorpusMix {
     * shape: a pure per-row generate, zero shuffle — replication
     * happens where the row already lives, never through an exchange.
     */
+  /** Curriculum ordering: every row positioned by QUALITY, best first
+    * — the "train on clean text early" dataset layout. The sort key is
+    * `q_micro`, the EXACT-INTEGER twin of [[TextAnalysis.withQuality]]'s
+    * composite: with n = tokens, L = chars, p = punctuation chars,
+    * c = min(n, 4·stopwords), m = min(n, 50),
+    *
+    *   q_micro = (10000·m·L·n + 250000·(L−p)·n + 250000·c·L) div (L·n)
+    *           = floor(10⁶ · quality_unrounded)
+    *
+    * computed over the common denominator in 64-bit integers (peak
+    * term 250000·L·n — exact far below long range at any per-doc
+    * size), so a decile boundary can never flip on a float ulp the
+    * way floor(10·quality_double) could, and the DuckDB oracle
+    * replays it bit-exact. Position comes from [[SequencePack]]'s
+    * distributed prefix sum over the (inverted-q, id) key order — a
+    * range partition + per-partition offsets, NOT a global
+    * row_number window, which would funnel 100 TB through one task.
+    * Ties break by id, so the order is total and retry-stable.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stop = typedLit(TextAnalysis.LangMarkers.toMap.apply("en"))
+    val ints = df
+      .select(col(idCol).as("doc"), col(textCol).as("__t"))
+      // materialize the words array BEFORE the filter lambda touches
+      // it (the re-evaluated-expression trap wordsOf documents)
+      .withColumn("__ws", TextAnalysis.words(col("__t")))
+      .select(col("doc"),
+        size(col("__ws")).cast("long").as("n"),
+        length(col("__t")).cast("long").as("l"),
+        length(regexp_replace(col("__t"), "[^.,!?;:]", ""))
+          .cast("long").as("p"),
+        size(filter(col("__ws"), w => array_contains(stop, w)))
+          .cast("long").as("s"))
+      .withColumn("q_micro", when(col("n") > 0,
+        expr("""(10000 * least(n, 50) * l * n + 250000 * (l - p) * n +
+               | 250000 * least(n, 4 * s) * l) div (l * n)""".stripMargin))
+        .otherwise(0L))
+    // fixed-width decimal key: ascending string order == (q desc, id)
+    val keyed = ints.withColumn("__key",
+      concat(lpad((lit(1000000L) - col("q_micro")).cast("string"), 7, "0"),
+        lit("-"), lpad(col("doc").cast("string"), 12, "0")))
+      .withColumn("__one", lit(1L))
+    SequencePack.withPackAssignment(keyed, "__key", "__one",
+        maxTokens = Long.MaxValue)
+      .withColumnRenamed("start_tok", "cur_pos")
+      .select(col("doc"), col("q_micro"), col("cur_pos"))
+  }
+
   def withEpochs(df: DataFrame, idCol: String, strataCol: String,
                  epochs: Map[String, Double], defaultEpochs: Double = 1.0,
                  salt: String = "epoch1"): DataFrame = {

@@ -743,4 +743,42 @@ object Dedup {
         coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
   }
+
+  /** Per-document n-gram NOVELTY — [[dupNgramCoverage]]'s complement
+    * and the dataset-ordering signal curriculum/selection pipelines
+    * rank on: of a doc's DISTINCT n-gram shingles, how many occur for
+    * the FIRST time in this doc (first = smallest doc id over the
+    * corpus — the deterministic stand-in for ingestion order). A doc
+    * that introduces nothing (novelty 0) is boilerplate even when no
+    * single other doc is a near-dup of it; d2/d13 cannot see that
+    * because the overlap is spread across MANY owners.
+    *
+    * Scale shape: one shingle explode → first-owner aggregate (min per
+    * gram) → one equi-join back on the gram key (both sides already
+    * hash-partitioned on it) → per-doc count. No pair enumeration, no
+    * window; the ppm is exact integral `div`. Short docs (< n words)
+    * emit an explicit zero row via the left join, not an absent row.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: feeds the owner aggregate AND the join-back (AQE plans
+    // the branches independently — the engine caching contract)
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val owner = sh.groupBy(col("shingle")).agg(min(col("doc")).as("owner"))
+    val per = sh.join(owner, Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        when(col("n_grams") > 0,
+          expr("n_novel * 1000000 div n_grams")).otherwise(0L))
+  }
 }

@@ -94,6 +94,39 @@ object DedupQueries extends QueryModule {
     doc = "Subset-duplication pairs by word-3-gram containment " +
       "|A∩B|/min(|A|,|B|) >= 0.8 over the d2 inverted-index core")
 
+  /** d14: first-occurrence novelty per doc — d9's complement (what
+    * fraction of a doc's distinct 8-grams debut HERE), the signal a
+    * selection/curriculum pass ranks on. No pairs anywhere: gram →
+    * min-owner aggregate + one join back.
+    */
+  private val novelty = CatalogQuery(
+    "d14_ngram_novelty",
+    (s, dir) =>
+      Dedup.ngramNovelty(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy(col("doc")),
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+           |         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+           |       FROM toks, unnest(range(1, len(ws)-6)) AS t(i)),
+           |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s),
+           |per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |          CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+           |               AS BIGINT) AS n_novel
+           |        FROM sh JOIN own ON sh.s = own.s GROUP BY sh.doc_id)
+           |SELECT d.doc_id AS doc,
+           |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+           |  CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+           |            THEN per.n_novel * 1000000 // per.n_grams
+           |            ELSE 0 END AS BIGINT) AS novelty_ppm
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+           |ORDER BY doc""".stripMargin),
+    doc = "First-occurrence 8-gram novelty per document in exact ppm " +
+      "(first owner = min doc id): gram min-owner aggregate + one " +
+      "gram-keyed join back — no pair enumeration, no window")
+
   private val minhash = CatalogQuery(
     "d3_minhash_lsh_dedup",
     (s, dir) =>
@@ -522,5 +555,5 @@ object DedupQueries extends QueryModule {
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical, fuzzyJoin)
+      canonical, fuzzyJoin, novelty)
 }

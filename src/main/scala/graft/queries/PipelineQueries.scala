@@ -417,7 +417,45 @@ object PipelineQueries extends QueryModule {
       "(id-keyed equi-joins of the pair relation against the split " +
       "projection; both legs reuse independently-oracled cores)")
 
+  /** Quality-first curriculum layout. The sort key is the exact
+    * integer micro-unit quality (floor(10⁶·q) over a common
+    * denominator — see [[CorpusMix.curriculumOrder]]), so the oracle
+    * replays the order bit-exact with no float-boundary luck, and the
+    * position is the distributed prefix sum, not a global window.
+    */
+  private val curriculum = CatalogQuery(
+    "x12_curriculum_order",
+    (s: SparkSession, dir: String) =>
+      CorpusMix.curriculumOrder(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy(col("doc")),
+    Some("""WITH f AS (
+           |  SELECT doc_id AS doc,
+           |    CAST(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))
+           |         AS BIGINT) AS n,
+           |    CAST(len(text) AS BIGINT) AS l,
+           |    CAST(len(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+           |         AS BIGINT) AS p,
+           |    CAST(len(list_filter(string_split_regex(text,'\s+'),
+           |           w -> list_contains(['the','a','of','to','and'], w)))
+           |         AS BIGINT) AS s
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc,
+           |    CAST(CASE WHEN n > 0 THEN
+           |      (10000*least(n,50)*l*n + 250000*(l-p)*n + 250000*least(n,4*s)*l)
+           |        // (l*n)
+           |    ELSE 0 END AS BIGINT) AS q_micro
+           |  FROM f)
+           |SELECT doc, q_micro,
+           |  CAST(row_number() OVER (ORDER BY q_micro DESC, doc) - 1
+           |       AS BIGINT) AS cur_pos
+           |FROM q ORDER BY doc""".stripMargin),
+    doc = "Quality-first curriculum positions in exact integer " +
+      "micro-unit quality (common-denominator form of the t2 " +
+      "composite); order materialized by the distributed prefix sum, " +
+      "no global row_number window")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget, epochs, weighted, splitLeakage)
+      tokenBudget, epochs, weighted, splitLeakage, curriculum)
 }

@@ -13,6 +13,28 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(CorpusMix.thresholdHex(1.5) == "g") // any over-rate keeps all
   }
 
+  test("curriculumOrder: integer q matches the float composite, positions " +
+    "are the (q desc, id) row numbers") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables(spark, sf("sf0.001")).documents
+    val cur = CorpusMix.curriculumOrder(docs, "doc_id", "text")
+    // the integer key is floor(1e6·q) of the SAME rational the float
+    // composite approximates — agreement within one ulp-induced unit
+    val q = graft.operators.TextAnalysis.withQuality(docs, "text")
+      .select(col("doc_id").as("doc"), (col("quality") * 1e6).as("qf"))
+    val drift = cur.join(q, "doc")
+      .filter(abs(col("q_micro") - col("qf")) > 1.5).count()
+    assert(drift == 0, s"$drift docs where integer q disagrees with the " +
+      "float composite by > 1 micro-unit")
+    // the prefix-sum position equals the global window row_number
+    val twin = cur.withColumn("rn",
+      row_number().over(Window.orderBy(col("q_micro").desc, col("doc")))
+        .cast("long") - 1L)
+    assert(twin.filter(col("cur_pos") =!= col("rn")).count() == 0)
+    // positions are a permutation of 0..n-1
+    assert(cur.select(col("cur_pos")).distinct().count() == docs.count())
+  }
+
   test("split leakage audit flags a planted cross-split near-dup pair") {
     val s = spark
     import s.implicits._

@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpecBase {
       s"containment must cover the Jaccard answer; missing ${jac.diff(con).size}")
   }
 
+  test("ngramNovelty: first owner wins, duplicates score 0, short docs emit zeros") {
+    val s = spark
+    import s.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")     // grams w1-8,w2-9,w3-10
+    val nine = (1 to 8).map(i => s"w$i").mkString(" ") + " x" // w1-8 (owned by 1), w2-8+x
+    val fixture = Seq(1L -> ten, 2L -> ten, 3L -> nine, 4L -> "a b c")
+      .toDF("doc_id", "text")
+    val rows = Dedup.ngramNovelty(fixture, "doc_id", "text", n = 8)
+      .orderBy(col("doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 3L, 1000000L),  // introduces everything
+      (2L, 3L, 0L, 0L),        // exact duplicate: nothing new
+      (3L, 2L, 1L, 500000L),   // shares one gram with doc 1
+      (4L, 0L, 0L, 0L)))       // < 8 words: explicit zero row
+  }
+
   test("SimHash finds the very-high-similarity pairs and reports true Hamming") {
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -44,7 +44,8 @@ class PlanSpec extends SparkSpecBase {
   test("no pair-finding query ever plans a cartesian product") {
     for (q <- Seq("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
         "d4_simhash_dedup", "d6_incremental_dedup", "d7_decontamination",
-        "d12_edit_distance_join", "g2_triangles",
+        "d12_edit_distance_join", "d13_containment_dedup",
+        "x11_split_leakage", "g2_triangles",
         "s2_ann_lsh_topk", "s3_cosine_neardup", "s4_ann_ivf_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
