@@ -135,13 +135,50 @@ object Multimodal {
       None
     }
 
+    private def le16i(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32i(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** GIF: 6-byte version signature, then the Logical Screen
+      * Descriptor's width/height as LITTLE-endian 16-bit at offsets
+      * 6 and 8 (GIF89a spec §18) — the endianness twin of PNG's
+      * big-endian IHDR.
+      */
+    def gifDims(b: Array[Byte]): Option[(Int, Int)] = {
+      def magic(s: String) = s.getBytes.indices.forall(i => b(i) == s.getBytes()(i))
+      if (b.length < 10) None
+      else if (!magic("GIF87a") && !magic("GIF89a")) None
+      else {
+        val w = le16i(b, 6); val h = le16i(b, 8)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
+    }
+
+    /** BMP: "BM" file header (14 bytes), then BITMAPINFOHEADER with
+      * size ≥ 40, width at offset 18 and height at 22 as SIGNED
+      * little-endian 32-bit — a NEGATIVE height is the spec's
+      * top-down marker, so the raw value is returned and the caller
+      * derives orientation; abs(height) is the pixel height.
+      */
+    def bmpInfo(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+      else if (le32i(b, 14) < 40) None // core-header BMPs lack signed height
+      else {
+        val w = le32i(b, 18); val h = le32i(b, 22)
+        if (w > 0 && h != 0) Some((w, h)) else None
+      }
+    }
+
     /** Dispatch on the sniffed format. Unknown formats → None — the
-      * honest answer, never a stand-in.
+      * honest answer, never a stand-in. BMP's second component is the
+      * RAW signed height (negative = top-down).
       */
     def dimensions(format: String, bytes: Array[Byte]): Option[(Int, Int)] =
       format match {
         case "jpeg" => jpegDims(bytes)
         case "png"  => pngDims(bytes)
+        case "gif"  => gifDims(bytes)
+        case "bmp"  => bmpInfo(bytes)
         case _      => None
       }
   }
@@ -333,6 +370,27 @@ object Multimodal {
   case class BlobDims(blob_id: Long, format: String,
                       width: Option[Int], height: Option[Int])
 
+  case class BlobImage(blob_id: Long, format: String,
+                       width: Option[Int], height: Option[Int],
+                       top_down: Option[Boolean])
+
+  /** [[imageDimensions]] plus orientation: BMP's signed height is
+    * normalized to abs() with the sign surfaced as `top_down`;
+    * formats without an orientation notion (gif/jpeg/png) carry null.
+    */
+  def imageInfo(blobs: Dataset[Blob]): Dataset[BlobImage] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      ImageHeader.dimensions(b.format, b.content) match {
+        case Some((w, h)) =>
+          val td = if (b.format == "bmp") Some(h < 0) else None
+          BlobImage(b.blob_id, b.format, Some(w), Some(math.abs(h)), td)
+        case None => BlobImage(b.blob_id, b.format, None, None, None)
+      }
+    })
+  }
+
   /** Parse real width/height out of JPEG/PNG headers, partition-
     * batched like [[extractFeatures]] — row-local byte work, zero
     * shuffle, no driver involvement.
@@ -367,6 +425,8 @@ object Multimodal {
       col(idCol).cast("long").as("blob_id"),
       when(magic.startsWith("FFD8FF"), "image")
         .when(magic.startsWith("89504E47"), "image")
+        .when(magic.startsWith("47494638"), "image") // "GIF8"
+        .when(magic.startsWith("424D"), "image")     // "BM"
         .when(magic.startsWith("494433"), "audio")
         .when(magic.startsWith("664C6143"), "audio")
         .when(riffWave, "audio")
@@ -374,6 +434,8 @@ object Multimodal {
         .otherwise("text").as("modality"),
       when(magic.startsWith("FFD8FF"), "jpeg")
         .when(magic.startsWith("89504E47"), "png")
+        .when(magic.startsWith("47494638"), "gif")
+        .when(magic.startsWith("424D"), "bmp")
         .when(magic.startsWith("494433"), "mp3")
         .when(magic.startsWith("664C6143"), "flac")
         .when(riffWave, "wav")

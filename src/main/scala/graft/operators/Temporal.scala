@@ -76,6 +76,30 @@ object Temporal {
     unpackCarry(carried, "__carry_b", carryCols)
   }
 
+  /** [[asofJoinBackward]] with a MATCH-AGE BOUND — pandas
+    * merge_asof's `tolerance` knob: a carried right row older than
+    * `tolerance` before the left time is nulled out, not matched.
+    * Implemented as a pure projection ON TOP of the same one-shuffle
+    * carry plan (the right time always rides the carry struct), so
+    * the plan shape is identical to the unbounded form — no second
+    * window, no join. The stale-match null means "no error within the
+    * window", which is the semantics label-attachment pipelines need
+    * (an exposure with no outcome inside the horizon is unlabeled,
+    * not labeled with a year-old outcome).
+    */
+  def asofJoinBackwardTolerance(left: DataFrame, right: DataFrame,
+                                keys: Seq[String], leftTime: String,
+                                rightTime: String, carryCols: Seq[String],
+                                tolerance: String): DataFrame = {
+    val carry =
+      if (carryCols.contains(rightTime)) carryCols else rightTime +: carryCols
+    val joined = asofJoinBackward(left, right, keys, leftTime, rightTime, carry)
+    val within =
+      col(s"asof_$rightTime") >= col(leftTime) - expr(s"INTERVAL $tolerance")
+    carry.foldLeft(joined)((df, c) =>
+      df.withColumn(s"asof_$c", when(within, col(s"asof_$c"))))
+  }
+
   /** Backward-carry window: ascending (__t, __side) — at equal __t the
     * right row (side 0) sorts first, so a right row exactly at a left
     * row's time is inside its preceding frame (<= semantics).

@@ -440,7 +440,84 @@ object MultimodalQueries extends QueryModule {
       "parsed back from actual bytes, oracle re-derives them " +
       "independently; truncated moov yields NULL")
 
+  /** GIF logical-screen descriptor: version magic + LITTLE-endian
+    * 16-bit dims at offsets 6/8 — PNG's endianness opposite, so a
+    * byte-order bug flips the hash on almost every id.
+    */
+  private def gifFixture(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
+      Array[Byte](0, 0, 0) // packed fields / bg / aspect
+
+  /** BMP file header + BITMAPINFOHEADER with SIGNED height: negative
+    * stored height = top-down row order (the spec's orientation bit).
+    */
+  private def bmpFixture(w: Int, hSigned: Int): Array[Byte] =
+    "BM".getBytes ++ le32(26) ++ le32(0) ++ le32(26) ++
+      le32(40) ++ le32(w) ++ le32(hSigned)
+
+  /** Sniffs as gif (magic intact) but the blob PHYSICALLY ends before
+    * the screen descriptor — unlike m5's truncated JPEG (where trailing
+    * payload loses marker sync), a fixed-offset format would happily
+    * read whatever bytes follow, so this class must carry no payload.
+    */
+  private val truncatedGif: Array[Byte] = "GIF89a".getBytes
+
+  /** m8 completes the image-container family: GIF (little-endian
+    * descriptor) and BMP (signed height = orientation) beside m5's
+    * big-endian PNG / marker-walked JPEG, plus the truncated
+    * refuse-to-fabricate class. Same contract as m5/m6/m7: every
+    * field synthesized from doc_id, parsed back from REAL bytes,
+    * oracle re-derives without seeing a byte; row-local
+    * mapPartitions, zero shuffle.
+    */
+  private val gifBmpHeaders = CatalogQuery(
+    "m8_gif_bmp_headers",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val withBytes = Tables(s, dir).documents
+        .select($"doc_id", $"text").as[(Long, String)]
+        .map { case (id, text) =>
+          val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = (id % 4) match {
+            case 0 => gifFixture((id % 500 + 1).toInt, (id % 300 + 1).toInt) ++
+              payload
+            case 1 => bmpFixture((id % 400 + 1).toInt, (id % 250 + 1).toInt) ++
+              payload
+            case 2 => bmpFixture((id % 350 + 1).toInt,
+              -(id % 200 + 1).toInt) ++ payload
+            case _ => truncatedGif
+          }
+          (id, content)
+        }.toDF("doc_id", "content")
+      Multimodal.imageInfo(
+          Multimodal.asBlobs(withBytes, "doc_id", "content"))
+        .toDF()
+        .select($"blob_id", $"format",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"top_down".cast("long").as("top_down"))
+        .orderBy($"blob_id")
+    },
+    Some("""WITH m AS (SELECT doc_id, doc_id % 4 AS r FROM documents)
+           |SELECT doc_id AS blob_id,
+           |  CASE WHEN r IN (0, 3) THEN 'gif' ELSE 'bmp' END AS format,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 500 + 1 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(doc_id % 400 + 1 AS BIGINT)
+           |       WHEN r = 2 THEN CAST(doc_id % 350 + 1 AS BIGINT)
+           |       END AS width,
+           |  CASE WHEN r = 0 THEN CAST(doc_id % 300 + 1 AS BIGINT)
+           |       WHEN r = 1 THEN CAST(doc_id % 250 + 1 AS BIGINT)
+           |       WHEN r = 2 THEN CAST(doc_id % 200 + 1 AS BIGINT)
+           |       END AS height,
+           |  CASE WHEN r = 1 THEN CAST(0 AS BIGINT)
+           |       WHEN r = 2 THEN CAST(1 AS BIGINT)
+           |       END AS top_down
+           |FROM m ORDER BY blob_id""".stripMargin),
+    doc = "Real GIF screen-descriptor / BMP info-header parsing with " +
+      "the signed-height orientation bit; dims synthesized from " +
+      "doc_id, parsed from actual bytes, truncated GIFs yield NULL")
+
   override def queries: Seq[CatalogQuery] =
     Seq(features, frameSample, resize, routing, imageDims, audioHeaders,
-      videoHeaders)
+      videoHeaders, gifBmpHeaders)
 }

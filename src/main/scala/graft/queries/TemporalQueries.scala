@@ -126,6 +126,43 @@ object TemporalQueries extends QueryModule {
       "click, ties backward) — both directions in one shuffle; oracle " +
       "composes DuckDB's two native ASOF directions")
 
+  /** a1's tolerance variant (pandas merge_asof `tolerance`): a match
+    * older than 2 hours is NULLed, not carried — an exposure with no
+    * outcome inside the horizon is unlabeled, never labeled with a
+    * stale one. Same one-shuffle carry plan; the bound is a pure
+    * projection. The oracle runs DuckDB's native ASOF and applies the
+    * identical age test.
+    */
+  private val asofTolerance = CatalogQuery(
+    "a1d_asof_tolerance",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"), col("value"))
+      Temporal.asofJoinBackwardTolerance(clicks, errors,
+          keys = Seq("user_id"), leftTime = "click_ts",
+          rightTime = "err_ts", carryCols = Seq("err_ts", "value"),
+          tolerance = "2 hours")
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("asof_err_ts").as("last_error_ts"),
+          col("asof_value").as("last_error_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+           |  CASE WHEN e.ts >= c.ts - INTERVAL 2 HOUR
+           |       THEN CAST(e.ts AS TIMESTAMP) END AS last_error_ts,
+           |  CASE WHEN e.ts >= c.ts - INTERVAL 2 HOUR
+           |       THEN e.value END AS last_error_value
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           |  ON c.user_id = e.user_id AND c.ts >= e.ts
+           |ORDER BY c.event_id""".stripMargin),
+    doc = "Backward as-of join with a 2-hour tolerance horizon " +
+      "(stale matches null out): merge_asof semantics on the same " +
+      "single-shuffle union + window carry")
+
   private val sessions = CatalogQuery(
     "a2_sessionize",
     (s, dir) =>
@@ -447,7 +484,7 @@ object TemporalQueries extends QueryModule {
       "re-shuffle of the events")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(asof, asofForward, asofNearest, sessions, json, intervalFollow,
-      resample, resampleLinear, rollingActives, cohorts, twap, funnelQ,
-      outliers)
+    Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
+      intervalFollow, resample, resampleLinear, rollingActives, cohorts,
+      twap, funnelQ, outliers)
 }

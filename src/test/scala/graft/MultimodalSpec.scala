@@ -88,6 +88,49 @@ class MultimodalSpec extends SparkSpecBase {
     assert(dimensions("raw", png(9, 9)).isEmpty)
   }
 
+  test("ImageHeader parses GIF little-endian dims and BMP signed heights") {
+    import Multimodal.ImageHeader._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def gif(ver: String, w: Int, h: Int) = ver.getBytes ++
+      bytes(w & 0xff, w >> 8, h & 0xff, h >> 8, 0, 0, 0)
+    assert(gifDims(gif("GIF89a", 640, 480)) == Some((640, 480)))
+    assert(gifDims(gif("GIF87a", 3, 70)) == Some((3, 70)))
+    // little-endian really: 0x0102 must decode 258, not 513
+    assert(gifDims(gif("GIF89a", 0x0102, 1)) == Some((258, 1)))
+    assert(gifDims(gif("GIF88a", 10, 10)).isEmpty) // bad version
+    assert(gifDims("GIF89a".getBytes).isEmpty)     // ends before descriptor
+    assert(gifDims(gif("GIF89a", 0, 5)).isEmpty)   // zero dim is invalid
+
+    def le32b(v: Int) = bytes(v & 0xff, (v >> 8) & 0xff,
+      (v >> 16) & 0xff, (v >>> 24) & 0xff)
+    def bmp(w: Int, h: Int, hdr: Int = 40) = "BM".getBytes ++
+      le32b(26) ++ le32b(0) ++ le32b(26) ++ le32b(hdr) ++ le32b(w) ++ le32b(h)
+    assert(bmpInfo(bmp(400, 250)) == Some((400, 250)))
+    assert(bmpInfo(bmp(350, -200)) == Some((350, -200))) // raw signed height
+    assert(bmpInfo(bmp(1, 1, hdr = 12)).isEmpty) // BITMAPCOREHEADER refused
+    assert(bmpInfo("BM".getBytes ++ le32b(6)).isEmpty) // truncated
+    assert(bmpInfo(bmp(0, 5)).isEmpty)
+    assert(dimensions("gif", gif("GIF89a", 2, 3)) == Some((2, 3)))
+    assert(dimensions("bmp", bmp(7, -9)) == Some((7, -9)))
+  }
+
+  test("imageInfo normalizes BMP orientation; gif/png carry null top_down") {
+    val s = spark
+    import s.implicits._
+    def le32b(v: Int) = Array(v & 0xff, (v >> 8) & 0xff,
+      (v >> 16) & 0xff, (v >>> 24) & 0xff).map(_.toByte)
+    val topDown = "BM".getBytes ++ le32b(26) ++ le32b(0) ++ le32b(26) ++
+      le32b(40) ++ le32b(11) ++ le32b(-22)
+    val gif = "GIF89a".getBytes ++ Array[Byte](5, 0, 6, 0, 0, 0, 0)
+    val rows = Multimodal.imageInfo(Multimodal.asBlobs(
+        Seq((1L, topDown), (2L, gif)).toDF("id", "content"), "id", "content"))
+      .collect().sortBy(_.blob_id)
+    assert(rows(0).format == "bmp" && rows(0).width == Some(11) &&
+      rows(0).height == Some(22) && rows(0).top_down == Some(true))
+    assert(rows(1).format == "gif" && rows(1).width == Some(5) &&
+      rows(1).height == Some(6) && rows(1).top_down.isEmpty)
+  }
+
   test("imageDimensions runs the parse partition-batched over typed blobs") {
     val s = spark
     import s.implicits._

@@ -157,6 +157,42 @@ object ScaleSmoke {
           .agg(count(lit(1)).as("n"), sum(col("n_covered")))
           .head.getLong(0)
       }
+      // round-8 additions. d13 rides d2's exact co-occurrence core
+      // (same candidate set, different denominator), so its curve must
+      // track d2's; a divergence here means the shared core regressed
+      time("d13_containment")(Dedup.containmentPairs(docs, "doc_id",
+        "text", 3, 0.8, maxDf = maxDf).count())
+      // d14's stress axis is the gram->min-owner aggregate: tagged mode
+      // grows the distinct-gram domain ~linearly (disjoint vocab per
+      // replica), dense mode keeps it constant with mult'd counts
+      time("d14_novelty") {
+        Dedup.ngramNovelty(docs)
+          .agg(count(lit(1)).as("n"), sum(col("n_novel"))).head.getLong(0)
+      }
+      // t16: tokenize pass + word-keyed join; the (stratum, word)
+      // aggregate is the corpus-sized stage, everything after shrinks
+      time("t16_divergence") {
+        TextAnalysis.sourceDivergence(docs, "source", "text")
+          .agg(count(lit(1)).as("n"), sum(col("tv_micro"))).head.getLong(0)
+      }
+      // x11 = d2's pair finder + two id-keyed joins against the split
+      // projection: the delta over d2 alone must stay scan-shaped
+      time("x11_split_leakage") {
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          3, 0.8, maxDf = maxDf)
+        val splits = CorpusMix.withSplit(docs, "doc_id")
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("i"),
+            col("split").as("split_i")), Seq("i"))
+          .join(splits.select(col("doc_id").as("j"),
+            col("split").as("split_j")), Seq("j"))
+          .filter(col("split_i") =!= col("split_j")).count()
+      }
+      time("x12_curriculum") {
+        CorpusMix.curriculumOrder(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n"), max(col("cur_pos"))).head.getLong(0)
+      }
       time("x7_chunking") {
         Chunking.chunkDocs(docs)
           .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))))

@@ -25,6 +25,28 @@ class TemporalSpec extends SparkSpecBase {
     assert(got(3L).isEmpty)           // key 2 has no right rows at all
   }
 
+  test("tolerance asof: stale matches null out, in-window and tie matches survive") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1, ts(10)), (2L, 1, ts(60)), (3L, 1, ts(62)), (4L, 2, ts(5)))
+      .toDF("id", "k", "lt")
+    val right = Seq((1, ts(10), "exact"), (1, ts(58), "recent"))
+      .toDF("k", "rt", "tag")
+    val got = Temporal.asofJoinBackwardTolerance(left, right, Seq("k"),
+        "lt", "rt", Seq("rt", "tag"), tolerance = "3 minutes")
+      .select($"id", $"asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("exact"))  // tie: age 0 is inside any horizon
+    assert(got(2L).contains("recent")) // age 2m <= 3m
+    assert(got(3L).isEmpty)            // latest is 4m old: nulled, not matched
+    assert(got(4L).isEmpty)            // no right rows at all
+    // the unbounded form would have matched id=3 — the knob is real
+    val unbounded = Temporal.asofJoinBackward(left, right, Seq("k"),
+        "lt", "rt", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(unbounded(3L).contains("recent"))
+  }
+
   test("asof join: all carry columns come from the SAME latest right " +
     "row, internal NULLs preserved") {
     val s = spark
