@@ -744,6 +744,19 @@ object Dedup {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
   }
 
+  /** Distinct hashed n-gram set per doc — (doc, h) rows with h =
+    * xxhash64 over the gram's word positions, the hashed-domain twin
+    * of [[shingles]] (same rationale as [[dupNgramCoverage]]: no gram
+    * strings shuffled; identical answers absent a 64-bit collision).
+    */
+  private[graft] def hashedShingleSet(df: DataFrame, idCol: String,
+                                      textCol: String, n: Int): DataFrame =
+    tokenized(df, idCol, textCol)
+      .select(col("doc"), explode(transform(shingleIdx(n), i =>
+        xxhash64((0 until n).map(o => element_at(col("ws"), i + o)): _*)))
+        .as("h"))
+      .distinct()
+
   /** Per-document n-gram NOVELTY — [[dupNgramCoverage]]'s complement
     * and the dataset-ordering signal curriculum/selection pipelines
     * rank on: of a doc's DISTINCT n-gram shingles, how many occur for

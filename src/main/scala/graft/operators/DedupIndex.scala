@@ -196,4 +196,71 @@ object DedupIndex {
       build(corpus, scratch, n = n, bands = bands, rows = rows, maxDf = maxDf)
     }
   }
+
+  /** At-rest gram→first-owner index for INCREMENTAL novelty scoring —
+    * [[Dedup.ngramNovelty]]'s d6 twin. The build is the one
+    * full-corpus job: distinct hashed grams reduced to (h, owner =
+    * min doc id). Probing a batch then touches only the batch's own
+    * gram set and the index scan — nothing re-shingles the corpus.
+    * "First" means the INDEX wins any gram it already holds
+    * (ingestion order), and within the batch the min id wins — which
+    * equals the whole-corpus min-owner rule whenever index ids
+    * precede batch ids, the invariant the catalog's id-split probe
+    * relies on to share d14's restricted oracle.
+    */
+  def buildNovelty(docs: DataFrame, path: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    Dedup.hashedShingleSet(docs, idCol, textCol, n)
+      .groupBy(col("h")).agg(min(col("doc")).as("owner"))
+      .sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(s"$path/owners")
+    import spark.implicits._
+    // written LAST: its _SUCCESS is the completeness marker
+    Seq(n).toDF("n").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/nmeta")
+  }
+
+  /** Build-once wrapper for [[buildNovelty]], keyed like [[ensure]]. */
+  def ensureNovelty(spark: SparkSession, dataDir: String, variant: String,
+                    corpus: => DataFrame, n: Int = 8): String = {
+    val tag = s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$variant-n$n-v1"
+    IndexCache.ensure("graft-novidx", dataDir, tag, "nmeta/_SUCCESS") { scratch =>
+      buildNovelty(corpus, scratch, n = n)
+    }
+  }
+
+  /** Novelty of `batch` against the at-rest index: per batch doc, its
+    * distinct-gram count, how many grams debut in it (absent from the
+    * index AND batch-min-owned by it), and the exact integral ppm.
+    * One batch shingle pass, one anti-join against the index, one
+    * join-back — probe cost scales with the batch and the index SCAN,
+    * never with re-fingerprinting the corpus.
+    */
+  def probeNovelty(spark: SparkSession, path: String, batch: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = spark.read.parquet(s"$path/nmeta").head().getInt(0)
+    val bg = Dedup.hashedShingleSet(batch, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bmin = bg.groupBy(col("h")).agg(min(col("doc")).as("bown"))
+    // grams the corpus-at-rest has never seen; their first owner is
+    // the batch's min id
+    val novelGrams = bmin.join(
+      spark.read.parquet(s"$path/owners").select(col("h")),
+      Seq("h"), "left_anti")
+    val per = bg.join(novelGrams, Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bown") === col("doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    batch.select(col(idCol).as("doc"))
+      .join(per, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        when(col("n_grams") > 0,
+          expr("n_novel * 1000000 div n_grams")).otherwise(0L))
+  }
 }

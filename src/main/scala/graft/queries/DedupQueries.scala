@@ -127,6 +127,48 @@ object DedupQueries extends QueryModule {
       "(first owner = min doc id): gram min-owner aggregate + one " +
       "gram-keyed join back — no pair enumeration, no window")
 
+  /** d15: d14 run INCREMENTALLY — the id<250 corpus frozen into an
+    * at-rest gram→owner index, the id>=250 batch probed against it.
+    * The contract is exact: index ids precede batch ids, so the
+    * incremental answer EQUALS d14's whole-corpus answer restricted
+    * to the batch, and the oracle is d14's replay with that WHERE
+    * clause (hashed vs string gram domain — identical absent a
+    * 64-bit collision, d9's documented caveat).
+    */
+  private val noveltyIncremental = CatalogQuery(
+    "d15_incremental_novelty",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val path = DedupIndex.ensureNovelty(s, dir, "lt250",
+        d.filter(col("doc_id") < 250), n = 8)
+      DedupIndex.probeNovelty(s, path, d.filter(col("doc_id") >= 250))
+        .orderBy(col("doc"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id,
+           |         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+           |         ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS s
+           |       FROM toks, unnest(range(1, len(ws)-6)) AS t(i)),
+           |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s),
+           |per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |          CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+           |               AS BIGINT) AS n_novel
+           |        FROM sh JOIN own ON sh.s = own.s GROUP BY sh.doc_id)
+           |SELECT d.doc_id AS doc,
+           |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+           |  CAST(CASE WHEN coalesce(per.n_grams, 0) > 0
+           |            THEN per.n_novel * 1000000 // per.n_grams
+           |            ELSE 0 END AS BIGINT) AS novelty_ppm
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+           |WHERE d.doc_id >= 250
+           |ORDER BY doc""".stripMargin),
+    doc = "Incremental novelty: batch probed against the at-rest " +
+      "gram-owner index (build-once corpus pass; probe touches only " +
+      "the batch grams + index scan); equals d14 restricted to the " +
+      "batch by the id-order contract")
+
   private val minhash = CatalogQuery(
     "d3_minhash_lsh_dedup",
     (s, dir) =>
@@ -555,5 +597,5 @@ object DedupQueries extends QueryModule {
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical, fuzzyJoin, novelty)
+      canonical, fuzzyJoin, novelty, noveltyIncremental)
 }

@@ -31,6 +31,27 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(crossOnly.subsetOf(probed))
   }
 
+  test("novelty probe equals the whole-corpus novelty restricted to the batch") {
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("novidx").toString
+    DedupIndex.buildNovelty(d.filter(col("doc_id") < 250), s"$dir/idx", n = 8)
+    val probed = DedupIndex.probeNovelty(spark, s"$dir/idx",
+        d.filter(col("doc_id") >= 250))
+      .orderBy(col("doc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = Dedup.ngramNovelty(d, "doc_id", "text", n = 8)
+      .filter(col("doc") >= 250)
+      .orderBy(col("doc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(probed.nonEmpty && probed.toSeq == full.toSeq,
+      s"incremental novelty must equal the full recompute on the batch " +
+        s"(${probed.length} vs ${full.length} rows)")
+    // the contract is falsifiable: some batch doc must actually lose
+    // novelty to the index (else the test only proves the trivial case)
+    assert(probed.exists(r => r._3 < r._2),
+      "fixture must contain a batch doc with index-owned grams")
+  }
+
   test("append: a later batch collides with earlier appended batches") {
     val d = docs
     val all = pairsOf(Dedup.minhashLshPairs(d, "doc_id", "text"))
