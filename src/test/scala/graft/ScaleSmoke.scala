@@ -193,6 +193,20 @@ object ScaleSmoke {
         CorpusMix.curriculumOrder(docs, "doc_id", "text")
           .agg(count(lit(1)).as("n"), max(col("cur_pos"))).head.getLong(0)
       }
+      // d15's incremental-ingest split, the d6 pattern: the index
+      // build is the one full-corpus job; probing a FIXED 500-doc
+      // batch must scale with the index SCAN, not re-shingling
+      time("d15_nov_build") {
+        DedupIndex.buildNovelty(docs, s"$tmp/novidx", n = 8)
+        spark.read.parquet(s"$tmp/novidx/owners").count()
+      }
+      time("d15_nov_probe_500") {
+        DedupIndex.probeNovelty(spark, s"$tmp/novidx",
+          t.documents.filter(col("doc_id") < 500)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+              col("text"), col("lang"), col("source"), col("n_chars")))
+          .agg(count(lit(1)).as("n"), sum(col("n_novel"))).head.getLong(0)
+      }
       time("x7_chunking") {
         Chunking.chunkDocs(docs)
           .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))))
