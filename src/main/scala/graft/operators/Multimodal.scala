@@ -493,4 +493,72 @@ object Multimodal {
       .select(col("blob_id"), col("modality"), col("vec"),
         resized.as("vec_resized"))
   }
+
+  /** Average-hash (aHash) perceptual fingerprints over a quantized
+    * thumbnail column (`array<bigint>` pixels, e.g. the 8×8 grayscale
+    * an image resize emits — real thumbnails ARE uint8, so integer
+    * pixels lose nothing). Classic aHash: bit_j = pixel_j > mean, held
+    * as the exact integer comparison `p_j·L > Σp` (L = pixel count) —
+    * no float mean, so any engine replays it bit-for-bit. The
+    * threshold-at-the-mean construction makes the hash invariant under
+    * any affine brightness change p → a·p + b (a > 0): both sides of
+    * the comparison scale identically — the property that lets aHash
+    * catch re-encoded/brightness-shifted copies of an image.
+    *
+    * Output: (idCol, bits `array<int>` of L 0/1s, blocks `array<int>`
+    * — the bits packed 8 per block, the hamming-LSH bucket keys).
+    */
+  def aHash(df: DataFrame, idCol: String, pixelCol: String): DataFrame =
+    df.select(col(idCol),
+        col(pixelCol).as("__px"),
+        expr(s"aggregate($pixelCol, 0L, (a, x) -> a + x)").as("__tot"))
+      .select(col(idCol),
+        expr("transform(__px, x -> IF(x * size(__px) > __tot, 1, 0))")
+          .as("bits"))
+      .withColumn("blocks",
+        expr("transform(sequence(0, int(ceil(size(bits) / 8.0)) - 1), " +
+          "b -> aggregate(slice(bits, b * 8 + 1, 8), 0, (a, v) -> a * 2 + v))"))
+
+  /** Image near-duplicate pairs by perceptual hash: all (a < b) pairs
+    * whose aHash fingerprints differ in at most `maxDist` of the L
+    * bits — brightness-shifted copies land at distance 0, small local
+    * edits at the handful of bits their pixels flip, unrelated images
+    * at ~L/2.
+    *
+    * Scale shape (the d4 block-LSH pattern): candidates come from an
+    * equi-join on (block index, block value) — by pigeonhole a pair
+    * within `maxDist` < #blocks hamming must agree on at least one
+    * whole 8-bit block, so the bucket join is LOSSLESS for the
+    * threshold, never a cross join; the exact hamming verify runs only
+    * on bucket collisions. At production corpus sizes the knob is the
+    * thumbnail size L (more bits → more blocks → finer buckets), a
+    * parameter, not a plan change.
+    */
+  def ahashNearDupPairs(df: DataFrame, idCol: String, pixelCol: String,
+                        maxDist: Int = 7): DataFrame = {
+    // Losslessness needs maxDist < #blocks, i.e. at least 8·(maxDist+1)
+    // pixels; thumbnail length is data, so the precondition is enforced
+    // in-plan (the c1 assert_true pattern), failing the job loudly
+    // instead of silently missing pairs on too-short fingerprints.
+    val fp = aHash(df, idCol, pixelCol)
+      .withColumn("bits",
+        when(assert_true(size(col("bits")) >= lit(8 * (maxDist + 1)),
+          lit(s"thumbnail too short for lossless maxDist=$maxDist"))
+          .isNull, col("bits")))
+    val buckets = fp.select(col(idCol).as("id"),
+      posexplode(col("blocks")).as(Seq("bpos", "bval")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.bpos") === col("y.bpos") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col(idCol).as("doc_a"), col("bits").as("__ba")), "doc_a")
+      .join(fp.select(col(idCol).as("doc_b"), col("bits").as("__bb")), "doc_b")
+      .withColumn("hamming",
+        expr("aggregate(zip_with(__ba, __bb, (x, y) -> IF(x <> y, 1, 0)), " +
+          "0, (a, v) -> a + v)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -57,4 +57,54 @@ object Outliers {
       .select((keepCols.map(col) :+ col(keyCol) :+
         col("v").as("value_micro")): _*)
   }
+
+  /** Sequential anomaly screen: flag each point whose deviation from
+    * the TRAILING window's mean exceeds `z` of the window's standard
+    * deviation — the per-key rolling z-test every metric pipeline runs
+    * ("is this point wild relative to the recent past"), where a10's
+    * Tukey fences are the whole-history batch screen.
+    *
+    * The window is the `w` rows strictly BEFORE the current one (ROWS
+    * BETWEEN w PRECEDING AND 1 PRECEDING) in (timeCol, idCol) order:
+    * the baseline never includes the point under test, so one wild
+    * value cannot vouch for itself, and the first `w` points of a key
+    * are unflaggable by contract (no full baseline yet — `n = w`
+    * required), not silently compared against a short window.
+    *
+    * Exactness: with v = floor(value·10^6) the z-test
+    * |v − S/n| > z·σ, σ² = (nQ − S²)/n², squares to the pure integer
+    * inequality `(n·v − S)² > z²·(n·Q − S²)`. Q = Σv² reaches ~5·10^18
+    * per 20-row window at metric magnitude ~500 and the products pass
+    * int64, so the comparison runs in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) — no square root, no float, no tolerance. Emitted
+    * columns are BIGINT-safe: the micro value and the truncated window
+    * mean (S and n are positive here, so Spark `div` and DuckDB `//`
+    * agree).
+    *
+    * Shape at 100 TB: one shuffle on keyCol, then a single running
+    * window pass whose frame state is O(w) per task — no self-join, no
+    * second Exchange, nothing proportional to history length.
+    */
+  def rollingZOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                       timeCol: String, idCol: String,
+                       w: Int = 20, z: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(col(idCol), col(keyCol), col(timeCol),
+      floor(col(valueCol) * lit(1000000L)).cast("long").as("v"))
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(idCol))
+      .rowsBetween(-w, -1)
+    val dec = col("v").cast("decimal(38,0)")
+    val scored = ev
+      .withColumn("s", sum(dec).over(win))
+      .withColumn("q", sum(dec * col("v")).over(win))
+      .withColumn("n", count(lit(1)).over(win))
+    val nDec = col("n").cast("decimal(38,0)")
+    val dev = nDec * col("v") - col("s")
+    scored
+      .filter(col("n") === w &&
+        dev * dev > lit(z * z) * (nDec * col("q") - col("s") * col("s")))
+      .select(col(idCol), col(keyCol), col("v").as("value_micro"),
+        expr("CAST(s AS BIGINT) div n").as("mean_micro"))
+  }
 }

@@ -517,7 +517,60 @@ object MultimodalQueries extends QueryModule {
       "the signed-height orientation bit; dims synthesized from " +
       "doc_id, parsed from actual bytes, truncated GIFs yield NULL")
 
+  /** Image near-dup by perceptual hash over deterministic 8×8
+    * thumbnails synthesized from doc_id (the m4-m8 convention: the
+    * oracle re-derives every pixel without seeing a byte). Planted
+    * structure: docs sharing `doc_id div 3` render the same base image;
+    * the `mod 3 = 1` sibling is a +17 brightness shift (aHash-invariant
+    * by construction → hamming 0) and the `mod 3 = 2` sibling carries a
+    * 5-pixel local edit whose distance lands ON BOTH SIDES of the
+    * threshold across groups (ham 4-10 at sf0.01) — so the ≤ 7 cut is
+    * exercised, not vacuous. Cross-group pairs sit at ~32 bits and must
+    * never appear. Candidates come from the lossless 8-bit-block
+    * hamming LSH, verified exact; the oracle is the full quadratic
+    * ground truth.
+    */
+  private val ahashPairs = CatalogQuery(
+    "m9_image_ahash_neardup",
+    (s: SparkSession, dir: String) => {
+      val base = "((doc_id div 3 + 13) * (j * j + 71) * " +
+        "(j + doc_id div 3 + 7)) % 251"
+      val thumbs = Tables(s, dir).documents.select(col("doc_id"),
+        expr(s"""transform(sequence(0, 63), j ->
+                |  CASE WHEN doc_id % 3 = 2 AND j < 5 THEN ($base + 128) % 251
+                |       ELSE $base + IF(doc_id % 3 = 1, 17, 0)
+                |  END)""".stripMargin).as("px"))
+      Multimodal.ahashNearDupPairs(thumbs, "doc_id", "px", maxDist = 7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH px AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0,64), j ->
+           |      CASE
+           |        WHEN doc_id % 3 = 2 AND j < 5
+           |          THEN (((doc_id//3 + 13)*(j*j + 71)*(j + doc_id//3 + 7)) % 251
+           |                + 128) % 251
+           |        ELSE ((doc_id//3 + 13)*(j*j + 71)*(j + doc_id//3 + 7)) % 251
+           |             + CASE WHEN doc_id % 3 = 1 THEN 17 ELSE 0 END
+           |      END) AS p
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id,
+           |    list_transform(p, x ->
+           |      CASE WHEN x*64 > list_sum(p) THEN 1 ELSE 0 END) AS b
+           |  FROM px)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_filter(range(0,64), i -> a.b[i+1] <> b.b[i+1]))
+           |       AS BIGINT) AS hamming
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |WHERE len(list_filter(range(0,64), i -> a.b[i+1] <> b.b[i+1])) <= 7
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "Perceptual-hash image dedup: exact-integer aHash over 8x8 " +
+      "thumbnails, lossless 8-bit-block hamming LSH (pigeonhole: <= 7 " +
+      "differing bits must leave one block intact), exact verify on " +
+      "bucket collisions only; oracle is the quadratic ground truth")
+
   override def queries: Seq[CatalogQuery] =
     Seq(features, frameSample, resize, routing, imageDims, audioHeaders,
-      videoHeaders, gifBmpHeaders)
+      videoHeaders, gifBmpHeaders, ahashPairs)
 }

@@ -483,8 +483,46 @@ object TemporalQueries extends QueryModule {
       "relation broadcast -> single codegen'd scan; no window, no " +
       "re-shuffle of the events")
 
+  /** a10's sequential twin: a rolling z-test against the TRAILING
+    * 20-event baseline per type — the streaming-shaped anomaly screen
+    * (is this point wild vs the recent past) next to a10's
+    * whole-history Tukey fences. Integer inequality
+    * `(n·v−S)² > 9(nQ−S²)` in DECIMAL(38,0)/HUGEINT; see
+    * [[graft.operators.Outliers.rollingZOutliers]].
+    */
+  private val rollingZ = CatalogQuery(
+    "a11_rolling_zscore",
+    (s, dir) =>
+      graft.operators.Outliers.rollingZOutliers(Tables(s, dir).events,
+          keyCol = "event_type", valueCol = "value",
+          timeCol = "ts", idCol = "event_id", w = 20, z = 3)
+        .orderBy(col("event_id")),
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type, ts,
+           |    CAST(floor(value*1000000) AS BIGINT) AS v
+           |  FROM events),
+           |w AS (
+           |  SELECT event_id, event_type, v,
+           |    sum(CAST(v AS HUGEINT)) OVER win AS s,
+           |    sum(CAST(v AS HUGEINT)*v) OVER win AS q,
+           |    count(*) OVER win AS n
+           |  FROM ev
+           |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+           |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+           |SELECT event_id, event_type, v AS value_micro,
+           |  CAST(s // n AS BIGINT) AS mean_micro
+           |FROM w
+           |WHERE n = 20
+           |  AND (n*CAST(v AS HUGEINT) - s)*(n*CAST(v AS HUGEINT) - s)
+           |      > 9*(n*q - s*s)
+           |ORDER BY event_id""".stripMargin),
+    doc = "Rolling z-score anomaly screen (|v-mean| > 3 sigma vs the " +
+      "20 strictly-preceding events per type) as one exact integer " +
+      "window inequality — single key shuffle, O(w) frame state, no " +
+      "join, no float")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
       intervalFollow, resample, resampleLinear, rollingActives, cohorts,
-      twap, funnelQ, outliers)
+      twap, funnelQ, outliers, rollingZ)
 }

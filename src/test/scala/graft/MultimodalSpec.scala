@@ -249,4 +249,81 @@ class MultimodalSpec extends SparkSpecBase {
       .select("frame_idx").as[Int].collect().sorted
     assert(sampled.toSeq == Seq(0, 2, 4))
   }
+
+  // ---- aHash perceptual dedup (m9) ----
+
+  private def pairsOf(imgs: Seq[(Long, Seq[Long])],
+                      maxDist: Int = 7): Seq[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Multimodal.ahashNearDupPairs(imgs.toDF("id", "px"), "id", "px", maxDist)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** In-memory aHash reference. */
+  private def refBits(px: Seq[Long]): Seq[Int] = {
+    val tot = px.sum
+    px.map(p => if (p * px.size > tot) 1 else 0)
+  }
+
+  test("aHash is invariant under affine brightness change") {
+    val rnd = new scala.util.Random(3)
+    val base = Seq.fill(64)(rnd.nextInt(256).toLong)
+    val brighter = base.map(_ + 40L)      // +40 brightness
+    val scaled = base.map(p => p * 3 + 5) // contrast*3 + 5
+    val got = pairsOf(Seq((1L, base), (2L, brighter), (3L, scaled)))
+    assert(got == Seq((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
+  test("local edit lands at its exact hamming distance; far images drop") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(64)(rnd.nextInt(256).toLong)
+    // flip pixels far across the mean so exactly those bits differ
+    val tot = base.sum
+    val edited = base.zipWithIndex.map { case (p, j) =>
+      if (j < 3) { if (p * 64 > tot) 0L else 255L } else p
+    }
+    val unrelated = Seq.fill(64)(rnd.nextInt(256).toLong)
+    val got = pairsOf(Seq((1L, base), (2L, edited), (9L, unrelated)))
+    // expected distance from the reference implementation
+    val expected = refBits(base).zip(refBits(edited)).count(t => t._1 != t._2)
+    assert(expected >= 1 && expected <= 7) // the edit is small by design
+    assert(got == Seq((1L, 2L, expected.toLong)))
+  }
+
+  test("block-LSH pair set equals brute force on seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    // 30 bases; each with a perturbed sibling at a random edit size, so
+    // distances straddle the threshold
+    val imgs = (0 until 30).flatMap { g =>
+      val base = Seq.fill(64)(rnd.nextInt(256).toLong)
+      val nEdit = rnd.nextInt(12)
+      val pert = base.zipWithIndex.map { case (p, j) =>
+        if (j < nEdit) (p + 97 + rnd.nextInt(60)) % 256 else p
+      }
+      Seq((g * 2L, base), (g * 2L + 1, pert))
+    }
+    val bits = imgs.map { case (id, px) => id -> refBits(px) }.toMap
+    val brute = (for {
+      a <- imgs.map(_._1); b <- imgs.map(_._1) if a < b
+      d = bits(a).zip(bits(b)).count(t => t._1 != t._2) if d <= 7
+    } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+    assert(pairsOf(imgs) == brute)
+  }
+
+  test("too-short thumbnails fail loudly instead of missing pairs") {
+    val short = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L, 4L)))
+    val ex = intercept[Exception] { pairsOf(short) }
+    assert(ex.getMessage != null)
+  }
+
+  test("aHash pair plan has no cartesian product") {
+    val s = spark
+    import s.implicits._
+    val imgs = (0 until 8).map(i => (i.toLong, Seq.fill(64)(i.toLong)))
+    val plan = Multimodal.ahashNearDupPairs(imgs.toDF("id", "px"), "id", "px")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(500))
+  }
 }

@@ -69,4 +69,84 @@ class OutliersSpec extends SparkSpecBase {
     }.map(t => (t._1, t._2, math.floor(t._3 * 1e6).toLong)).sortBy(_._1)
     assert(run(rows) == expected)
   }
+
+  // ---- rolling z-score (a11) ----
+
+  /** (id, key, ts, value) → flagged (id, key, value_micro, mean_micro). */
+  private def runZ(rows: Seq[(Long, String, Long, Double)], w: Int,
+                   z: Int = 3): Seq[(Long, String, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Outliers.rollingZOutliers(
+        rows.toDF("event_id", "event_type", "ts", "value"),
+        keyCol = "event_type", valueCol = "value",
+        timeCol = "ts", idCol = "event_id", w = w, z = z)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("rolling z: spike vs a flat baseline flags (sigma=0 case)") {
+    // flat 10.0 baseline → window variance 0 → ANY deviation flags;
+    // the spike at id=6 and the later return-to-baseline points that
+    // still see the spike inside their window
+    val rows = (0L to 5L).map(i => (i, "t", i, 10.0)) :+
+      ((6L, "t", 6L, 1000.0)) :+ ((7L, "t", 7L, 10.0))
+    val got = runZ(rows, w = 4)
+    // id6: baseline {10,10,10,10} flat, 1000 flags. id7: baseline
+    // {10,10,10,1000} has huge variance; 10 is within 3 sigma.
+    assert(got == Seq((6L, "t", 1000000000L, 10000000L)))
+  }
+
+  test("rolling z: no flag until the trailing window is full") {
+    // only 3 predecessors at id=3 with w=4 → unflaggable by contract
+    val rows = Seq((0L, "t", 0L, 5.0), (1L, "t", 1L, 5.0),
+      (2L, "t", 2L, 5.0), (3L, "t", 3L, 900.0))
+    assert(runZ(rows, w = 4).isEmpty)
+    // same data with w=3: id=3 now has a full window and flags
+    assert(runZ(rows, w = 3).map(_._1) == Seq(3L))
+  }
+
+  test("rolling z: exactly 3 sigma does NOT flag (strict inequality)") {
+    // baseline micro {0,0,200,200}: S=400, Q=80000, n=4 →
+    // mean=100, sigma=100 → mean+3sigma = 400 micro exactly.
+    val base = Seq((0L, 0d), (1L, 0d), (2L, 200e-6), (3L, 200e-6))
+    def withProbe(probeMicro: Long) =
+      (base :+ ((4L, probeMicro / 1e6))).map { case (i, v) => (i, "t", i, v) }
+    assert(runZ(withProbe(400L), w = 4).isEmpty)
+    assert(runZ(withProbe(401L), w = 4) ==
+      Seq((4L, "t", 401L, 100L)))
+  }
+
+  test("rolling z: differential vs in-memory replay on seeded data") {
+    val rnd = new scala.util.Random(7)
+    val w = 5
+    val rows = (0 until 300).map { i =>
+      val key = "k" + (i % 2)
+      val v = if (rnd.nextInt(25) == 0) 2000 + rnd.nextDouble() * 3000
+      else 40 + rnd.nextDouble() * 20
+      // shuffled ids but ts follows i: ordering is by (ts, id)
+      (1000L - i, key, i.toLong, v)
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      val ordered = grp.sortBy(t => (t._3, t._1))
+      ordered.indices.flatMap { ix =>
+        if (ix < w) None
+        else {
+          val win = ordered.slice(ix - w, ix)
+            .map(t => BigInt(math.floor(t._4 * 1e6).toLong))
+          val v = BigInt(math.floor(ordered(ix)._4 * 1e6).toLong)
+          val s = win.sum
+          val q = win.map(x => x * x).sum
+          val dev = BigInt(w) * v - s
+          if (dev * dev > BigInt(9) * (BigInt(w) * q - s * s))
+            Some((ordered(ix)._1, ordered(ix)._2, v.toLong,
+              (s / w).toLong))
+          else None
+        }
+      }
+    }.sortBy(_._1)
+    assert(runZ(rows, w = w) == expected)
+  }
 }
