@@ -62,6 +62,34 @@ object Changelog {
       .select((keys ++ Seq(tsCol, idCol) ++ payload).map(col): _*)
   }
 
+  /** [[compactLatest]] under delete tombstones — the full CDC contract
+    * (Debezium-style streams, Kafka compacted topics): each record
+    * carries an operation column, and a key whose LATEST record (by the
+    * same (tsCol, idCol) total order) is a delete is absent from the
+    * compacted state entirely. A delete followed by a later re-insert
+    * resurrects the key with the newer payload — tombstones only win
+    * while they are the last word.
+    *
+    * Shape: the tombstone filter runs AFTER the packed-max aggregate,
+    * on the O(keys) winner relation — a dead key's entire history still
+    * collapses map-side inside the same HashAggregate, so deletes cost
+    * nothing extra through the shuffle (the naive "filter deletes
+    * first" spelling is WRONG, not just slower: it would resurrect the
+    * pre-delete record). `opCol` must be non-null on every row; a null
+    * op fails the same in-plan `assert_true` guard as a packing
+    * violation rather than silently choosing a side.
+    */
+  def compactWithDeletes(log: DataFrame, keys: Seq[String], tsCol: String,
+                         idCol: String, payload: Seq[String], opCol: String,
+                         deleteOp: String,
+                         idSpace: Long = 10000000000L): DataFrame = {
+    val guarded = log.withColumn(opCol,
+      when(assert_true(col(opCol).isNotNull).isNull, col(opCol)))
+    compactLatest(guarded, keys, tsCol, idCol, payload :+ opCol, idSpace)
+      .filter(col(opCol) =!= lit(deleteOp))
+      .select((keys ++ Seq(tsCol, idCol) ++ payload).map(col): _*)
+  }
+
   /** The window twin of [[compactLatest]] — `row_number() = 1` over
     * (keys | tsCol desc, idCol desc). One shuffle, but every key's
     * full history is sorted inside it and a hot key's history sorts in

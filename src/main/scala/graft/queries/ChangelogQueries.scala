@@ -68,5 +68,39 @@ object ChangelogQueries extends QueryModule {
       "valid_to) via lead, open interval flagged is_current — one " +
       "Exchange, both windows and the filter share partitioning + sort")
 
-  override def queries: Seq[CatalogQuery] = Seq(compact, scd2)
+  /** Delete-tombstone CDC: op derived deterministically from the id
+    * (`event_id % 7 = 0` → delete) so the oracle can re-derive it —
+    * ~1/7 of records are tombstones, interleaved with upserts, so some
+    * keys end deleted (absent rows, the semantics under test) and
+    * others are deleted mid-history and resurrected by a later upsert.
+    */
+  private val deletes = CatalogQuery(
+    "c3_compact_deletes",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+        .withColumn("op", when(col("event_id") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert")))
+      Changelog.compactWithDeletes(e, keys = Seq("user_id"), tsCol = "ts",
+          idCol = "event_id", payload = Seq("event_type", "value"),
+          opCol = "op", deleteOp = "delete")
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, ts, event_id, event_type, value FROM (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |         event_type, value,
+           |         CASE WHEN event_id % 7 = 0 THEN 'delete'
+           |              ELSE 'upsert' END AS op
+           |  FROM events
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY user_id
+           |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1)
+           |WHERE op <> 'delete'
+           |ORDER BY user_id""".stripMargin),
+    doc = "CDC compaction with delete tombstones: a key whose latest " +
+      "record is a delete is absent from the compacted state; the " +
+      "tombstone filter runs on the O(keys) winner relation AFTER the " +
+      "packed-max HashAggregate, so dead keys' histories still " +
+      "collapse map-side")
+
+  override def queries: Seq[CatalogQuery] = Seq(compact, scd2, deletes)
 }

@@ -35,6 +35,61 @@ class ChangelogSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((10L, 2L, "b"), (20L, 4L, "x")))
   }
 
+  test("compactWithDeletes drops dead keys and resurrects re-inserts") {
+    val s = spark
+    import s.implicits._
+    // user 10: upsert, then delete LAST → key absent
+    // user 20: delete mid-history, then upsert → survives with the upsert
+    // user 30: only upserts → latest wins as in c1
+    val log = Seq(
+      (1L, 100L, "a", "upsert", 10L), (2L, 200L, "a", "delete", 10L),
+      (3L, 100L, "b", "delete", 20L), (4L, 200L, "c", "upsert", 20L),
+      (5L, 100L, "d", "upsert", 30L), (6L, 200L, "e", "upsert", 30L)
+    ).toDF("event_id", "us", "state", "op", "user_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Changelog.compactWithDeletes(log, Seq("user_id"), "ts",
+        "event_id", Seq("state"), "op", "delete")
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((20L, 4L, "c"), (30L, 6L, "e")))
+  }
+
+  test("compactWithDeletes equals the filtered window twin on real events") {
+    val e = events.withColumn("op",
+      when(col("event_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")))
+    val keys = Seq("user_id")
+    val got = Changelog.compactWithDeletes(e, keys, "ts", "event_id",
+        Seq("event_type", "value"), "op", "delete")
+      .orderBy(col("user_id")).collect().toSeq
+    val twin = Changelog.compactLatestWindow(e, keys, "ts", "event_id",
+        Seq("event_type", "value", "op"))
+      .filter(col("op") =!= "delete")
+      .drop("op")
+      .orderBy(col("user_id")).collect().toSeq
+    assert(got.nonEmpty && got == twin)
+    // the fixture is non-trivial: at least one key must actually die
+    val live = got.size
+    val all = Changelog.compactLatestWindow(e, keys, "ts", "event_id", Nil)
+      .count()
+    assert(live < all, s"no key ended deleted (live=$live, keys=$all)")
+  }
+
+  test("compactWithDeletes fails loudly on a null op") {
+    val s = spark
+    import s.implicits._
+    val log = Seq((1L, 100L, "a", null.asInstanceOf[String], 1L))
+      .toDF("event_id", "us", "state", "op", "user_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val ex = intercept[Exception] {
+      Changelog.compactWithDeletes(log, Seq("user_id"), "ts", "event_id",
+        Seq("state"), "op", "delete").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("is not true")),
+      s"expected the in-plan null-op guard to fire, got: $ex")
+  }
+
   test("compactLatest fails loudly when an id overflows the packing space") {
     val s = spark
     import s.implicits._
