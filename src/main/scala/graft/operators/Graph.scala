@@ -278,4 +278,49 @@ object Graph {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fixed-round k-core peel: `rounds` iterations of "delete every node
+    * whose current degree is below k, and every edge touching one",
+    * over the undirected simple graph induced by `edges` (directions
+    * symmetrized, self-loops dropped, parallel edges collapsed).
+    * Returns `(id, deg)` for nodes that still carry an edge after the
+    * last round, with their residual degree. The CASCADE is the point:
+    * a node can survive round 1 on its raw degree and die in round 2
+    * because its neighbors died — reaching the true k-core at the
+    * peeling fixpoint; a bounded `rounds` keeps the recurrence exactly
+    * replayable (the g1/g3/g4 contract: the oracle unrolls the same
+    * rounds, so results are bit-comparable with no convergence
+    * tolerance).
+    *
+    * Shape at 100 TB: per round ONE degree aggregate (map-side
+    * combined, O(nodes) through the shuffle) and TWO semi-join passes
+    * of the edge relation against the O(nodes) survivor set — never a
+    * per-node subgraph walk. The edge relation re-materializes each
+    * round hashed on `src` (eager localCheckpoint, the [[bfsHops]]
+    * lineage discipline: each round reads the previous relation three
+    * times, so an uncut plan grows 3^rounds).
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var adj = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("src").as("__id"))
+      adj = adj
+        .join(keep.select(col("__id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("__id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+  }
 }

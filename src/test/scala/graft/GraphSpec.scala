@@ -167,4 +167,66 @@ class GraphSpec extends SparkSpecBase {
       assert(sssp(edges, 0L, iters) == d, s"iters=$iters")
     }
   }
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int,
+                    rounds: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.kCorePeel(edges.toDF("src", "dst"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // in-memory peel reference: symmetrize, drop self-loops, dedup, then
+  // `rounds` iterations of the degree sieve
+  private def kcoreRef(edges: Seq[(Long, Long)], k: Int,
+                       rounds: Int): Map[Long, Long] = {
+    var e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    e.groupBy(_._1).map { case (id, es) => id -> es.size.toLong }
+  }
+
+  test("kCorePeel: path graph cascades — endpoints peel, then new endpoints") {
+    // path 1-2-3-4-5, k=2: round 1 peels 1 and 5 (degree 1); the
+    // SURVIVORS' degrees drop, so round 2 peels 2 and 4; round 3 empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(kcore(path, k = 2, rounds = 1) ==
+      Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(kcore(path, k = 2, rounds = 2) == Map.empty)
+    assert(kcore(path, k = 2, rounds = 3) == Map.empty)
+  }
+
+  test("kCorePeel: K4 core survives while a pendant chain peels off it") {
+    // K4 on 1-4 plus chain 4-5-6: the 3-core is exactly the K4, and the
+    // chain peels over two rounds without disturbing it
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(kcore(g, k = 3, rounds = 2) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=1 keeps everything (every node has an edge)
+    assert(kcore(g, k = 1, rounds = 3).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("kCorePeel: duplicate, reversed, and self-loop edges collapse first") {
+    val g = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L), (2L, 3L), (3L, 1L))
+    // simple triangle on {1,2,3}: 2-core = all three at degree 2
+    assert(kcore(g, k = 2, rounds = 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCorePeel: differential vs in-memory peel on a seeded random graph") {
+    val rnd = new scala.util.Random(2027)
+    val n = 30
+    val edges = (1 to 140).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    for ((k, rounds) <- Seq((3, 1), (4, 2), (5, 3))) {
+      val ref = kcoreRef(edges, k, rounds)
+      assert(kcore(edges, k, rounds) == ref, s"k=$k rounds=$rounds")
+      // the sieve must actually fire at least once in the sweep
+      if (k == 5) assert(ref.size < n)
+    }
+  }
 }
