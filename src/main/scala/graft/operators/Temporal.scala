@@ -430,6 +430,42 @@ object Temporal {
           .as("twap_micro"))
   }
 
+  /** Contiguous event-sequence motif counting: per key, how many
+    * positions of the (tsCol, tieCol)-ordered event stream start an
+    * occurrence of `motif` — `motif.length` CONSECUTIVE events whose
+    * types match in order, with nothing between them ([[funnel]]'s
+    * complement: the funnel asks "did the steps happen in order,
+    * gaps allowed"; the motif asks "did they happen back-to-back",
+    * the behavioral-pattern / session-grammar question). Overlapping
+    * occurrences all count (AAA contains AA twice), matching the
+    * textbook sliding-window semantics an oracle replays verbatim.
+    *
+    * Shape at 100 TB: one key shuffle; the pattern test is
+    * `motif.length − 1` `lead`s over that single window — O(|motif|)
+    * frame state per row, no join, no per-key sequence
+    * materialization (the collect_list spelling buffers a key's whole
+    * history; a hot key OOMs one task). Emits every key that has ≥ 1
+    * event, with its event count and motif count — zero-count keys are
+    * explicit rows, they are the audit's denominator.
+    */
+  def motifCount(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, typeCol: String,
+                 motif: Seq[String]): DataFrame = {
+    require(motif.nonEmpty, "motif must be non-empty")
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("tie"))
+    val base = events.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(tieCol).as("tie"), col(typeCol).as("ty"))
+    val withLeads = motif.indices.tail.foldLeft(base) { (df, i) =>
+      df.withColumn(s"__t$i", lead(col("ty"), i).over(w))
+    }
+    val hit = motif.zipWithIndex.map { case (step, i) =>
+      (if (i == 0) col("ty") else col(s"__t$i")) === lit(step)
+    }.reduce(_ && _)
+    withLeads.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(hit, lit(1))).as("n_motifs"))
+  }
+
   /** Cohort retention matrix: users grouped by first-active week,
     * distinct-counted per subsequent activity week. Grains coarsen
     * monotonically — events → (user, week) distinct → per-user min →

@@ -521,8 +521,44 @@ object TemporalQueries extends QueryModule {
       "window inequality — single key shuffle, O(w) frame state, no " +
       "join, no float")
 
+  /** Contiguous view→click→purchase motif per user — the back-to-back
+    * complement of a9's gaps-allowed funnel. Event types are uniform
+    * over 5 values, so a ~67-event user expects ~0.5 occurrences:
+    * the output mixes zero and positive counts, and an off-by-one in
+    * the window frame (counting non-contiguous triples, or dropping
+    * the overlap case) shifts real rows.
+    */
+  private val motif = CatalogQuery(
+    "a12_motif_sequence",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      Temporal.motifCount(e, keyCol = "user_id", tsCol = "ts",
+          tieCol = "event_id", typeCol = "event_type",
+          motif = Seq("view", "click", "purchase"))
+        .select(col("k").as("user_id"), col("n_events"), col("n_motifs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH o AS (
+           |  SELECT user_id, event_type,
+           |         lead(event_type, 1) OVER w AS t1,
+           |         lead(event_type, 2) OVER w AS t2
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id
+           |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |       CAST(count(CASE WHEN event_type = 'view'
+           |                        AND t1 = 'click'
+           |                        AND t2 = 'purchase' THEN 1 END)
+           |            AS BIGINT) AS n_motifs
+           |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin),
+    doc = "Contiguous event-sequence motif count (view→click→purchase " +
+      "back-to-back, overlaps counted) per user: the pattern test is " +
+      "two leads over ONE key-shuffle window — O(|motif|) frame state, " +
+      "no join, no per-key sequence buffering; zero-count users are " +
+      "explicit rows")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
       intervalFollow, resample, resampleLinear, rollingActives, cohorts,
-      twap, funnelQ, outliers, rollingZ)
+      twap, funnelQ, outliers, rollingZ, motif)
 }

@@ -381,4 +381,52 @@ class TemporalSpec extends SparkSpecBase {
       // user 3: id=5 spans 0 micros, id=6 (v=3.0 → 300c) spans 10 min
       (3L, 300L * min10, min10, 3000000L)))
   }
+
+  private def motifs(ev: Seq[(Long, Long, Timestamp, String)],
+                     motif: Seq[String]): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Temporal.motifCount(ev.toDF("k", "id", "t", "ty"), "k", "t", "id",
+        "ty", motif)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("motifCount: contiguity required, overlaps counted, zero rows explicit") {
+    val ev = Seq(
+      // user 1: A B A B → AB at positions 1 and 3
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(1), "B"),
+      (1L, 3L, ts(2), "A"), (1L, 4L, ts(3), "B"),
+      // user 2: A X B — the gap breaks contiguity (a9's funnel would count it)
+      (2L, 5L, ts(0), "A"), (2L, 6L, ts(1), "X"), (2L, 7L, ts(2), "B"),
+      // user 3: A A A → overlapping AA counts twice
+      (3L, 8L, ts(0), "A"), (3L, 9L, ts(1), "A"), (3L, 10L, ts(2), "A"),
+      // user 4: shorter than the motif → explicit zero row
+      (4L, 11L, ts(0), "A"))
+    val got = motifs(ev, Seq("A", "B"))
+    assert(got == Map(1L -> (4L, 2L), 2L -> (3L, 0L), 3L -> (3L, 0L),
+      4L -> (1L, 0L)))
+    val aa = motifs(ev, Seq("A", "A"))
+    assert(aa(3L) == (3L, 2L) && aa(1L) == (4L, 0L))
+  }
+
+  test("motifCount: order is (ts, tie) — a timestamp tie can't flip the match") {
+    // both events at t=0: id order makes the sequence A then B
+    val ev = Seq((1L, 1L, ts(0), "A"), (1L, 2L, ts(0), "B"))
+    assert(motifs(ev, Seq("A", "B"))(1L) == (2L, 1L))
+    assert(motifs(ev, Seq("B", "A"))(1L) == (2L, 0L))
+  }
+
+  test("motifCount: differential vs in-memory scan on a seeded random stream") {
+    val rnd = new scala.util.Random(2028)
+    val types = Vector("A", "B", "C")
+    val ev = (1 to 400).map(i => ((rnd.nextInt(8) + 1).toLong, i.toLong,
+      ts(rnd.nextInt(60)), types(rnd.nextInt(3))))
+    val motif = Seq("A", "B")
+    val ref = ev.groupBy(_._1).map { case (k, es) =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      val hits = seq.sliding(motif.size).count(_ == motif)
+      k -> (es.size.toLong, hits.toLong)
+    }
+    assert(motifs(ev, motif) == ref)
+  }
 }
