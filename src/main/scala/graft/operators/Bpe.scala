@@ -52,13 +52,21 @@ object Bpe {
     * against [[MaxMerges]] up front so a runaway vocabulary size fails
     * in milliseconds instead of scheduling thousands of jobs.
     */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    result(docs.sparkSession, learnMergeList(docs, textCol, nMerges))
+
+  /** [[learnMerges]] as a driver-side list — the form [[encode]] folds
+    * into a replace chain. Same cost contract; the list is bounded by
+    * [[MaxMerges]], so holding it on the driver is O(vocabulary entry),
+    * not O(data).
+    */
+  def learnMergeList(docs: DataFrame, textCol: String,
+                     nMerges: Int): Seq[(Int, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(nMerges <= MaxMerges,
       s"nMerges = $nMerges exceeds MaxMerges = $MaxMerges: each merge is " +
         "a sequential Spark job + driver round-trip (see the cost " +
         "contract); learn large vocabularies in a dedicated run")
-    val spark = docs.sparkSession
     // word-frequency table → padded space-joined char representation
     var reprs = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
@@ -79,7 +87,7 @@ object Bpe {
       // 1-row argmax with a total tie-break — the only driver-side
       // collect, bounded at one row per iteration
       val best = pairs.orderBy(col("f").desc, col("pair")).limit(1).collect()
-      if (best.isEmpty) return result(spark, merges.result())
+      if (best.isEmpty) { reprs.unpersist(); return merges.result() }
       val (pair, f) = (best(0).getString(0), best(0).getLong(1))
       merges += ((i, pair, f))
       val next = reprs.select(
@@ -94,7 +102,49 @@ object Bpe {
       reprs = next
     }
     reprs.unpersist()
-    result(spark, merges.result())
+    merges.result()
+  }
+
+  /** Tokenize documents under a learned merge list: per document, the
+    * word count and the BPE token count after applying `merges` in
+    * order (the train→apply other half of [[learnMerges]] — together
+    * they are the full tokenizer loop). Documents with no words emit
+    * explicit zero rows.
+    *
+    * Shape at 100 TB: the merge chain is applied to the DISTINCT-WORD
+    * relation, not the token stream — Heaps' law makes the vocabulary
+    * orders of magnitude smaller than the corpus, and each merge is
+    * one codegen'd literal replace folded into a single projection
+    * (zero jobs, zero driver round-trips at encode time, however the
+    * merges were learned). Documents then equi-join the (word,
+    * n_tokens) relation on the word key and aggregate — the vocabulary
+    * side is broadcast-sized in practice and AQE picks that up; the
+    * corpus-sized word stream is never regex-processed per occurrence,
+    * only per distinct word.
+    *
+    * Encoding is OPEN-vocabulary, like real BPE inference: a word
+    * never seen at training time still gets a repr (its characters,
+    * fused wherever a learned merge happens to apply).
+    */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+             merges: Seq[String]): DataFrame = {
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val repr0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val repr = merges.foldLeft(repr0) { (c, pair) =>
+      regexp_replace(c, lit(Pattern.quote(s" $pair ")),
+        lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
+    }
+    val vocab = dw.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(repr), " ")).cast("long").as("__nt"))
+    val perDoc = dw.join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nw"), sum(col("__nt")).as("__ntok"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__ntok"), lit(0L)).as("n_tokens"))
   }
 
   private def result(spark: SparkSession,

@@ -598,8 +598,62 @@ object TextQueries extends QueryModule {
       "aggregation cascade, word-keyed equi-join — no float, no log, " +
       "no cross join beyond O(1) scalar broadcasts")
 
+  /** The train→apply other half of t14: learn the same 5 merges, then
+    * TOKENIZE every document with them — per-doc word and BPE token
+    * counts. The oracle re-learns the merges with t14's unrolled CTEs
+    * and re-encodes from the final vocabulary relation, so a drift in
+    * EITHER half (a wrong merge, or a wrong application of a right
+    * merge) flips the hash. Encode-side work is one distinct-word
+    * projection (the merge chain folded into a single codegen'd
+    * replace cascade) + one word-keyed join — per distinct word, never
+    * per occurrence.
+    */
+  private val bpeEncode = CatalogQuery(
+    "t17_bpe_encode",
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.Bpe.learnMergeList(d, "text", nMerges = 5)
+        .map(_._2)
+      graft.operators.Bpe.encode(d, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH w0 AS (
+            |  SELECT ' ' || regexp_replace(wd, '(.)', '\\1 ', 'g') AS repr,
+            |         count(*) AS freq
+            |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS wd
+            |        FROM documents) t
+            |  WHERE wd <> '' GROUP BY 1),
+            |${bpeIterSql(1, "w0")},
+            |${bpeIterSql(2, "w1")},
+            |${bpeIterSql(3, "w2")},
+            |${bpeIterSql(4, "w3")},
+            |${bpeIterSql(5, "w4")},
+            |vocab AS (
+            |  SELECT replace(trim(repr), ' ', '') AS w,
+            |         CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS nt
+            |  FROM w5),
+            |dw AS (
+            |  SELECT doc_id, wd FROM (
+            |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS wd
+            |    FROM documents) t
+            |  WHERE wd <> ''),
+            |agg AS (
+            |  SELECT doc_id, count(*) AS nw, sum(nt) AS ntok
+            |  FROM dw JOIN vocab v ON dw.wd = v.w
+            |  GROUP BY doc_id)
+            |SELECT d.doc_id,
+            |       CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+            |       CAST(coalesce(a.ntok, 0) AS BIGINT) AS n_tokens
+            |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+    doc = "BPE tokenizer apply (train→encode loop closed): per-doc " +
+      "word + token counts under the 5 learned merges; the merge " +
+      "chain runs once per DISTINCT word as a codegen'd replace " +
+      "cascade, documents equi-join the Heaps'-law-sized vocabulary " +
+      "relation; oracle re-learns and re-applies the merges in SQL")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
       lmScore, keywords, normalize, encoding, vocab, cms, bpe,
-      collocations, divergence)
+      collocations, divergence, bpeEncode)
 }

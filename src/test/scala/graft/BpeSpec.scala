@@ -50,4 +50,56 @@ class BpeSpec extends SparkSpecBase {
     assert(err.getMessage.contains("MaxMerges"))
     assert(Bpe.MaxMerges >= 100) // t14 and real small vocabularies stay legal
   }
+
+  private def encoded(texts: Seq[String],
+                      ms: Seq[String]): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.encode(df, "text", "doc_id", ms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("encode: hand-computed token counts under a fixed merge list") {
+    // merges: "l o" then "lo w" — "low" → [low] (1 token),
+    // "lower" → [low, e, r] (3), "slow" → [s, low] (2: mid-word merge),
+    // "xyz" untouched → 3 chars
+    val ms = Seq("l o", "lo w")
+    val got = encoded(Seq("low lower", "slow xyz"), ms)
+    assert(got == Map(0L -> (2L, 4L), 1L -> (2L, 5L)))
+  }
+
+  test("encode: zero merges counts characters; merges only ever shrink") {
+    val texts = Seq("aa bb", "abc")
+    val none = encoded(texts, Nil)
+    assert(none == Map(0L -> (2L, 4L), 1L -> (1L, 3L)))
+    val some = encoded(texts, Seq("a a", "b b"))
+    assert(some == Map(0L -> (2L, 2L), 1L -> (1L, 3L)))
+  }
+
+  test("encode: open vocabulary, empty docs explicit, merge order matters") {
+    // "a b" fuses only if applied before "ab c" exists — order check:
+    // with merges ["a b", "ab c"], "abc" → [abc]; reversed, "ab c"
+    // never matches the unfused " a b c " and "a b" then gives [ab, c]
+    assert(encoded(Seq("abc"), Seq("a b", "ab c")) == Map(0L -> (1L, 1L)))
+    assert(encoded(Seq("abc"), Seq("ab c", "a b")) == Map(0L -> (1L, 2L)))
+    // whitespace-only doc → explicit zero row
+    assert(encoded(Seq("   "), Seq("a b")) == Map(0L -> (0L, 0L)))
+  }
+
+  test("encode: learned merges reproduce the trainer's own segmentation") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("low low low low lower", "lowest newer newer wider")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ms = Bpe.learnMergeList(df, "text", 3).map(_._2)
+    assert(ms == Seq("l o", "lo w", "e r"))
+    // after [l o][lo w][e r]: low→[low]=1, lower→[low,er]=2,
+    // lowest→[low,e,s,t]=4, newer→[n,e,w,er]=4 (×2 occurrences),
+    // wider→[w,i,d,er]=4
+    val got = encoded(texts, ms)
+    assert(got == Map(0L -> (5L, 1L * 4 + 2L), 1L -> (4L, 4L + 4L + 4L + 4L)))
+  }
 }
