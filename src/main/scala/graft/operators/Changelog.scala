@@ -44,16 +44,30 @@ object Changelog {
     * (epoch times; packing is order-isomorphic only when both factors
     * are non-negative).
     */
+  /** The order-isomorphic DECIMAL(38,0) packing `ts_micros * idSpace +
+    * id` shared by [[compactLatest]] and [[Temporal.ohlcBars]]: for
+    * non-negative micros and `0 <= id < idSpace`, comparing packed
+    * values IS comparing (ts, id) lexicographically, so plain
+    * `min`/`max` become `arg-first`/`arg-last` without a sort-
+    * aggregating struct or a window. Preconditions are enforced
+    * in-plan via `assert_true` — a violating row fails the job loudly
+    * instead of silently corrupting the order.
+    */
+  def packedOrderKey(tsCol: String, idCol: String, idSpace: Long): Column = {
+    require(idSpace > 0)
+    val dec = DecimalType(38, 0)
+    val micros = unix_micros(col(tsCol))
+    val packed = micros.cast(dec) * lit(idSpace).cast(dec) + col(idCol).cast(dec)
+    when(assert_true(col(idCol) >= 0 && col(idCol) < idSpace &&
+      micros >= 0).isNull, packed)
+  }
+
   def compactLatest(log: DataFrame, keys: Seq[String], tsCol: String,
                     idCol: String, payload: Seq[String],
                     idSpace: Long = 10000000000L): DataFrame = {
     require(keys.nonEmpty && idSpace > 0)
     val dec = DecimalType(38, 0)
-    val micros = unix_micros(col(tsCol))
-    val packed = micros.cast(dec) * lit(idSpace).cast(dec) + col(idCol).cast(dec)
-    val guarded = log.withColumn("__pk",
-      when(assert_true(col(idCol) >= 0 && col(idCol) < idSpace &&
-        micros >= 0).isNull, packed))
+    val guarded = log.withColumn("__pk", packedOrderKey(tsCol, idCol, idSpace))
     val winners = guarded
       .groupBy(keys.map(col): _*)
       .agg(max(col("__pk")).as("__win"))

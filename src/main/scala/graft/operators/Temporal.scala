@@ -430,6 +430,46 @@ object Temporal {
           .as("twap_micro"))
   }
 
+  /** OHLC bars (open/high/low/close downsampling): per (key,
+    * time-bucket), the first and last value in (tsCol, idCol) order
+    * plus the min/max and the event count — the classic telemetry /
+    * market-data compaction.
+    *
+    * Exactness: high/low/open/close are SELECTIONS of stored values,
+    * never arithmetic, so raw doubles pass through bit-identical on
+    * any engine. First/last are decided by [[Changelog.packedOrderKey]]
+    * — min/max over the order-isomorphic packed (ts, id) DECIMAL — so
+    * the whole bar is ONE map-side-combined HashAggregate, O(buckets)
+    * through the shuffle; the `first_value` window spelling sorts
+    * every bucket's history, and `min_by`/`max_by` sort-aggregate
+    * (the c1 argument). Open/close values are then recovered by two
+    * equi-joins on the UNIQUE id — the O(buckets) bar relation joins
+    * the event stream, broadcast-able whenever bars fit.
+    */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+               idCol: String, valCol: String, bucket: String = "hour",
+               idSpace: Long = 10000000000L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bars = events
+      .select(col(keyCol).as("k"),
+        date_trunc(bucket, col(tsCol)).as("bucket_ts"),
+        col(valCol).as("v"),
+        graft.operators.Changelog.packedOrderKey(tsCol, idCol, idSpace)
+          .as("__pk"))
+      .groupBy(col("k"), col("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        min(col("__pk")).as("__opk"), max(col("__pk")).as("__cpk"))
+      .withColumn("__oid", (col("__opk") % lit(idSpace).cast(dec)).cast("long"))
+      .withColumn("__cid", (col("__cpk") % lit(idSpace).cast(dec)).cast("long"))
+    val vals = events.select(col(idCol), col(valCol))
+    bars
+      .join(vals.select(col(idCol).as("__oid"), col(valCol).as("open")), "__oid")
+      .join(vals.select(col(idCol).as("__cid"), col(valCol).as("close")), "__cid")
+      .select(col("k").as(keyCol), col("bucket_ts"), col("n_events"),
+        col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** Contiguous event-sequence motif counting: per key, how many
     * positions of the (tsCol, tieCol)-ordered event stream start an
     * occurrence of `motif` — `motif.length` CONSECUTIVE events whose

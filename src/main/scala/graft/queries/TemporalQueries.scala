@@ -557,8 +557,50 @@ object TemporalQueries extends QueryModule {
       "no join, no per-key sequence buffering; zero-count users are " +
       "explicit rows")
 
+  /** Hourly OHLC bars per event type — first/last decided by the
+    * packed (ts, event_id) order inside one HashAggregate; every
+    * emitted number is a stored double or a count, so the hash compare
+    * is exact with no rounding anywhere.
+    */
+  private val ohlc = CatalogQuery(
+    "a13_ohlc_bars",
+    (s, dir) => {
+      val e = Tables(s, dir).events
+      Temporal.ohlcBars(e, keyCol = "event_type", tsCol = "ts",
+          idCol = "event_id", valCol = "value", bucket = "hour")
+        .orderBy(col("event_type"), col("bucket_ts"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+           |         CAST(ts AS TIMESTAMP) AS uts, event_id, value
+           |  FROM events),
+           |agg AS (
+           |  SELECT event_type, bucket_ts, CAST(count(*) AS BIGINT) AS n_events,
+           |         max(value) AS high, min(value) AS low
+           |  FROM b GROUP BY 1, 2),
+           |o AS (
+           |  SELECT event_type, bucket_ts, value AS open FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket_ts
+           |                             ORDER BY uts, event_id) = 1),
+           |c AS (
+           |  SELECT event_type, bucket_ts, value AS close FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY event_type, bucket_ts
+           |                             ORDER BY uts DESC, event_id DESC) = 1)
+           |SELECT a.event_type, a.bucket_ts, a.n_events,
+           |       o.open, a.high, a.low, c.close
+           |FROM agg a
+           |JOIN o ON a.event_type = o.event_type AND a.bucket_ts = o.bucket_ts
+           |JOIN c ON a.event_type = c.event_type AND a.bucket_ts = c.bucket_ts
+           |ORDER BY a.event_type, a.bucket_ts""".stripMargin),
+    doc = "Hourly OHLC bars per event type: open/close via min/max " +
+      "over the order-isomorphic packed (ts, id) DECIMAL — the whole " +
+      "bar is one map-side-combined HashAggregate (no window sort), " +
+      "values recovered by unique-id equi-joins; every output is a " +
+      "stored double or count, exact on any engine")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
       intervalFollow, resample, resampleLinear, rollingActives, cohorts,
-      twap, funnelQ, outliers, rollingZ, motif)
+      twap, funnelQ, outliers, rollingZ, motif, ohlc)
 }

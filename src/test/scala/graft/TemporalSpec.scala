@@ -416,6 +416,50 @@ class TemporalSpec extends SparkSpecBase {
     assert(motifs(ev, Seq("B", "A"))(1L) == (2L, 0L))
   }
 
+  test("ohlcBars: hand-computed bars — tie ids, singleton buckets, bucket edges") {
+    val s = spark
+    import s.implicits._
+    // key A, hour 0: events (t, id, v) = (0,1,5.0)(0,2,1.0)(30,3,9.0)
+    //   → open decided by id at the t=0 tie: id 1 → 5.0; close 9.0
+    // key A, hour 1: single event → open=high=low=close
+    // key B, hour 0: descending values → open 7.0, close 2.0
+    val ev = Seq(
+      ("A", 1L, ts(0), 5.0), ("A", 2L, ts(0), 1.0), ("A", 3L, ts(30), 9.0),
+      ("A", 4L, ts(75), 4.5),
+      ("B", 5L, ts(10), 7.0), ("B", 6L, ts(20), 2.0))
+      .toDF("k", "id", "t", "v")
+    val got = Temporal.ohlcBars(ev, "k", "t", "id", "v")
+      .orderBy($"k", $"bucket_ts")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", 3L, 5.0, 9.0, 1.0, 9.0),
+      ("A", 1L, 4.5, 4.5, 4.5, 4.5),
+      ("B", 2L, 7.0, 7.0, 2.0, 2.0)))
+  }
+
+  test("ohlcBars equals the window first/last twin on real events") {
+    val e = graft.core.Tables(spark, sf("sf0.001")).events
+    val got = Temporal.ohlcBars(e, "event_type", "ts", "event_id", "value")
+      .orderBy(col("event_type"), col("bucket_ts")).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket_ts"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    val twin = e
+      .withColumn("bucket_ts", date_trunc("hour", col("ts")))
+      .withColumn("open", first(col("value")).over(full))
+      .withColumn("close", last(col("value")).over(full))
+      .groupBy(col("event_type"), col("bucket_ts"))
+      .agg(count(lit(1)).as("n_events"), max(col("open")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(col("close")).as("close"))
+      .select(col("event_type"), col("bucket_ts"), col("n_events"),
+        col("open"), col("high"), col("low"), col("close"))
+      .orderBy(col("event_type"), col("bucket_ts")).collect().toSeq
+    assert(got.nonEmpty && got == twin)
+  }
+
   test("motifCount: differential vs in-memory scan on a seeded random stream") {
     val rnd = new scala.util.Random(2028)
     val types = Vector("A", "B", "C")
