@@ -447,7 +447,62 @@ object StreamingQueries extends QueryModule {
       "overwrite dirs = idempotent re-execution); oracle replays the " +
       "batch counts, the emission frontier, and the rank")
 
+  /** a12's streaming twin through [[graft.streaming.StreamMotif]]:
+    * contiguous view→click→purchase counting needs a total per-key
+    * order a stream only has retrospectively, so this is the one row
+    * exercising ordered-buffer custom state (flatMapGroupsWithState +
+    * event-time timeouts) rather than a built-in stateful aggregate.
+    * The oracle restricts the batch count to the emission frontier in
+    * the SAME truncating millisecond arithmetic Spark's watermark
+    * uses — at sf0.01 exactly one motif sits past the frontier, so a
+    * replay that over-emits (ignores the frontier) or under-emits
+    * (loses carry across batch boundaries, drops the final no-data
+    * flush) flips the row. The planted three-weeks-late 'view' must
+    * be dropped by the operator's own late filter before it corrupts
+    * a finalized prefix.
+    */
+  private val streamMotif = CatalogQuery(
+    "st8_streaming_motif",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .withWatermark("ts", "24 hours")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .as[graft.streaming.StreamMotif.MotifEvent]
+      val deltas = graft.streaming.StreamMotif.deltas(
+        stream, Seq("view", "click", "purchase"))
+      runReplay(s, deltas.toDF(), "graft_st8_", minBatches = 3)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_motifs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH wm AS (
+           |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000
+           |           - 86400000 AS w
+           |  FROM events),
+           |o AS (
+           |  SELECT user_id, event_type,
+           |         lead(event_type, 1) OVER w2 AS t1,
+           |         lead(event_type, 2) OVER w2 AS t2,
+           |         epoch_us(lead(CAST(ts AS TIMESTAMP), 2) OVER w2) // 1000
+           |           AS ms2
+           |  FROM events
+           |  WINDOW w2 AS (PARTITION BY user_id
+           |                ORDER BY CAST(ts AS TIMESTAMP), event_id))
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_motifs
+           |FROM o
+           |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+           |  AND ms2 <= (SELECT w FROM wm)
+           |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    doc = "Streaming contiguous-motif counting via ordered-buffer " +
+      "custom state (flatMapGroupsWithState, event-time timeouts): " +
+      "events finalize as the watermark passes them, occurrences " +
+      "straddling batch boundaries are carried exactly once, and the " +
+      "oracle replays the batch count at the emission frontier in " +
+      "Spark's own truncating ms arithmetic")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
-      streamAttribution, streamDau, streamTrending)
+      streamAttribution, streamDau, streamTrending, streamMotif)
 }
