@@ -274,6 +274,49 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"c1 must not fall back to a window sort:\n$p")
   }
 
+  test("c3: the tombstone filter rides the c1 aggregate shape — no sort, no window") {
+    val p = plan("c3_compact_deletes")
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"delete compaction must keep the packed-max HashAggregate:\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("Window"),
+      s"tombstones must not change the aggregate shape:\n$p")
+  }
+
+  test("a12: motif counting is leads on one key shuffle — no join, no buffering") {
+    val p = plan("a12_motif_sequence")
+    assert(!p.contains("Join"), s"the motif test must not self-join:\n$p")
+    assert(p.contains("Window"), s"the leads ride a window:\n$p")
+    assert(p.contains("collect_list") == false,
+      s"no per-key sequence materialization:\n$p")
+  }
+
+  test("a13: OHLC bars are one HashAggregate; open/close join by unique id") {
+    val p = plan("a13_ohlc_bars")
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      s"packed first/last must partial-combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"bars must not fall back to a first_value window sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"open/close recovery is an equi-join:\n$p")
+  }
+
+  test("g5: the k-core sieve never plans a cartesian product") {
+    val p = plan("g5_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edge-vs-survivor filtering must stay equi/semi-joins:\n$p")
+  }
+
+  test("t17: the merge chain is a projection; docs join the vocab relation") {
+    val p = plan("t17_bpe_encode")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"encode must join words to vocab by key:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc counts are a hash aggregate, not a window:\n$p")
+  }
+
   test("s7: semantic dedup joins on (cell, salt) keys, no nested loop, no window") {
     val p = plan("s7_semantic_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
