@@ -176,6 +176,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_shingles"),
         count_distinct(col("eval_doc")).as("n_eval_docs"))
 
+  /** [[contaminationReport]] over NORMALIZED text — markup stripped,
+    * entities decoded, whitespace collapsed (the t10 pipeline), then
+    * case-folded — because eval text rarely matches training text
+    * byte-for-byte: the same benchmark question re-hosted inside HTML,
+    * retitled in Title Case, or re-wrapped survives every transform
+    * verbatim 8-gram matching is blind to. This is the decontamination
+    * recipe the published pipelines actually run (normalize both
+    * sides, THEN match); the verbatim d7 form is its fast path, not
+    * its substitute.
+    *
+    * Same scale shape as d7 (normalization is a per-row projection
+    * riding both scans; the broadcast/join structure is unchanged),
+    * same output schema, so the two reports diff directly — every row
+    * in d7-but-not-d16 or vice versa is a normalization-sensitivity
+    * finding.
+    */
+  def contaminationReportNormalized(train: DataFrame, eval: DataFrame,
+                                    idCol: String, textCol: String,
+                                    n: Int = 8): DataFrame = {
+    def norm(df: DataFrame) =
+      TextAnalysis.normalizeMarkup(df, idCol, textCol)
+        .select(col("doc").as(idCol), lower(col("clean")).as(textCol))
+    contaminationReport(norm(train), norm(eval), idCol, textCol, n)
+  }
+
   /** [[contaminationReport]] for eval sets too big to broadcast as a
     * HASH RELATION: the same audit behind a Bloom-filter prefilter.
     *

@@ -371,6 +371,64 @@ object DedupQueries extends QueryModule {
     doc = "d7's audit via Bloom prefilter + exact verify — the path for " +
       "eval sets too large to broadcast as a hash relation")
 
+  /** d16 = d7 over NORMALIZED text (markup stripped, entities decoded,
+    * whitespace collapsed, case-folded — the t10 pipeline then lower).
+    * The gate plants what makes the distinction falsifiable: an eval
+    * copy of train doc 7, case-flipped and wrapped in markup — d7's
+    * verbatim 8-gram match is structurally blind to it (no 8-gram
+    * survives the case flip), while d16 must report doc 7 with the
+    * full shingle overlap. The oracle replays the ENTIRE composition
+    * (t10's normalization spelling inside d7's shingle join) from
+    * scratch, plant included.
+    */
+  private val decontaminationNormalized = CatalogQuery(
+    "d16_normalized_decontamination",
+    (s, dir) => {
+      val (train, eval) = evalSplit(s, dir)
+      val plant = docs(s, dir).filter(col("doc_id") === 7)
+        .select(lit(9000001L).as("doc_id"),
+          concat(lit("<p>"), upper(col("text")), lit("</p>")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      Dedup.contaminationReportNormalized(train, eval.unionByName(plant),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc"))
+    },
+    Some("""WITH allrows AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT 9000001, '<p>' || upper(text) || '</p>'
+           |  FROM documents WHERE doc_id = 7),
+           |norm AS (
+           |  SELECT doc_id, lower(trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |    '[ \t\r\n]+', ' ', 'g'))) AS text
+           |  FROM allrows),
+           |split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws
+           |  FROM norm),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+           |  FROM toks, unnest(range(1, len(ws)-6)) t(i)),
+           |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+           |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
+           |SELECT tr.doc_id AS doc,
+           |  CAST(count(*) AS BIGINT) AS n_shared_shingles,
+           |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+           |FROM tr JOIN ev ON tr.s = ev.s
+           |GROUP BY 1 ORDER BY doc""".stripMargin),
+    doc = "Normalization-robust decontamination (d7 after the t10 " +
+      "normalize + case-fold on BOTH sides): catches eval text " +
+      "re-hosted in markup or re-cased, which verbatim matching is " +
+      "blind to — the planted case-flipped markup-wrapped eval copy " +
+      "of train doc 7 must surface; normalization rides both scans as " +
+      "a projection, join structure unchanged from d7")
+
   /** d8's oracle = d2's exact pair SQL extended with a RECURSIVE
     * label-propagation CTE: every reachable label flows along edges
     * until fixpoint (UNION-distinct recursion terminates), and the min
@@ -597,5 +655,6 @@ object DedupQueries extends QueryModule {
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical, fuzzyJoin, novelty, noveltyIncremental)
+      canonical, fuzzyJoin, novelty, noveltyIncremental,
+      decontaminationNormalized)
 }

@@ -223,6 +223,41 @@ class DedupSpec extends SparkSpecBase {
     assert(rounds <= 12, s"a 256-chain must close in O(log n) rounds, took $rounds")
   }
 
+  test("normalized decontamination catches markup/case variants d7 is blind to") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (2L, "completely unrelated text with no overlap at all here today"))
+      .toDF("doc_id", "text")
+    // eval doc 10: train doc 1 re-hosted — Title Case + markup wrap +
+    // an &amp; entity; not one verbatim 8-gram survives
+    val eval = Seq(
+      (10L, "<p>The Quick Brown Fox Jumps Over The Lazy Dog Again Tonight</p> &amp;"),
+      (11L, "some other eval question nothing shares these words either okay"))
+      .toDF("doc_id", "text")
+    val verbatim = Dedup.contaminationReport(train, eval, "doc_id", "text")
+      .collect()
+    assert(verbatim.isEmpty, "verbatim matching must miss the re-hosted copy")
+    val got = Dedup.contaminationReportNormalized(train, eval,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // normalized doc 1 has 11 words -> 4 shared 8-grams with its variant
+    assert(got.toSeq == Seq((1L, 4L, 1L)))
+  }
+
+  test("normalized decontamination equals d7 on already-normal text") {
+    val train = docs.filter(col("doc_id") < 100)
+    val eval = docs.filter(col("doc_id") >= 450)
+    val a = Dedup.contaminationReport(train, eval, "doc_id", "text")
+      .orderBy(col("doc")).collect().toSeq
+    val b = Dedup.contaminationReportNormalized(train, eval, "doc_id", "text")
+      .orderBy(col("doc")).collect().toSeq
+    // the corpus is all-ASCII lowercase with no markup: normalization
+    // is the identity there, so the reports must coincide
+    assert(a == b)
+  }
+
   test("shingles produces L-n+1 distinct shingles for distinct-token docs") {
     val s = spark
     import s.implicits._

@@ -313,6 +313,25 @@ object ScaleSmoke {
         payload = Seq("event_type", "value")).count())
       time("c2_scd2")(graft.operators.Changelog.scd2Intervals(
         evc, Seq("user_id"), "ts", "event_id", "event_type").count())
+      // tombstone compaction: same aggregate shape as c1 plus the
+      // O(keys) post-aggregate filter — the delta vs c1 at any scale
+      // should be noise
+      time("c3_compact_deletes")(graft.operators.Changelog.compactWithDeletes(
+        evc.withColumn("op", when(col("event_id") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert"))),
+        Seq("user_id"), "ts", "event_id", Seq("event_type", "value"),
+        "op", "delete").count())
+      // motif counting: leads on one key shuffle — should track the
+      // event scan like a8/a9
+      time("a12_motif")(graft.operators.Temporal.motifCount(
+        ev, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase")).count())
+      // OHLC bars: bucket grain (type, hour) is CONSTANT across
+      // replicas, so rows-per-bucket grows with mult while the
+      // aggregate output does not — the map-side-combine claim is the
+      // thing under measurement
+      time("a13_ohlc")(graft.operators.Temporal.ohlcBars(
+        evc, "event_type", "ts", "event_id", "value").count())
       // fixed-iteration PageRank over the purchase graph replicated
       // with offset node ids — disjoint subgraphs, the honest "more
       // customers" proxy: per-iteration join + aggregate should track
@@ -329,6 +348,21 @@ object ScaleSmoke {
         .reduce(_ union _).write.mode("overwrite").parquet(edgePath)
       time("g1_pagerank")(graft.operators.Graph
         .pageRank(spark.read.parquet(edgePath), iters = 3).count())
+      // k-core sieve over the same disjoint replicated subgraphs: per
+      // round one degree aggregate + two semi-joins — should track the
+      // edge scan like g1's per-iteration joins (k=4 so the sieve does
+      // real peeling on the bipartite purchase graph at every scale)
+      time("g5_kcore")(graft.operators.Graph
+        .kCorePeel(spark.read.parquet(edgePath), k = 4, rounds = 3).count())
+      // full tokenizer loop at scale: the corpus-sized stages are the
+      // word-frequency aggregate (train) and the distinct-word encode +
+      // doc join (apply); the 5 merge rounds between them are
+      // vocabulary-sized. Timed together — both halves are what a
+      // production tokenizer run pays per corpus
+      time("t17_bpe_train_encode") {
+        val ms = graft.operators.Bpe.learnMergeList(docs, "text", 5).map(_._2)
+        graft.operators.Bpe.encode(docs, "text", "doc_id", ms).count()
+      }
       // SemDeDup under the operator's own 100 TB contract: nlist grows
       // with the corpus so per-cell population — and the quadratic
       // within-cell pair work — stays bounded; the quantizer is
