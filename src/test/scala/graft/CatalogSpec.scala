@@ -33,9 +33,11 @@ class CatalogSpec extends SparkSpecBase {
     }
     val empty = results.filter(_._2 == 0).keys.toSeq.sorted
     // d2/d3/d4 near-dup pair sets may legitimately be empty at the
-    // smallest scale factor; everything else must produce rows
+    // smallest scale factor; g5's 95-core peel empties the sf0.001
+    // co-purchase graph by contract (GraphQueries documents the
+    // cascade); everything else must produce rows
     val allowedEmpty = Set("d2_ngram_jaccard_dedup", "d3_minhash_lsh_dedup",
-      "d4_simhash_dedup", "s3_cosine_neardup", "p4_grep")
+      "d4_simhash_dedup", "s3_cosine_neardup", "p4_grep", "g5_kcore")
     assert(empty.forall(allowedEmpty), s"unexpected empty queries: $empty")
   }
 
