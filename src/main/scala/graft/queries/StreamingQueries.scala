@@ -502,7 +502,86 @@ object StreamingQueries extends QueryModule {
       "oracle replays the batch count at the emission frontier in " +
       "Spark's own truncating ms arithmetic")
 
+  /** a13's streaming twin — and the payoff of the packed order key:
+    * streaming state must be MERGEABLE, and Spark's `first()` in a
+    * streaming aggregate is arrival-order nondeterministic (under
+    * multi-batch replay, batch order ≠ event-time order), while
+    * min/max over the order-isomorphic packed (ts, id) DECIMAL are
+    * plain mergeable aggregates that decide true event-time first/last
+    * regardless of arrival order. The stream emits finalized bars with
+    * open/close IDS; values are recovered batch-side by unique-id
+    * joins (the st7 pattern: O(bars) rows, event volume irrelevant).
+    * The replay's late sentinel carries event_id = −1, so the id fed
+    * into the packing is shifted +1000 — the sentinel must survive the
+    * in-plan non-negativity guard long enough for the WATERMARK to
+    * drop it; a pre-filter on id would fake the late-row test.
+    */
+  private val streamOhlc = CatalogQuery(
+    "st9_streaming_ohlc",
+    (s: SparkSession, dir: String) => {
+      val idSpace = 10000000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val bars = eventsStream(s, dir)
+        .withColumn("__eid", col("event_id") + lit(1000L))
+        .withColumn("__pk",
+          graft.operators.Changelog.packedOrderKey("ts", "__eid", idSpace))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          min(col("__pk")).as("__opk"), max(col("__pk")).as("__cpk"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("high"), col("low"),
+          ((col("__opk") % lit(idSpace).cast(dec)).cast("long") - 1000L)
+            .as("open_id"),
+          ((col("__cpk") % lit(idSpace).cast(dec)).cast("long") - 1000L)
+            .as("close_id"))
+      val sunk = runReplay(s, bars, "graft_st9_")
+      val vals = Tables(s, dir).events.select(col("event_id"), col("value"))
+      sunk
+        .join(vals.select(col("event_id").as("open_id"),
+          col("value").as("open")), "open_id")
+        .join(vals.select(col("event_id").as("close_id"),
+          col("value").as("close")), "close_id")
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("open"), col("high"), col("low"), col("close"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           |         CAST(ts AS TIMESTAMP) AS uts, event_id, value
+           |  FROM events),
+           |wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+           |       FROM events),
+           |agg AS (
+           |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events,
+           |         max(value) AS high, min(value) AS low
+           |  FROM b GROUP BY 1, 2),
+           |o AS (
+           |  SELECT event_type, hour, value AS open FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY event_type, hour
+           |                             ORDER BY uts, event_id) = 1),
+           |c AS (
+           |  SELECT event_type, hour, value AS close FROM b
+           |  QUALIFY row_number() OVER (PARTITION BY event_type, hour
+           |                             ORDER BY uts DESC, event_id DESC) = 1)
+           |SELECT a.hour, a.event_type, a.n_events,
+           |       o.open, a.high, a.low, c.close
+           |FROM agg a
+           |JOIN o ON a.event_type = o.event_type AND a.hour = o.hour
+           |JOIN c ON a.event_type = c.event_type AND a.hour = c.hour
+           |WHERE a.hour + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+           |ORDER BY a.hour, a.event_type""".stripMargin),
+    doc = "Streaming OHLC bars: event-time first/last as MERGEABLE " +
+      "min/max over the packed (ts, id) key — deterministic under " +
+      "out-of-order multi-batch arrival where streaming first() is " +
+      "not; finalized bars emit ids, values recovered batch-side by " +
+      "unique-id joins; oracle replays a13's window spec at the " +
+      "emission frontier")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
-      streamAttribution, streamDau, streamTrending, streamMotif)
+      streamAttribution, streamDau, streamTrending, streamMotif,
+      streamOhlc)
 }
