@@ -323,4 +323,52 @@ object Graph {
     adj.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("long").as("deg"))
   }
+
+  /** Fixed-round synchronous label propagation (community detection):
+    * every node starts as its own label; each round every node adopts
+    * the most frequent label among its NEIGHBORS' previous-round labels
+    * (its own current label does not vote), ties broken toward the
+    * smaller label — the deterministic variant of Raghavan et al.'s
+    * LPA, exactly replayable with a bounded `rounds` (the g1/g3/g4/g5
+    * contract: the oracle unrolls the identical recurrence, bit-exact,
+    * no convergence tolerance).
+    *
+    * Per round: one join of the edge relation against the O(nodes)
+    * label relation (hashed on the label side's id), then TWO cascaded
+    * map-side-combined aggregates — (node, label) vote counts, then the
+    * per-node argmax folded as `max(struct(cnt, −label))` so the
+    * frequency-then-min-label pick is ONE HashAggregate, not a window
+    * sort over the vote relation. Labels re-materialize each round via
+    * the [[bfsHops]] localCheckpoint lineage discipline. Nothing ever
+    * holds a node's neighborhood in memory; state through every shuffle
+    * is O(edges) votes collapsing to O(nodes).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 0)
+    // checkpoint=false is for PlanSpec only: it leaves one round's plan
+    // uncut so the join/aggregate shape is inspectable (checkpointed
+    // rounds execute eagerly and the final plan is a bare RDD scan)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val adj = cut(dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("dst")))
+    var labels = cut(adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    for (_ <- 1 to rounds) {
+      labels = cut(adj
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__neg")))
+          .as("__pick"))
+        .select(col("id"), (-col("__pick.__neg")).as("label")))
+    }
+    labels.select(col("id"), col("label"))
+  }
 }

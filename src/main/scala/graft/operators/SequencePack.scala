@@ -51,6 +51,31 @@ object SequencePack {
   def withPackAssignment(df: DataFrame, orderCol: String, weightCol: String,
                          maxTokens: Long, numParts: Int = 0): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    prefixSum(df, orderCol, weightCol, numParts, outCol = "start_tok")
+      .withColumn("pack_id",
+        floor(col("start_tok") / maxTokens).cast("long"))
+      .withColumn("n_boundary_crossings",
+        when(col(weightCol) === 0, lit(0L)).otherwise(
+          floor((col("start_tok") + col(weightCol) - 1) / maxTokens) -
+            floor(col("start_tok") / maxTokens)).cast("long"))
+  }
+
+  /** The bare two-level distributed prefix sum: adds `outCol` = the
+    * EXCLUSIVE prefix sum of `weightCol` in `orderCol` order (the sum
+    * of all strictly-preceding rows' weights; 0 for the global first
+    * row). Weights may be negative — [[graft.operators.Temporal
+    * .peakConcurrency]] feeds ±1 interval deltas through this to turn
+    * the single-partition boundary sweep into two bounded shuffles.
+    *
+    * Rows whose `orderCol` values TIE receive the partial sums of some
+    * arbitrary order among themselves (Spark's within-partition sort is
+    * not further tie-broken); callers that emit per-row prefixes must
+    * pass a unique `orderCol`, while callers that only consume
+    * order-invariant reductions of the prefix (a max over rows sharing
+    * one weight sign, as the concurrency sweep does) may tie.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, weightCol: String,
+                numParts: Int = 0, outCol: String = "prefix_before"): DataFrame = {
     val n = if (numParts > 0) numParts
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = df.repartitionByRange(n, col(orderCol))
@@ -70,13 +95,7 @@ object SequencePack {
     val start = coalesce(sum(col(weightCol)).over(wLocal), lit(0L)) +
       col("__poffset")
     parts.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("start_tok", start.cast("long"))
-      .withColumn("pack_id",
-        floor(col("start_tok") / maxTokens).cast("long"))
-      .withColumn("n_boundary_crossings",
-        when(col(weightCol) === 0, lit(0L)).otherwise(
-          floor((col("start_tok") + col(weightCol) - 1) / maxTokens) -
-            floor(col("start_tok") / maxTokens)).cast("long"))
+      .withColumn(outCol, start.cast("long"))
       .drop("__pid", "__poffset")
   }
 }

@@ -527,4 +527,44 @@ object Temporal {
         floor(datediff(col("w"), col("cohort_w")) / 7).cast("long")
           .as("week_no"))
       .agg(countDistinct(col("u")).as("n_users"))
+
+  /** Peak concurrency per day: the maximum number of intervals
+    * simultaneously active, from a boundary sweep — every interval
+    * emits (+1 at start, −1 at end), the global running sum of deltas
+    * in (time, +1-before-−1) order IS the concurrency at each boundary,
+    * and a day's peak is the max over its boundary rows. Intervals are
+    * CLOSED on both ends: a session ending at the exact instant another
+    * starts overlaps it (hence starts sort before ends at a tie — the
+    * packed key's low bit).
+    *
+    * The textbook sweep is a `Window.orderBy(time)` over every
+    * boundary — one partition holding the whole relation, the same
+    * scale-killer [[graft.operators.SequencePack]] exists to avoid, and
+    * its two-level [[graft.operators.SequencePack.prefixSum]] is
+    * exactly the fix here (signed ±1 weights): one range exchange + one
+    * O(partitions) offset plan + partition-local windows, then an
+    * O(days)-grain aggregate. Tied boundaries share a packed key only
+    * with SAME-SIGN deltas (the delta is the key's parity), so the set
+    * of running values over a tie group — and hence the day max — is
+    * order-invariant; per-boundary prefixes are not individually
+    * emitted.
+    *
+    * Output: one row per day that contains at least one boundary —
+    * `(day, peak_concurrent, n_starts, n_ends)`. A day a session spans
+    * entirely without starting or ending is absent (its concurrency is
+    * constant and owned by the neighboring boundary days); emitting it
+    * needs a calendar dimension, which is the caller's join.
+    */
+  def peakConcurrency(sessions: DataFrame, startCol: String,
+                      endCol: String, numParts: Int = 0): DataFrame = {
+    val b = sessions.select(col(startCol).as("__t"), lit(1L).as("__delta"))
+      .unionAll(sessions.select(col(endCol).as("__t"), lit(-1L).as("__delta")))
+      .withColumn("__ord",
+        unix_micros(col("__t")) * 2 + when(col("__delta") < 0, 1L).otherwise(0L))
+    SequencePack.prefixSum(b, "__ord", "__delta", numParts)
+      .groupBy(to_date(col("__t")).as("day"))
+      .agg(max(col("prefix_before") + col("__delta")).as("peak_concurrent"),
+        sum(when(col("__delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("__delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+  }
 }

@@ -255,6 +255,52 @@ object GraphQueries extends QueryModule {
       "set; the cascade (survive-then-die as neighbors peel) is the " +
       "semantics under test; oracle unrolls the identical rounds")
 
+  private val lpaIterSql = (i: Int, prev: String) =>
+    s"""l$i AS (SELECT id, label FROM (
+       |  SELECT a.src AS id, p.label,
+       |         row_number() OVER (PARTITION BY a.src
+       |                            ORDER BY count(*) DESC, p.label ASC) AS rn
+       |  FROM adj a JOIN $prev p ON a.dst = p.id
+       |  GROUP BY a.src, p.label) WHERE rn = 1)""".stripMargin
+
+  /** Community detection by fixed-round synchronous label propagation
+    * over g1's bipartite customer–supplier order graph (deterministic
+    * LPA: most frequent neighbor label, ties to the smaller label —
+    * the oracle unrolls the identical three rounds). The engine folds
+    * the per-node argmax into `max(struct(cnt, −label))` — one
+    * cascaded pair of map-side-combined HashAggregates per round; the
+    * oracle spells the same pick as a row_number window, which at
+    * oracle scale is fine and at 100 TB is exactly the sort the
+    * aggregate form avoids.
+    */
+  private val lpa = CatalogQuery(
+    "g6_label_propagation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.labelPropagation(edges, rounds = 3).orderBy(col("id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |adj AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
+            |${lpaIterSql(1, "l0")},
+            |${lpaIterSql(2, "l1")},
+            |${lpaIterSql(3, "l2")}
+            |SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+            |FROM l3 ORDER BY id""".stripMargin),
+    doc = "Fixed-round deterministic label propagation (3 rounds, " +
+      "most-frequent neighbor label, min-label ties) — per round one " +
+      "edge-vs-labels join and two cascaded map-side-combined " +
+      "aggregates (vote counts, then argmax as max(struct(cnt,-label))" +
+      "), labels localCheckpointed per round; oracle unrolls the " +
+      "identical recurrence")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(pagerank, triangles, bfs, sssp, kcore)
+    Seq(pagerank, triangles, bfs, sssp, kcore, lpa)
 }

@@ -599,8 +599,58 @@ object TemporalQueries extends QueryModule {
       "values recovered by unique-id equi-joins; every output is a " +
       "stored double or count, exact on any engine")
 
+  /** Peak load per day over a2's sessions: the ±1 boundary sweep whose
+    * running sum is the live-session count, distributed via the
+    * SequencePack two-level prefix sum (the naive sweep is ONE window
+    * over every boundary — the single-partition scale-killer). Closed
+    * intervals: a session ending the instant another starts overlaps
+    * it, so starts sort before ends at a tie (the packed order key's
+    * low bit) — which also makes the day-max order-invariant across
+    * tied boundaries (a tie group is all-starts or all-ends by
+    * parity). Days with no boundary are absent by contract.
+    */
+  private val concurrency = CatalogQuery(
+    "a14_peak_concurrency",
+    (s, dir) => {
+      val sess = Temporal.sessionize(
+        Tables(s, dir).events.select(col("user_id"), col("ts")),
+        "user_id", "ts", gap = "30 minutes")
+      Temporal.peakConcurrency(sess, "session_start", "session_end")
+        .orderBy(col("day"))
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |b AS (SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                    > INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |s AS (SELECT user_id, ts,
+           |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM b),
+           |sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+           |         FROM s GROUP BY user_id, sid),
+           |bd AS (SELECT st AS t, 1 AS delta FROM sess
+           |       UNION ALL SELECT en, -1 FROM sess),
+           |r AS (SELECT t, delta,
+           |        sum(delta) OVER (ORDER BY t, delta DESC
+           |                         ROWS UNBOUNDED PRECEDING) AS running
+           |      FROM bd)
+           |SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+           |       CAST(max(running) AS BIGINT) AS peak_concurrent,
+           |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "Peak concurrent sessions per day via a distributed ±1 " +
+      "boundary sweep: the global running concurrency through the " +
+      "two-level prefix sum (range exchange + O(partitions) offsets + " +
+      "partition-local windows), then an O(days) aggregate — never a " +
+      "single-partition global window; oracle replays the sweep with " +
+      "DuckDB's window sum")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
       intervalFollow, resample, resampleLinear, rollingActives, cohorts,
-      twap, funnelQ, outliers, rollingZ, motif, ohlc)
+      twap, funnelQ, outliers, rollingZ, motif, ohlc, concurrency)
 }

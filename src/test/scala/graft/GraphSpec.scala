@@ -229,4 +229,61 @@ class GraphSpec extends SparkSpecBase {
       if (k == 5) assert(ref.size < n)
     }
   }
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // in-memory LPA reference: neighbors-only votes over previous-round
+  // labels, most frequent wins, ties to the smaller label
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (node, nbrs) =>
+        val votes = nbrs.map(lab).groupBy(identity).view.mapValues(_.size)
+        node -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: bridged triangles settle into two communities; " +
+    "frequency beats the smaller label") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    // round 2, node 4: votes {1×1 (from 3), 4×2 (from 5 and 6)} — the
+    // count-2 label 4 must beat the smaller count-1 label 1
+    assert(lpa(tri, rounds = 2) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+    assert(lpa(tri, rounds = 3) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: all-tied votes go to the smallest label") {
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+    // center's neighbor labels {1, 2, 3} are all count-1: min wins;
+    // each leaf's single neighbor is the center
+    assert(lpa(star, rounds = 1) ==
+      Map(10L -> 1L, 1L -> 10L, 2L -> 10L, 3L -> 10L))
+  }
+
+  test("labelPropagation: differential vs in-memory reference on a " +
+    "seeded random graph") {
+    val rnd = new scala.util.Random(2030)
+    val n = 40
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    for (rounds <- Seq(1, 2, 3)) {
+      val ref = lpaRef(edges, rounds)
+      assert(lpa(edges, rounds) == ref, s"rounds=$rounds")
+    }
+    // labels actually moved, or the differential is vacuous
+    assert(lpaRef(edges, 3).exists { case (id, l) => id != l })
+  }
 }

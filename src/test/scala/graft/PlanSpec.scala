@@ -308,6 +308,38 @@ class PlanSpec extends SparkSpecBase {
       s"edge-vs-survivor filtering must stay equi/semi-joins:\n$p")
   }
 
+  test("g6: the LPA argmax is an aggregate, never a window sort; no cartesian") {
+    // checkpoint=false: a checkpointed round executes eagerly and leaves
+    // only a bare RDD scan to inspect; this exposes one REAL round's plan
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 10 + 1)).toDF("src", "dst")
+    val p = graft.operators.Graph
+      .labelPropagation(edges, rounds = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edge-vs-labels joins must stay equi-joins:\n$p")
+    assert(!p.contains("Window"),
+      s"the per-node pick must fold as max(struct(cnt,-label)), not a " +
+        s"row_number window over the vote relation:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_count"),
+      s"both vote aggregates must partial map-side:\n$p")
+  }
+
+  test("a14: the sweep windows are pid-bounded and the offsets broadcast") {
+    val p = plan("a14_peak_concurrency")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(partitions) offsets relation must broadcast back:\n$p")
+    // the data-sized window is partitioned by __pid; the only
+    // unpartitioned window is the numParts-row offsets fold
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__pid")),
+      s"expected a __pid-partitioned window in:\n$p")
+  }
+
   test("t17: the merge chain is a projection; docs join the vocab relation") {
     val p = plan("t17_bpe_encode")
     assert(!p.contains("CartesianProduct") &&

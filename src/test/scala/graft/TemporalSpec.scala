@@ -473,4 +473,68 @@ class TemporalSpec extends SparkSpecBase {
     }
     assert(motifs(ev, motif) == ref)
   }
+
+  private def dayTs(day: Int, h: Int, m: Int) =
+    new Timestamp(((day * 24L + h) * 60 + m) * 60000L)
+
+  private def peaks(sess: Seq[(Timestamp, Timestamp)],
+                    numParts: Int = 0): Seq[(String, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Temporal.peakConcurrency(sess.toDF("st", "en"), "st", "en", numParts)
+      .select(col("day").cast("string"), col("peak_concurrent"),
+        col("n_starts"), col("n_ends"))
+      .orderBy(col("day"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+  }
+
+  test("peakConcurrency: closed-interval tie counts both, midnight carry, " +
+    "quiet days absent") {
+    val got = peaks(Seq(
+      (dayTs(0, 10, 0), dayTs(0, 11, 0)),   // A
+      (dayTs(0, 10, 30), dayTs(0, 12, 0)),  // B
+      (dayTs(0, 11, 0), dayTs(0, 11, 30)),  // C starts the instant A ends
+      (dayTs(0, 23, 0), dayTs(1, 1, 0)),    // D straddles midnight
+      (dayTs(1, 0, 30), dayTs(1, 2, 0)),    // E overlaps the carried D
+      (dayTs(4, 9, 0), dayTs(4, 9, 5))))    // F after two silent days
+    assert(got == Seq(
+      // peak 3 at 11:00 only if the closed-interval tie (C's +1 before
+      // A's −1) counts A, B and C together
+      ("1970-01-01", 3L, 4L, 3L),
+      // day-2 peak 2 only if D's midnight-straddling +1 carries into
+      // the day-2 running sum without a boundary row on day 2
+      ("1970-01-02", 2L, 1L, 2L),
+      // days 3 and 4 have no boundaries: absent, not zero
+      ("1970-01-05", 1L, 1L, 1L)))
+  }
+
+  test("peakConcurrency: differential vs the sequential sweep; invariant " +
+    "to the partition count") {
+    val rnd = new scala.util.Random(2029)
+    // minute-grain times force boundary ties (same-instant starts/ends)
+    val sess = (1 to 300).map { _ =>
+      val start = rnd.nextInt(6 * 24 * 60).toLong * 60000L
+      val end = start + (rnd.nextInt(36 * 60) + 1).toLong * 60000L
+      (new Timestamp(start), new Timestamp(end))
+    }
+    // sequential reference: same packed (micros*2 + end-bit) order
+    val bounds = sess.flatMap { case (st, en) =>
+      Seq((st.getTime * 2000L, 1L), (en.getTime * 2000L + 1, -1L))
+    }.sortBy(_._1)
+    var run = 0L
+    val byDay = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    bounds.foreach { case (key, d) =>
+      run += d
+      val day = (key / 2000L) / 86400000L
+      val (p, ns, ne) = byDay.getOrElse(day, (Long.MinValue, 0L, 0L))
+      byDay(day) = (math.max(p, run),
+        ns + (if (d > 0) 1 else 0), ne + (if (d < 0) 1 else 0))
+    }
+    val ref = byDay.toSeq.sortBy(_._1).map { case (day, (p, ns, ne)) =>
+      (java.time.LocalDate.ofEpochDay(day).toString, p, ns, ne)
+    }
+    assert(peaks(sess) == ref)
+    assert(peaks(sess, numParts = 3) == ref)
+    assert(peaks(sess, numParts = 17) == ref)
+  }
 }
