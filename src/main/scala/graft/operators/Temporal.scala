@@ -555,6 +555,39 @@ object Temporal {
     * constant and owned by the neighboring boundary days); emitting it
     * needs a calendar dimension, which is the caller's join.
     */
+  /** Dyadic exponentially-weighted trailing average: over each key's
+    * last `w` events (the row itself plus `w−1` predecessors in
+    * (time, id) order), the weighted mean with weights 2^(w−1), …, 2, 1
+    * from newest to oldest — the pandas `ewm(alpha=0.5)` shape with the
+    * tail truncated at `w`, which is what makes it EXACT: value micros
+    * (the a10/a11 `floor(v·10⁶)` convention) times power-of-two weights
+    * summed in int64, floor-divided by the constant weight total
+    * 2^w − 1. No float accumulation order, no pow(), bit-identical on
+    * any engine.
+    *
+    * Only full windows emit (the a11 contract: a smoothed value built
+    * on fewer than `w` observations is not the statistic it claims to
+    * be — and `lag` nulls enforce that for free: one null poisons the
+    * weighted sum). The `w` lags are ONE window pass over one key
+    * shuffle — O(w) frame state, no join, no self-union; the weighted
+    * combination is a codegen'd projection of the lag columns.
+    */
+  def dyadicEwma(df: DataFrame, keyCol: String, valueCol: String,
+                 timeCol: String, idCol: String, w: Int = 8): DataFrame = {
+    require(w >= 1 && w <= 62, s"w must be in [1, 62], got $w")
+    val ev = df.select(col(idCol), col(keyCol), col(timeCol),
+      floor(col(valueCol) * lit(1000000L)).cast("long").as("v"))
+    val win = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(idCol))
+    val num = (0 until w).map { j =>
+      lag(col("v"), j).over(win) * lit(1L << (w - 1 - j))
+    }.reduce(_ + _)
+    ev.withColumn("__num", num)
+      .filter(col("__num").isNotNull)
+      .select(col(idCol), col(keyCol), col("v").as("value_micro"),
+        expr(s"__num div ${(1L << w) - 1}").as("ewma_micro"))
+  }
+
   def peakConcurrency(sessions: DataFrame, startCol: String,
                       endCol: String, numParts: Int = 0): DataFrame = {
     val b = sessions.select(col(startCol).as("__t"), lit(1L).as("__delta"))

@@ -370,4 +370,33 @@ object TextAnalysis {
         col("tvn").cast("long").as("tv_num"),
         expr("CAST(tvn * 1000000 div tvd AS BIGINT)").as("tv_micro"))
   }
+
+  /** Vocabulary-growth curve (Heaps' law measured, not assumed): for
+    * every document in ingestion order (ascending id — the d14
+    * first-owner contract), how many distinct words DEBUT in it, and
+    * the cumulative vocabulary size once it is ingested. The curve is
+    * the dedup-payoff planner's instrument: where it flattens, new
+    * data stops buying new vocabulary.
+    *
+    * Shape: one tokenize pass → word min-owner aggregate (map-side
+    * combined; output is vocabulary-bounded, not corpus-bounded) →
+    * owner-grain counts → [[graft.operators.SequencePack.prefixSum]]
+    * over the O(docs) per-doc relation for the cumulative column —
+    * never a global single-partition window, and the corpus-sized
+    * token stream never feeds a window at all. Docs contributing no
+    * new word (or no words) are explicit zero-debut rows, so the curve
+    * has one row per document by construction.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("doc"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_new_words"))
+    val all = df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_new_words"))
+    SequencePack.prefixSum(all, "doc", "n_new_words")
+      .select(col("doc"), col("n_new_words"),
+        (col("prefix_before") + col("n_new_words")).as("vocab_size"))
+  }
 }

@@ -649,8 +649,42 @@ object TemporalQueries extends QueryModule {
       "single-partition global window; oracle replays the sweep with " +
       "DuckDB's window sum")
 
+  /** a11's smoothing sibling: not "is this point anomalous" but "what
+    * is the denoised level" — the pandas ewm(alpha=0.5) shape with the
+    * tail truncated at w=8, which is exactly what buys bit-exactness
+    * (dyadic weights × value micros in int64, constant divisor 255; no
+    * pow(), no float fold). Values here are nonnegative so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree — the same
+    * nonnegativity license a11's mean_micro already relies on.
+    */
+  private val ewma = CatalogQuery(
+    "a15_dyadic_ewma",
+    (s, dir) =>
+      Temporal.dyadicEwma(Tables(s, dir).events,
+          keyCol = "user_id", valueCol = "value",
+          timeCol = "ts", idCol = "event_id", w = 8)
+        .orderBy(col("event_id")),
+    Some {
+      val terms = (0 until 8).map(j =>
+        s"${1L << (7 - j)}*lag(v, $j) OVER win").mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(floor(value*1000000) AS BIGINT) AS v
+         |  FROM events),
+         |l AS (
+         |  SELECT event_id, user_id, v, $terms AS num
+         |  FROM ev
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id, v AS value_micro,
+         |       CAST(num // 255 AS BIGINT) AS ewma_micro
+         |FROM l WHERE num IS NOT NULL ORDER BY event_id""".stripMargin
+    },
+    doc = "Dyadic EWMA (trailing 8 events per user, weights 128..1, " +
+      "exact integer micro-units): w lags on ONE key-shuffle window — " +
+      "O(w) frame state, no join; full windows only emit")
+
   override def queries: Seq[CatalogQuery] =
     Seq(asof, asofForward, asofNearest, asofTolerance, sessions, json,
       intervalFollow, resample, resampleLinear, rollingActives, cohorts,
-      twap, funnelQ, outliers, rollingZ, motif, ohlc, concurrency)
+      twap, funnelQ, outliers, rollingZ, motif, ohlc, concurrency, ewma)
 }

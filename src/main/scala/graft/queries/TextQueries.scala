@@ -652,8 +652,37 @@ object TextQueries extends QueryModule {
       "cascade, documents equi-join the Heaps'-law-sized vocabulary " +
       "relation; oracle re-learns and re-applies the merges in SQL")
 
+  /** Heaps'-law curve over ingestion order: the d14 novelty signal
+    * integrated into the cumulative "what does the next document buy
+    * me" view — where it flattens, more data stops buying vocabulary.
+    * The cumulative column rides the SequencePack two-level prefix sum
+    * over the O(docs) per-doc relation, never a global window; the
+    * token stream feeds only a vocabulary-bounded min-owner aggregate.
+    */
+  private val vocabGrowthQ = CatalogQuery(
+    "t18_vocab_growth",
+    (s, dir) => TextAnalysis.vocabGrowth(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split_regex(text,'\s+'), w -> w <> '')) AS w
+           |  FROM documents),
+           |own AS (SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY w),
+           |per AS (SELECT doc_id, count(*) AS n_new FROM own GROUP BY doc_id)
+           |SELECT d.doc_id AS doc,
+           |  CAST(coalesce(per.n_new, 0) AS BIGINT) AS n_new_words,
+           |  CAST(sum(coalesce(per.n_new, 0))
+           |         OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING)
+           |       AS BIGINT) AS vocab_size
+           |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+           |ORDER BY doc""".stripMargin),
+    doc = "Vocabulary-growth curve (distinct-word debuts per document " +
+      "+ cumulative vocabulary in id order): min-owner aggregate, " +
+      "owner-grain counts, distributed prefix sum — no global window, " +
+      "no pair join; zero-debut documents are explicit rows")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
       lmScore, keywords, normalize, encoding, vocab, cms, bpe,
-      collocations, divergence, bpeEncode)
+      collocations, divergence, bpeEncode, vocabGrowthQ)
 }

@@ -327,6 +327,24 @@ class PlanSpec extends SparkSpecBase {
       s"both vote aggregates must partial map-side:\n$p")
   }
 
+  test("a15: the EWMA is one windowed pass — no join, no self-union") {
+    val p = plan("a15_dyadic_ewma")
+    assert(!p.contains("Join"), s"the lag chain must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"all w lags must fold into ONE window node:\n$p")
+  }
+
+  test("t18: the growth curve's only data-sized window is pid-bounded") {
+    val p = plan("t18_vocab_growth")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian in:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__pid")),
+      s"cumulative vocab must ride the __pid-partitioned prefix sum:\n$p")
+    assert(p.contains("partial_min"),
+      s"the word min-owner aggregate must partial map-side:\n$p")
+  }
+
   test("a14: the sweep windows are pid-bounded and the offsets broadcast") {
     val p = plan("a14_peak_concurrency")
     assert(!p.contains("CartesianProduct") &&

@@ -474,6 +474,44 @@ class TemporalSpec extends SparkSpecBase {
     assert(motifs(ev, motif) == ref)
   }
 
+  test("dyadicEwma: hand weights, full-window-only, id tie-break") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "k", ts(1), 1.0), (2L, "k", ts(2), 2.0), (3L, "k", ts(3), 4.0),
+      // same timestamp: id orders the window, so id=5's lag is id=4
+      (4L, "t", ts(1), 6.0), (5L, "t", ts(1), 3.0),
+      (6L, "solo", ts(1), 9.0)) // one event < w: never emits
+      .toDF("event_id", "key", "time", "value")
+    val byId = Temporal.dyadicEwma(ev, "key", "value", "time", "event_id", w = 2)
+      .select($"event_id", $"ewma_micro").as[(Long, Long)].collect().toMap
+    assert(byId.keySet == Set(2L, 3L, 5L)) // firsts and the singleton drop
+    assert(byId(2L) == (2L * 2000000L + 1000000L) / 3)  // 1666666
+    assert(byId(3L) == (2L * 4000000L + 2000000L) / 3)  // 3333333
+    assert(byId(5L) == (2L * 3000000L + 6000000L) / 3)  // newest=id5 weights 2
+  }
+
+  test("dyadicEwma: differential vs sequential fold on a seeded stream") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2031)
+    val ev = (1 to 500).map(i => (i.toLong, (rnd.nextInt(6) + 1).toString,
+      ts(rnd.nextInt(120)), rnd.nextDouble() * 100))
+    val w = 4
+    val ref = ev.groupBy(_._2).flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3.getTime, e._1))
+      val micros = ord.map(e => math.floor(e._4 * 1000000L).toLong)
+      ord.indices.drop(w - 1).map { i =>
+        val num = (0 until w).map(j => micros(i - j) * (1L << (w - 1 - j))).sum
+        ord(i)._1 -> num / ((1L << w) - 1)
+      }
+    }.toMap
+    val got = Temporal.dyadicEwma(ev.toDF("event_id", "key", "time", "value"),
+        "key", "value", "time", "event_id", w = w)
+      .select($"event_id", $"ewma_micro").as[(Long, Long)].collect().toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
   private def dayTs(day: Int, h: Int, m: Int) =
     new Timestamp(((day * 24L + h) * 60 + m) * 60000L)
 

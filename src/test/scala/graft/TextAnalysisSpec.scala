@@ -180,4 +180,45 @@ class TextAnalysisSpec extends SparkSpecBase {
       (2L, "b", 3L, 8L * 1000000 / 12),
       (3L, "c", 3L, 11L * 1000000 / 12)))
   }
+
+  test("vocabGrowth: debuts in id order, explicit zero rows, cumulative curve") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis.vocabGrowth(
+        df((1L, "a b b"), (2L, "b c"), (3L, ""), (4L, "c a d")),
+        "doc_id", "text")
+      .orderBy($"doc").as[(Long, Long, Long)].collect().toSeq
+    // doc 1 debuts {a,b}; doc 2 debuts {c}; doc 3 is empty (explicit 0);
+    // doc 4 re-sees c and a, debuts only {d}
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 3L), (3L, 0L, 3L), (4L, 1L, 4L)))
+  }
+
+  test("vocabGrowth: monotone curve ending at the distinct-word count " +
+    "on a seeded corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2032)
+    val docs = (1L to 80L).map { i =>
+      (i, (1 to rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(60)}").mkString(" "))
+    }
+    val got = TextAnalysis.vocabGrowth(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy($"doc").as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == docs.map(_._1)) // one row per doc, id order
+    // the curve is the running sum of debuts and ends at |vocabulary|
+    got.foldLeft(0L) { case (acc, (_, nNew, size)) =>
+      assert(size == acc + nNew); size
+    }
+    val vocab = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).distinct
+    assert(got.last._3 == vocab.size.toLong)
+    // and the per-doc debuts match the sequential first-seen fold
+    val seen = scala.collection.mutable.Set[String]()
+    val ref = docs.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).distinct
+        .filterNot(seen)
+      seen ++= ws
+      (id, ws.size.toLong)
+    }
+    assert(got.map(g => (g._1, g._2)) == ref)
+  }
 }
