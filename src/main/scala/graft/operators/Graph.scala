@@ -371,4 +371,59 @@ object Graph {
     }
     labels.select(col("id"), col("label"))
   }
+
+  /** Newman modularity of a node partition, per community, in EXACT
+    * scaled-integer form. With m undirected edges, e_c internal edges
+    * of community c and d_c its degree sum, the community's modularity
+    * contribution is e_c/m − (d_c/2m)²; scaling by the common
+    * denominator 4m² gives the integer
+    *
+    *   q_num(c) = 4·m·e_c − d_c²        (Q = Σ_c q_num(c) / 4m²)
+    *
+    * — products computed in DECIMAL(38,0) (d_c² passes int64 once a
+    * community holds ~3B degree at 100 TB), surfaced as BIGINT like
+    * t16's tv_num. The caller sums q_num over communities and divides
+    * by 4m² for the scalar Q; per-community rows are the useful grain
+    * (they say WHICH communities are denser than chance: q_num > 0).
+    *
+    * Shape: the edge relation symmetrized once, then two equi-joins
+    * against the O(nodes) label relation (internal-edge test), one
+    * degree aggregate, and O(communities) bookkeeping; m rides a 1-row
+    * broadcast (the t13/q9b sketch-scalar pattern) — no collect, no
+    * cartesian, no window.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val adj = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col("id"), col("label"))
+    val dec = "decimal(38,0)"
+    val mRel = adj.agg((count(lit(1)) / 2).cast("long").as("__m"))
+    val nodes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // both-endpoints-internal rows appear twice in adj → count/2
+    val ein = adj
+      .join(lab.select(col("id").as("src"), col("label").as("__ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("__ld")), Seq("dst"))
+      .filter(col("__ls") === col("__ld"))
+      .groupBy(col("__ls").as("label"))
+      .agg((count(lit(1)) / 2).cast("long").as("e_in"))
+    val dsum = adj.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("__d"))
+      .join(lab, Seq("id"))
+      .groupBy(col("label"))
+      .agg(sum(col("__d")).as("d_sum"))
+    nodes
+      .join(ein, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .join(dsum, Seq("label"))
+      .crossJoin(broadcast(mRel))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
+        (lit(4).cast(dec) * col("__m").cast(dec) * col("e_in").cast(dec) -
+          col("d_sum").cast(dec) * col("d_sum").cast(dec))
+          .cast("long").as("q_num"))
+  }
 }

@@ -301,6 +301,59 @@ object GraphQueries extends QueryModule {
       "), labels localCheckpointed per round; oracle unrolls the " +
       "identical recurrence")
 
+  /** The quality score for g6's answer: per-community Newman
+    * modularity in the exact scaled-integer form q_num = 4·m·e_c −
+    * d_c² (Q = Σ q_num / 4m²) — "is this community denser than
+    * chance" as a sign test on an integer, replayable bit-exact. The
+    * oracle recomputes the WHOLE composition from the raw tables:
+    * three unrolled LPA rounds, then the modularity bookkeeping — a
+    * drift in either half flips the hash (the t17 oracle contract).
+    */
+  private val modularityQ = CatalogQuery(
+    "g7_modularity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 3))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |adj AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            |l0 AS (SELECT DISTINCT src AS id, src AS label FROM adj),
+            |${lpaIterSql(1, "l0")},
+            |${lpaIterSql(2, "l1")},
+            |${lpaIterSql(3, "l2")},
+            |lab AS (SELECT id, label FROM l3),
+            |deg AS (SELECT src AS id, count(*) AS d FROM adj GROUP BY src),
+            |m AS (SELECT count(*)//2 AS m FROM adj),
+            |nn AS (SELECT label, count(*) AS n_nodes FROM lab GROUP BY label),
+            |ein AS (SELECT la.label AS label, count(*)//2 AS e_in
+            |        FROM adj JOIN lab la ON adj.src = la.id
+            |                 JOIN lab lb ON adj.dst = lb.id
+            |        WHERE la.label = lb.label GROUP BY la.label),
+            |ds AS (SELECT lab.label, sum(deg.d) AS d_sum
+            |       FROM deg JOIN lab ON deg.id = lab.id GROUP BY lab.label)
+            |SELECT CAST(nn.label AS BIGINT) AS label,
+            |  CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+            |  CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+            |  CAST(ds.d_sum AS BIGINT) AS d_sum,
+            |  CAST(4*CAST(m.m AS HUGEINT)*coalesce(ein.e_in, 0)
+            |       - CAST(ds.d_sum AS HUGEINT)*ds.d_sum AS BIGINT) AS q_num
+            |FROM nn LEFT JOIN ein ON nn.label = ein.label
+            |JOIN ds ON nn.label = ds.label CROSS JOIN m
+            |ORDER BY label""".stripMargin),
+    doc = "Per-community Newman modularity over g6's 3-round LPA " +
+      "partition, exact scaled integers (4me_c - d_c^2 in " +
+      "DECIMAL(38,0)): two label equi-joins + shrinking aggregates, " +
+      "m as a 1-row broadcast — no collect, no cartesian; oracle " +
+      "replays LPA AND the modularity bookkeeping end-to-end")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(pagerank, triangles, bfs, sssp, kcore, lpa)
+    Seq(pagerank, triangles, bfs, sssp, kcore, lpa, modularityQ)
 }

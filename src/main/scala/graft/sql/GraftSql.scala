@@ -569,7 +569,45 @@ object GraftSql {
         |JOIN splits si ON si.doc_id = p.i
         |JOIN splits sj ON sj.doc_id = p.j
         |WHERE si.split <> sj.split
-        |ORDER BY p.i, p.j""".stripMargin
+        |ORDER BY p.i, p.j""".stripMargin,
+
+    // dyadic EWMA as one windowed statement: the eight weighted lags
+    // and the exact integer micro arithmetic (floor to micros, int64
+    // weighted sum, `div` by the constant 255) are all plain SQL
+    "a15_dyadic_ewma" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, v,
+        |    128*v + 64*lag(v, 1) OVER win + 32*lag(v, 2) OVER win
+        |      + 16*lag(v, 3) OVER win + 8*lag(v, 4) OVER win
+        |      + 4*lag(v, 5) OVER win + 2*lag(v, 6) OVER win
+        |      + lag(v, 7) OVER win AS num
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, v AS value_micro,
+        |       num div 255 AS ewma_micro
+        |FROM l WHERE num IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    // semantic twin of the vocab-growth curve: a global cumulative
+    // window expresses the same running sum in one statement (fine as
+    // a parity twin over the O(docs) relation; the DataFrame form's
+    // distributed prefix sum is the 100 TB plan — same note as x4)
+    "t18_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, explode(filter(split(text, '\\s+'), w -> w != ''))
+        |           AS w
+        |  FROM documents),
+        |own AS (SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY w),
+        |per AS (SELECT doc_id, count(*) AS n_new FROM own GROUP BY doc_id)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(per.n_new, 0L) AS n_new_words,
+        |  sum(coalesce(per.n_new, 0L))
+        |    OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY doc""".stripMargin
   )
 }
 

@@ -273,6 +273,54 @@ class GraphSpec extends SparkSpecBase {
       Map(10L -> 1L, 1L -> 10L, 2L -> 10L, 3L -> 10L))
   }
 
+  private def modu(edges: Seq[(Long, Long)],
+                   labels: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Graph.modularity(edges.toDF("src", "dst"), labels.toDF("id", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+  }
+
+  test("modularity: bridged triangles under the true partition, and the " +
+    "all-one-community zero") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val part = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L)
+    // m=7; each community: e_in=3, d_sum=7 → q_num = 4·7·3 − 49 = 35
+    assert(modu(tri, part) ==
+      Map(100L -> (3L, 3L, 7L, 35L), 200L -> (3L, 3L, 7L, 35L)))
+    // one community holding everything: e_in=m, d_sum=2m → q_num = 0,
+    // the "no better than chance" fixed point of the formula
+    val one = part.map { case (id, _) => id -> 1L }
+    assert(modu(tri, one) == Map(1L -> (6L, 7L, 14L, 0L)))
+  }
+
+  test("modularity: differential vs in-memory bookkeeping over LPA labels " +
+    "on a seeded random graph") {
+    val rnd = new scala.util.Random(2033)
+    val n = 40
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val labels = lpaRef(edges, 3).toSeq
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val m = und.size / 2
+    val lab = labels.toMap
+    val ref = labels.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1).toSet
+      val eIn = und.count { case (a, b) => ids(a) && ids(b) } / 2
+      val dSum = und.count { case (a, _) => ids(a) }
+      c -> (ids.size.toLong, eIn.toLong, dSum.toLong,
+        4L * m * eIn - dSum.toLong * dSum)
+    }
+    assert(modu(edges, labels) == ref)
+    // the partition must be non-trivial or the differential is vacuous
+    assert(ref.size > 1 && lab.nonEmpty)
+  }
+
   test("labelPropagation: differential vs in-memory reference on a " +
     "seeded random graph") {
     val rnd = new scala.util.Random(2030)

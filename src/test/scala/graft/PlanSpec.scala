@@ -327,6 +327,17 @@ class PlanSpec extends SparkSpecBase {
       s"both vote aggregates must partial map-side:\n$p")
   }
 
+  test("g7: modularity nested loops are only the 1-row m broadcast") {
+    val p = plan("g7_modularity")
+    assert(!p.contains("CartesianProduct"), s"g7 plans a cartesian:\n$p")
+    // the label joins must be hash equi-joins; the only nested loop is
+    // the t13-style broadcast of the 1-row m relation
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"g7 should broadcast its scalar m relation:\n$p")
+    assert(!p.contains("Window"),
+      s"modularity is aggregates + joins, never a window:\n$p")
+  }
+
   test("a15: the EWMA is one windowed pass — no join, no self-union") {
     val p = plan("a15_dyadic_ewma")
     assert(!p.contains("Join"), s"the lag chain must not join:\n$p")

@@ -354,6 +354,25 @@ object ScaleSmoke {
       // real peeling on the bipartite purchase graph at every scale)
       time("g5_kcore")(graft.operators.Graph
         .kCorePeel(spark.read.parquet(edgePath), k = 4, rounds = 3).count())
+      // label propagation over the same disjoint replicated subgraphs:
+      // per round one edge-vs-labels join + two shrinking aggregates —
+      // linear in the edge scan, like g1's iteration structure
+      time("g6_lpa")(graft.operators.Graph
+        .labelPropagation(spark.read.parquet(edgePath), rounds = 3).count())
+      // concurrency sweep: boundaries are 2·sessions rows; the prefix
+      // sum is two bounded shuffles however many sessions there are,
+      // and the output grain (days) is constant across replicas
+      time("a14_peak_concurrency") {
+        val sess = graft.operators.Temporal.sessionize(
+          ev.select(col("user_id"), col("ts")), "user_id", "ts",
+          gap = "30 minutes")
+        graft.operators.Temporal.peakConcurrency(
+          sess, "session_start", "session_end").count()
+      }
+      // dyadic EWMA: one window pass, O(w) frame — should track the
+      // event scan like a8/a12
+      time("a15_ewma")(graft.operators.Temporal.dyadicEwma(
+        ev, "user_id", "value", "ts", "event_id", w = 8).count())
       // full tokenizer loop at scale: the corpus-sized stages are the
       // word-frequency aggregate (train) and the distinct-word encode +
       // doc join (apply); the 5 merge rounds between them are
@@ -387,6 +406,11 @@ object ScaleSmoke {
       }
       time("x10_weighted_sample")(CorpusMix.weightedSample(docs, "doc_id",
         "source", "n_chars", k = 10).count())
+      // vocab growth: min-owner aggregate output is vocabulary-bounded
+      // (tagged mode decorrelates replica tokens, so vocabulary grows
+      // with the corpus — the honest worst case; dense mode's is flat)
+      time("t18_vocab_growth")(TextAnalysis.vocabGrowth(
+        docs, "doc_id", "text").count())
       // centroid update step over the replicated embeddings: explode is
       // O(N·d) rows but partial agg folds to groups·d per partition
       time("s6_centroids")(Similarity.labelCentroids(
