@@ -341,4 +341,67 @@ object CorpusMix {
           col(idCol).cast("long") === col("__i"))
       .drop("__s", "__i")
   }
+
+  /** The corpus datasheet: one row per stratum with the quantities a
+    * dataset card publishes — volume (docs, tokens, mean length),
+    * quality (mean of x12's exact integer q_micro), risk (documents
+    * with any PII hit, under t7's exact staged-regex semantics) and
+    * duplication (documents whose md5 fingerprint repeats ANYWHERE in
+    * the corpus — cross-stratum on purpose: a doc syndicated across
+    * sources is precisely what the card must disclose). Every column
+    * is a count or an integral `div` mean — bit-exact on any engine.
+    *
+    * One corpus scan computes all per-doc signals as a single
+    * projection (the regex cascade rides the scan like t7); the only
+    * extra shuffle is the md5 fingerprint aggregate, whose ≥2-owner
+    * survivors join back as a left_semi-style marker relation keyed by
+    * fingerprint — O(dup fingerprints), never a self-join of the
+    * corpus. Output is O(strata) rows.
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+                  strata: Seq[String]): DataFrame = {
+    val stop = typedLit(TextAnalysis.LangMarkers.toMap.apply("en"))
+    val t1 = regexp_replace(col("__t"), TextAnalysis.EmailRegex, "<EMAIL>")
+    val per = df
+      .select(strata.map(col) :+ col(idCol).as("doc") :+
+        col(textCol).as("__t"): _*)
+      .withColumn("__ws", TextAnalysis.words(col("__t")))
+      .withColumn("n", size(col("__ws")).cast("long"))
+      .withColumn("l", length(col("__t")).cast("long"))
+      .withColumn("p", length(regexp_replace(col("__t"), "[^.,!?;:]", ""))
+        .cast("long"))
+      .withColumn("s", size(filter(col("__ws"), w => array_contains(stop, w)))
+        .cast("long"))
+      .withColumn("q_micro", when(col("n") > 0,
+        expr("""(10000 * least(n, 50) * l * n + 250000 * (l - p) * n +
+               | 250000 * least(n, 4 * s) * l) div (l * n)""".stripMargin))
+        .otherwise(0L))
+      // t7's staged semantics: emails on raw text, phones on the
+      // email-redacted text, IPs after both
+      .withColumn("__t1", t1)
+      .withColumn("__pii",
+        (regexp_count(col("__t"), lit(TextAnalysis.EmailRegex)) +
+          regexp_count(col("__t1"), lit(TextAnalysis.PhoneRegex)) +
+          regexp_count(
+            regexp_replace(col("__t1"), TextAnalysis.PhoneRegex, "<PHONE>"),
+            lit(TextAnalysis.Ipv4Regex))) > 0)
+      .withColumn("__fp", md5(col("__t")))
+    val dupFps = per.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__copies"))
+      .filter(col("__copies") > 1)
+      .select(col("__fp"), lit(1L).as("__dup"))
+    per.join(dupFps, Seq("__fp"), "left")
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("q_micro")).as("__qsum"),
+        sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(strata.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        expr("__qsum div n_docs").as("mean_q_micro"),
+        col("n_pii_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm")): _*)
+  }
 }

@@ -455,7 +455,93 @@ object PipelineQueries extends QueryModule {
       "composite); order materialized by the distributed prefix sum, " +
       "no global row_number window")
 
+  /** The corpus datasheet per (source, lang): volume, mean quality
+    * (x12's exact q_micro), PII exposure (t7's staged regex
+    * semantics) and cross-stratum exact-duplicate rate — the numbers
+    * a dataset card publishes, in one O(strata)-grain report. The
+    * clean synthetic corpus would leave the risk columns vacuously
+    * zero, so the gate plants a PII doc and a body syndicated across
+    * TWO sources (the cross-stratum disclosure case d1's per-group
+    * view doesn't aggregate); the oracle replays the entire
+    * composition, plants included.
+    */
+  private val card = CatalogQuery(
+    "x13_dataset_card",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val planted = Seq(
+        (2000001L, "contact bob@example.com or call 555-123-4567", "en", "srcA"),
+        (2000002L, "the shared syndicated body", "en", "srcA"),
+        (2000003L, "the shared syndicated body", "en", "srcB"))
+        .toDF("doc_id", "text", "lang", "source")
+      val all = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .unionByName(planted)
+      CorpusMix.datasetCard(all, "doc_id", "text", Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH allrows AS (
+           |  SELECT doc_id, text, lang, source FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (2000001, 'contact bob@example.com or call 555-123-4567', 'en', 'srcA'),
+           |    (2000002, 'the shared syndicated body', 'en', 'srcA'),
+           |    (2000003, 'the shared syndicated body', 'en', 'srcB')
+           |  ) v(doc_id, text, lang, source)),
+           |f AS (
+           |  SELECT source, lang,
+           |    list_filter(string_split_regex(text,'\s+'), w -> w <> '') AS ws,
+           |    text AS t
+           |  FROM allrows),
+           |g AS (
+           |  SELECT source, lang,
+           |    CAST(len(ws) AS BIGINT) AS n,
+           |    CAST(len(t) AS BIGINT) AS l,
+           |    CAST(len(regexp_replace(t, '[^.,!?;:]', '', 'g')) AS BIGINT) AS p,
+           |    CAST(len(list_filter(ws,
+           |           w -> list_contains(['the','a','of','to','and'], w)))
+           |         AS BIGINT) AS s,
+           |    len(regexp_extract_all(t,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+           |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |      '<EMAIL>', 'g') AS t1,
+           |    md5(t) AS fp
+           |  FROM f),
+           |h AS (
+           |  SELECT source, lang, fp,
+           |    CASE WHEN n > 0 THEN
+           |      (10000*least(n,50)*l*n + 250000*(l-p)*n + 250000*least(n,4*s)*l)
+           |        // (l*n)
+           |    ELSE 0 END AS q_micro,
+           |    n,
+           |    ne + len(regexp_extract_all(t1,
+           |           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+           |       + len(regexp_extract_all(
+           |           regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+           |             '<PHONE>', 'g'),
+           |           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           |      AS pii
+           |  FROM g),
+           |d AS (SELECT fp FROM h GROUP BY fp HAVING count(*) > 1),
+           |j AS (SELECT h.*, CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END AS isdup
+           |      FROM h LEFT JOIN d ON h.fp = d.fp)
+           |SELECT source, lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n) // count(*) AS BIGINT) AS mean_tokens,
+           |  CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_q_micro,
+           |  CAST(sum(CASE WHEN pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pii_docs,
+           |  CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+           |  CAST(sum(isdup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+           |FROM j GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+    doc = "Per-(source, lang) dataset card: docs/tokens/mean length, " +
+      "mean exact q_micro, PII-hit docs (t7 staged regexes), " +
+      "cross-stratum exact-dup docs + ppm — one corpus scan for all " +
+      "per-doc signals, one fingerprint aggregate whose >=2-owner " +
+      "survivors join back as an O(dup-fps) marker; O(strata) output")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget, epochs, weighted, splitLeakage, curriculum)
+      tokenBudget, epochs, weighted, splitLeakage, curriculum, card)
 }

@@ -292,4 +292,36 @@ class CorpusMixSpec extends SparkSpecBase {
     assert(Seq(0L, 1L, 2L).map(ranks) == Seq(8L, 9L, 10L),
       s"zero-weight rows must take the final ranks in id order: $ranks")
   }
+
+  test("datasetCard: cross-stratum dup disclosed in BOTH strata, PII " +
+    "staged like t7, q_micro matches the x12 integers") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // srcA/en: one clean doc, one with an email (PII), one half of a
+      // cross-source dup pair
+      (1L, "the quick brown fox of the river", "en", "srcA"),
+      (2L, "mail bob@example.com today", "en", "srcA"),
+      (3L, "syndicated body text", "en", "srcA"),
+      // srcB/en: the other dup half, plus a clean doc
+      (4L, "syndicated body text", "en", "srcB"),
+      (5L, "plain words only here", "en", "srcB"),
+      // srcB/de: a stratum with nothing to disclose
+      (6L, "nur saubere worte", "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusMix.datasetCard(docs, "doc_id", "text",
+        Seq("source", "lang"))
+      .orderBy($"source", $"lang")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // q_micro cross-check: same integers x12's curriculumOrder computes
+    val q = CorpusMix.curriculumOrder(docs, "doc_id", "text")
+      .select($"doc", $"q_micro").as[(Long, Long)].collect().toMap
+    def meanQ(ids: Long*) = ids.map(q).sum / ids.size
+    assert(got == Seq(
+      // 7 + 3 + 3 tokens; the dup pair (docs 3/4) counts in BOTH strata
+      ("srcA", "en", 3L, 13L, 4L, meanQ(1L, 2L, 3L), 1L, 1L, 333333L),
+      ("srcB", "de", 1L, 3L, 3L, meanQ(6L), 0L, 0L, 0L),
+      ("srcB", "en", 2L, 7L, 3L, meanQ(4L, 5L), 0L, 1L, 500000L)))
+  }
 }

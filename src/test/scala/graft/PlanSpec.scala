@@ -327,6 +327,15 @@ class PlanSpec extends SparkSpecBase {
       s"both vote aggregates must partial map-side:\n$p")
   }
 
+  test("x13: the dup marker joins by fingerprint hash, never a self-cartesian") {
+    val p = plan("x13_dataset_card")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dup marking must stay a fingerprint equi-join:\n$p")
+    assert(!p.contains("Window"),
+      s"the card is scans + aggregates, never a window:\n$p")
+  }
+
   test("g7: modularity nested loops are only the 1-row m broadcast") {
     val p = plan("g7_modularity")
     assert(!p.contains("CartesianProduct"), s"g7 plans a cartesian:\n$p")
