@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Multimodal-column plumbing for training-data pipelines: media
   * content travels as an opaque `binary` column plus typed metadata,
@@ -540,11 +541,27 @@ object Multimodal {
     // pixels; thumbnail length is data, so the precondition is enforced
     // in-plan (the c1 assert_true pattern), failing the job loudly
     // instead of silently missing pairs on too-short fingerprints.
+    //
+    // The fingerprint relation is PERSISTED, and that is load-bearing
+    // twice over: (1) it is read three times (bucket explode + both
+    // verify sides), and without the materialization barrier Catalyst's
+    // project-collapsing inlines the whole per-pixel aHash tree into
+    // every consumer — re-deriving each doc's fingerprint PER CANDIDATE
+    // PAIR (the t2/x12 re-evaluated-lambda trap, measured 557s vs ~2s
+    // at sf0.1); (2) the verify carries one packed 64-bit word per 64
+    // bits (`bit_count(x ^ y)` per word — codegen'd popcount), not the
+    // 64-element int array a per-element lambda fold would walk.
     val fp = aHash(df, idCol, pixelCol)
       .withColumn("bits",
         when(assert_true(size(col("bits")) >= lit(8 * (maxDist + 1)),
           lit(s"thumbnail too short for lossless maxDist=$maxDist"))
           .isNull, col("bits")))
+      .withColumn("words",
+        expr("transform(sequence(0, int(ceil(size(bits) / 64.0)) - 1), " +
+          "w -> aggregate(slice(bits, w * 64 + 1, 64), 0L, " +
+          "(a, v) -> a * 2L + v))"))
+      .select(col(idCol), col("blocks"), col("words"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = fp.select(col(idCol).as("id"),
       posexplode(col("blocks")).as(Seq("bpos", "bval")))
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -553,10 +570,10 @@ object Multimodal {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
     cand
-      .join(fp.select(col(idCol).as("doc_a"), col("bits").as("__ba")), "doc_a")
-      .join(fp.select(col(idCol).as("doc_b"), col("bits").as("__bb")), "doc_b")
+      .join(fp.select(col(idCol).as("doc_a"), col("words").as("__wa")), "doc_a")
+      .join(fp.select(col(idCol).as("doc_b"), col("words").as("__wb")), "doc_b")
       .withColumn("hamming",
-        expr("aggregate(zip_with(__ba, __bb, (x, y) -> IF(x <> y, 1, 0)), " +
+        expr("aggregate(zip_with(__wa, __wb, (x, y) -> bit_count(x ^ y)), " +
           "0, (a, v) -> a + v)").cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
