@@ -406,6 +406,61 @@ object Dedup {
       rnd.nextInt(MinhashP.toInt).toLong))
   }
 
+  /** Sketch-accuracy certification (d17): for every exact near-dup
+    * pair, the MinHash ESTIMATE a K-hash signature would have produced
+    * alongside the exact Jaccard — the calibration table that turns
+    * "MinHash approximates Jaccard" from folklore into a measured,
+    * per-pair integer error (`err_ppm`). This is the audit a pipeline
+    * runs before trusting d3's LSH path on a new corpus: if the K=16
+    * estimator's error distribution is wrong HERE, the banding math
+    * (which assumes E[matches] = K·j) is wrong everywhere.
+    *
+    * Everything is engine-portable integer arithmetic: shingle
+    * identity = first 8 md5 hex chars mod p (p = 2³¹−1), the hash
+    * family is the fixed-seed (a_k·x + b_k) mod p of [[minhashParams]]
+    * with the constants baked into the oracle SQL as literals, and
+    * estimate/error are ppm via integral `div` — DuckDB replays the
+    * signatures, the pair set, and every error bit-exactly.
+    *
+    * Shape: the d2 inverted-index core yields the O(pairs) relation;
+    * signatures are ONE groupBy(doc) folding K min-aggregates over the
+    * shingle relation (no per-hash explode — the K mins are K agg
+    * columns in one pass); each pair side equi-joins the O(docs)
+    * signature relation once, and the match count is a codegen'd
+    * projection over the 2K signature columns.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 16,
+                         thresholdPpm: Long = 800000L,
+                         maxDf: Int = 100): DataFrame = {
+    val p = MinhashP
+    val pairs = shingleCoOccurrence(df, idCol, textCol, n, maxDf)
+      .select(col("i"), col("j"),
+        expr("c * 1000000 div (szi + szj - c)").as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+    val params = minhashParams(numHashes)
+    val mins = params.zipWithIndex.map { case ((a, b), k) =>
+      min((col("__x") * a + b) % p).as(s"__m$k")
+    }
+    val sig = shingles(df, idCol, textCol, n)
+      .withColumn("__x",
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long") % p)
+      .groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+    def side(tag: String, idOut: String) = sig.select(
+      col("doc").as(idOut) +:
+        params.indices.map(k => col(s"__m$k").as(s"__$tag$k")): _*)
+    val est = params.indices.map(k =>
+      when(col(s"__a$k") === col(s"__b$k"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs
+      .join(side("a", "i"), Seq("i"))
+      .join(side("b", "j"), Seq("j"))
+      .withColumn("est_matches", est)
+      .select(col("i"), col("j"), col("jaccard_ppm"), col("est_matches"),
+        expr(s"est_matches * 1000000 div $numHashes").as("est_ppm"))
+      .withColumn("err_ppm", abs(col("jaccard_ppm") - col("est_ppm")))
+  }
+
   /** MinHash signatures: one row per doc with a `numHashes`-element
     * signature array. One explode + one groupBy(doc) folding into the
     * native `minhash_sig` imperative aggregate — shuffle O(docs).

@@ -50,6 +50,65 @@ object DedupQueries extends QueryModule {
            |WHERE c*1.0/(sa.sz + sb.sz - c) >= 0.8
            |ORDER BY i, j""".stripMargin
 
+  /** d17: the d2↔d3 bridge made measurable — per exact near-dup pair,
+    * the K=16 MinHash estimate NEXT TO the exact Jaccard, as integers
+    * (ppm). The hash family is the engine's fixed-seed (a·x + b) mod p
+    * over the first-8-md5-hex shingle identity, with the 16 (a, b)
+    * constants baked into the oracle text as literals — DuckDB
+    * re-derives the signatures, the pair set, and every per-pair error
+    * from raw documents. If this table's error distribution drifts,
+    * d3's banding math is wrong before any recall test would say so.
+    */
+  private val calibration = CatalogQuery(
+    "d17_minhash_calibration",
+    (s, dir) =>
+      Dedup.minhashCalibration(docs(s, dir), "doc_id", "text",
+          n = 3, numHashes = 16, thresholdPpm = 800000L, maxDf = 100)
+        .orderBy(col("i"), col("j")),
+    Some {
+      val p = 2147483647L
+      val params = Dedup.minhashParams(16)
+      val sigCols = params.zipWithIndex.map { case ((a, b), k) =>
+        s"min((x*$a + $b) % $p) AS m$k"
+      }.mkString(",\n       ")
+      val matches = params.indices.map(k =>
+        s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text,'\\s+'), w -> w <> '') AS ws
+         |              FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+         |       FROM toks, unnest(range(1, len(ws)-1)) AS t(i)),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+         |shr AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id i, b.doc_id j, count(*) c
+         |           FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT i, j, c*1000000 // (sa.sz + sb.sz - c) AS jaccard_ppm
+         |          FROM common JOIN sizes sa ON sa.doc_id = i
+         |                      JOIN sizes sb ON sb.doc_id = j
+         |          WHERE c*1000000 // (sa.sz + sb.sz - c) >= 800000),
+         |hx AS (SELECT doc_id,
+         |         CAST('0x'||substring(md5(s),1,8) AS BIGINT) % $p AS x
+         |       FROM sh),
+         |sig AS (SELECT doc_id,
+         |       $sigCols
+         |       FROM hx GROUP BY doc_id)
+         |SELECT p.i, p.j, CAST(p.jaccard_ppm AS BIGINT) AS jaccard_ppm,
+         |  CAST($matches AS BIGINT) AS est_matches,
+         |  CAST(($matches) * 1000000 // 16 AS BIGINT) AS est_ppm,
+         |  CAST(abs(p.jaccard_ppm - ($matches) * 1000000 // 16) AS BIGINT)
+         |    AS err_ppm
+         |FROM pairs p JOIN sig a ON a.doc_id = p.i JOIN sig b ON b.doc_id = p.j
+         |ORDER BY i, j""".stripMargin
+    },
+    doc = "MinHash-vs-exact-Jaccard calibration per near-dup pair " +
+      "(K=16 fixed-seed (a·x+b) mod p signatures over md5 shingle " +
+      "identities, exact integral ppm error): d2's inverted-index " +
+      "pair core + ONE K-min-column aggregate over the shingle " +
+      "relation + two O(docs) signature equi-joins; oracle re-derives " +
+      "signatures AND errors from raw documents with the constants " +
+      "as literals")
+
   private val ngram = CatalogQuery(
     "d2_ngram_jaccard_dedup",
     (s, dir) =>
@@ -656,5 +715,5 @@ object DedupQueries extends QueryModule {
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
       canonical, fuzzyJoin, novelty, noveltyIncremental,
-      decontaminationNormalized)
+      decontaminationNormalized, calibration)
 }

@@ -268,4 +268,53 @@ class DedupSpec extends SparkSpecBase {
     val short = Seq((2L, "x y")).toDF("doc_id", "text")
     assert(Dedup.shingles(short, "doc_id", "text", 3).count() == 0)
   }
+
+  test("minhashCalibration: identical docs certify K/K; differential vs " +
+    "in-memory md5 signatures") {
+    val s = spark
+    import s.implicits._
+    val textA = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val textB = textA + " w13 w14" // 10 vs 12 shingles shared 10: j = 5/6
+    val df = Seq((1L, textA), (2L, textA), (3L, textB),
+      (4L, "totally different words live here now")).toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(df, "doc_id", "text",
+        n = 3, numHashes = 16, thresholdPpm = 800000L, maxDf = 100)
+      .orderBy($"i", $"j")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+    // in-memory reference: same md5-hex shingle identity, same fixed
+    // (a, b) family, same integral ppm arithmetic
+    val p = 2147483647L
+    val params = Dedup.minhashParams(16)
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    def md5x(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % p
+    }
+    def sig(t: String): Seq[Long] = {
+      val xs = shingleSet(t).map(md5x)
+      params.map { case (a, b) => xs.map(x => (x * a + b) % p).min }
+    }
+    val texts = Map(1L -> textA, 2L -> textA, 3L -> textB)
+    val ref = for {
+      i <- Seq(1L, 2L); j <- Seq(2L, 3L) if i < j
+      si = shingleSet(texts(i)); sj = shingleSet(texts(j))
+      c = (si & sj).size; jac = c * 1000000L / (si.size + sj.size - c)
+      if jac >= 800000L
+    } yield {
+      val m = sig(texts(i)).zip(sig(texts(j))).count { case (x, y) => x == y }
+      val est = m * 1000000L / 16
+      (i, j, jac, m.toLong, est, math.abs(jac - est))
+    }
+    assert(got == ref.sortBy(r => (r._1, r._2)))
+    // the exact-duplicate pair is the estimator's fixed point: 16/16
+    val dup = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 == 1000000L && dup._4 == 16L && dup._6 == 0L)
+    // and a genuinely partial pair survived, or the test is vacuous
+    assert(got.exists(r => r._4 < 16L))
+  }
 }
