@@ -411,6 +411,33 @@ object ScaleSmoke {
       // with the corpus — the honest worst case; dense mode's is flat)
       time("t18_vocab_growth")(TextAnalysis.vocabGrowth(
         docs, "doc_id", "text").count())
+      // dataset card: every per-doc signal rides one scan; only the
+      // fingerprint aggregate shuffles — dense mode makes every doc a
+      // mult-clique dup, the disclosure columns' stress case
+      time("x13_dataset_card")(CorpusMix.datasetCard(
+        docs, "doc_id", "text", Seq("source", "lang")).count())
+      // minhash calibration: the K-min signature aggregate is one pass
+      // over the shingle relation; pair volume follows d2's core
+      time("d17_minhash_calibration")(graft.operators.Dedup
+        .minhashCalibration(docs, "doc_id", "text",
+          n = 3, numHashes = 16, thresholdPpm = 800000L, maxDf = 100)
+        .count())
+      // perceptual-hash dedup over doc_id-synthesized thumbnails (the
+      // m9 catalog construction): candidate volume is the block-bucket
+      // join's business, verify is packed-word popcount on a PERSISTED
+      // O(docs) fingerprint relation — the 557s->2.5s collapse-trap
+      // regression this row exists to catch
+      time("m9_ahash_neardup") {
+        val b = "((doc_id div 3 + 13) * (j * j + 71) * " +
+          "(j + doc_id div 3 + 7)) % 251"
+        val thumbs = docs.select(col("doc_id"),
+          expr(s"""transform(sequence(0, 63), j ->
+                  |  CASE WHEN doc_id % 3 = 2 AND j < 5 THEN ($b + 128) % 251
+                  |       ELSE $b + IF(doc_id % 3 = 1, 17, 0)
+                  |  END)""".stripMargin).as("px"))
+        graft.operators.Multimodal
+          .ahashNearDupPairs(thumbs, "doc_id", "px", maxDist = 7).count()
+      }
       // centroid update step over the replicated embeddings: explode is
       // O(N·d) rows but partial agg folds to groups·d per partition
       time("s6_centroids")(Similarity.labelCentroids(
