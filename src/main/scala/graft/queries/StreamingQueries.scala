@@ -580,8 +580,66 @@ object StreamingQueries extends QueryModule {
       "unique-id joins; oracle replays a13's window spec at the " +
       "emission frontier")
 
+  /** a14's streaming twin, and the stream-then-batch LAYERING pattern
+    * st7 introduced applied to an analytic that cannot stream at all:
+    * the concurrency sweep needs a total order over every boundary, so
+    * the stream's job is only to FINALIZE sessions (st4's merging
+    * session_window state, append mode, same watermark and emission
+    * frontier), and the ±1 sweep runs batch-side over the finalized
+    * relation through the same distributed prefix sum the batch row
+    * uses. The planted 3-weeks-late view is dropped by the session
+    * state's watermark — a late session would shift a day's peak, so
+    * the oracle's frontier filter is load-bearing, not decorative.
+    */
+  private val streamConcurrency = CatalogQuery(
+    "st10_streaming_concurrency",
+    (s: SparkSession, dir: String) => {
+      val sessions = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("session_start"),
+          (col("w.end") - expr("INTERVAL 30 minutes")).as("session_end"))
+      val finalized = runReplay(s, sessions, "graft_st10_")
+      graft.operators.Temporal.peakConcurrency(
+          finalized, "session_start", "session_end")
+        .orderBy(col("day"))
+    },
+    Some("""WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+           |e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |b AS (SELECT user_id, ts,
+           |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                    > INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e),
+           |s AS (SELECT user_id, ts,
+           |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                       ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM b),
+           |g AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+           |      FROM s GROUP BY user_id, sid),
+           |sess AS (SELECT st, en FROM g, wm
+           |         WHERE en + INTERVAL 30 MINUTE <= w),
+           |bd AS (SELECT st AS t, 1 AS delta FROM sess
+           |       UNION ALL SELECT en, -1 FROM sess),
+           |r AS (SELECT t, delta,
+           |        sum(delta) OVER (ORDER BY t, delta DESC
+           |                         ROWS UNBOUNDED PRECEDING) AS running
+           |      FROM bd)
+           |SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+           |       CAST(max(running) AS BIGINT) AS peak_concurrent,
+           |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "Peak concurrent sessions per day over a real append-mode " +
+      "StreamExecution's FINALIZED sessions (st4's merging state + " +
+      "emission frontier), swept batch-side via the distributed " +
+      "prefix sum; oracle = a14's replay restricted to the frontier")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
       streamAttribution, streamDau, streamTrending, streamMotif,
-      streamOhlc)
+      streamOhlc, streamConcurrency)
 }

@@ -123,4 +123,23 @@ class StreamReplaySpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == batchTwin,
       s"stream emitted ${streamed.size} rows, batch twin ${batchTwin.size}")
   }
+
+  test("st10 streamed-session sweep equals the batch concurrency twin " +
+    "at the emission frontier") {
+    val streamed = SparkEntry.queries("st10_streaming_concurrency")(spark, dir)
+      .collect().toSeq
+    // batch twin: a2's sessions on the pristine table, frontier-filtered
+    // (session_end + gap <= max ts - 1h), then a14's sweep
+    val ev = graft.core.Tables(spark, dir).events
+    val wm = ev.agg((max(col("ts")).cast("long") - 3600L).as("w"))
+    val sess = graft.operators.Temporal.sessionize(
+        ev.select(col("user_id"), col("ts")), "user_id", "ts", "30 minutes")
+      .crossJoin(broadcast(wm))
+      .filter(col("session_end").cast("long") + 1800L <= col("w"))
+    val batchTwin = graft.operators.Temporal.peakConcurrency(
+        sess, "session_start", "session_end")
+      .orderBy(col("day")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchTwin,
+      s"stream emitted ${streamed.size} rows, batch twin ${batchTwin.size}")
+  }
 }
