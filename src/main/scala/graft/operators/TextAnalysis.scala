@@ -387,6 +387,39 @@ object TextAnalysis {
     * new word (or no words) are explicit zero-debut rows, so the curve
     * has one row per document by construction.
     */
+  /** Flesch reading-ease per document in EXACT integer micro-units —
+    * the readability axis of corpus quality t2's length/punct/stopword
+    * composite doesn't see (translated boilerplate scores high on t2
+    * and unreadably low here). The classic
+    * 206.835 − 1.015·(W/Se) − 84.6·(Sy/W) becomes the integral
+    *
+    *   flesch_micro = 206835000 − 1015000·W div max(Se,1)
+    *                            − 84600000·Sy div W
+    *
+    * with W = whitespace tokens (the t1 convention), Se = sentence
+    * groups (`[.!?]+` runs), Sy = vowel-group syllable estimate
+    * (`[aeiouy]+` runs, the standard heuristic) — counts from three
+    * regexp passes riding the scan, truncating `div`s replayed
+    * verbatim by the oracle, no float anywhere. Sentence-less text
+    * reads as one sentence (the max(Se,1) floor); wordless docs are
+    * explicit zero rows (a score needs a denominator, and the contract
+    * is one row per document). Negative scores are real output (dense
+    * run-on text drives the formula below zero) — they are data, not
+    * errors.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        wordCount(col(textCol)).cast("long").as("w"),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long").as("se"),
+        regexp_count(col(textCol), lit("[aeiouy]+")).cast("long").as("sy"))
+      .select(col("doc"), col("w").as("n_words"),
+        col("se").as("n_sentences"), col("sy").as("n_syllables"),
+        when(col("w") > 0,
+          lit(206835000L) -
+            expr("1015000 * w div greatest(se, 1)") -
+            expr("84600000 * sy div w"))
+          .otherwise(0L).as("flesch_micro"))
+
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = df
       .select(col(idCol).as("doc"), explode(words(col(textCol))).as("w"))

@@ -681,8 +681,37 @@ object TextQueries extends QueryModule {
       "owner-grain counts, distributed prefix sum — no global window, " +
       "no pair join; zero-debut documents are explicit rows")
 
+  /** t19: the readability axis t2's composite doesn't measure, as the
+    * classic Flesch reading-ease in exact integral micro-units — three
+    * regexp counts riding the scan, two truncating integer divisions,
+    * no float; the oracle replays the formula term by term (all three
+    * division operands are nonnegative, so DuckDB's flooring `//` and
+    * Spark's truncating `div` agree).
+    */
+  private val readabilityQ = CatalogQuery(
+    "t19_readability",
+    (s, dir) => TextAnalysis.readability(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc")),
+    Some("""WITH f AS (
+           |  SELECT doc_id AS doc,
+           |    CAST(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))
+           |         AS BIGINT) AS w,
+           |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS se,
+           |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS sy
+           |  FROM documents)
+           |SELECT doc, w AS n_words, se AS n_sentences, sy AS n_syllables,
+           |  CAST(CASE WHEN w > 0
+           |       THEN 206835000 - 1015000*w // greatest(se, 1)
+           |                      - 84600000*sy // w
+           |       ELSE 0 END AS BIGINT) AS flesch_micro
+           |FROM f ORDER BY doc""".stripMargin),
+    doc = "Flesch reading-ease in exact integer micro-units (vowel-" +
+      "group syllables, [.!?]+ sentence runs, max(Se,1) floor, " +
+      "wordless docs explicit zero rows): three regexp passes riding " +
+      "the scan, no shuffle, no float")
+
   override def queries: Seq[CatalogQuery] =
     Seq(stats, quality, langid, fingerprint, scalars, repetition, pii,
       lmScore, keywords, normalize, encoding, vocab, cms, bpe,
-      collocations, divergence, bpeEncode, vocabGrowthQ)
+      collocations, divergence, bpeEncode, vocabGrowthQ, readabilityQ)
 }

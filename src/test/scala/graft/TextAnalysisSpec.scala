@@ -181,6 +181,27 @@ class TextAnalysisSpec extends SparkSpecBase {
       (3L, "c", 3L, 11L * 1000000 / 12)))
   }
 
+  test("readability: hand-computed Flesch integers, sentence floor, " +
+    "wordless zero row, negative scores are data") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis.readability(
+        df((1L, "The cat sat. It ran!"), (2L, ""), (3L, "zzz zzz"),
+          (4L, "banana banana")),
+        "doc_id", "text")
+      .orderBy($"doc").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // W=5 Se=2 Sy=4: 206835000 − 1015000·5 div 2 − 84600000·4 div 5
+      (1L, 5L, 2L, 4L, 206835000L - 2537500L - 67680000L),
+      // wordless: explicit zero row, not a null or a division crash
+      (2L, 0L, 0L, 0L, 0L),
+      // no sentence marks and no vowels: the max(Se,1) floor fires
+      (3L, 2L, 0L, 0L, 206835000L - 2030000L),
+      // 3 vowel runs per 'banana': Sy/W = 3 drives the score negative
+      (4L, 2L, 0L, 6L, 206835000L - 2030000L - 253800000L)))
+    assert(got(3)._5 < 0L)
+  }
+
   test("vocabGrowth: debuts in id order, explicit zero rows, cumulative curve") {
     val s = spark
     import s.implicits._
