@@ -411,6 +411,10 @@ object ScaleSmoke {
       // with the corpus — the honest worst case; dense mode's is flat)
       time("t18_vocab_growth")(TextAnalysis.vocabGrowth(
         docs, "doc_id", "text").count())
+      // readability: three regexp counts riding the scan, no shuffle —
+      // should be flat like t7/t10
+      time("t19_readability")(TextAnalysis.readability(
+        docs, "doc_id", "text").count())
       // dataset card: every per-doc signal rides one scan; only the
       // fingerprint aggregate shuffles — dense mode makes every doc a
       // mult-clique dup, the disclosure columns' stress case
