@@ -422,9 +422,14 @@ object ScaleSmoke {
         docs, "doc_id", "text", Seq("source", "lang")).count())
       // minhash calibration: the K-min signature aggregate is one pass
       // over the shingle relation; pair volume follows d2's core
+      // maxDf follows the dense-mode df inflation like the d2/d3 rows:
+      // exact-copy replicas multiply every shingle's df by mult, so a
+      // FIXED guard saturates into near-total stop-shingling at 10x
+      // (measured: output 17304 -> 135 rows) — constant selectivity is
+      // the honest experiment
       time("d17_minhash_calibration")(graft.operators.Dedup
         .minhashCalibration(docs, "doc_id", "text",
-          n = 3, numHashes = 16, thresholdPpm = 800000L, maxDf = 100)
+          n = 3, numHashes = 16, thresholdPpm = 800000L, maxDf = maxDf)
         .count())
       // perceptual-hash dedup over doc_id-synthesized thumbnails (the
       // m9 catalog construction): candidate volume is the block-bucket
