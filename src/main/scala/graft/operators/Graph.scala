@@ -394,11 +394,17 @@ object Graph {
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val dir = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Eager localCheckpoint, not persist: adj feeds three consumers
+    // (m, e_in, d_sum) so it must materialize once, but a persist here
+    // would sit in the cache manager with no natural unpersist site
+    // (the result is lazy — the caller owns materialization). The
+    // checkpoint's lifetime is the returned plan's reachability; the
+    // ContextCleaner reclaims the blocks once the caller drops it.
     val adj = dir
       .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val lab = labels.select(col("id"), col("label"))
     val dec = "decimal(38,0)"
     val mRel = adj.agg((count(lit(1)) / 2).cast("long").as("__m"))
@@ -416,10 +422,15 @@ object Graph {
       .join(lab, Seq("id"))
       .groupBy(col("label"))
       .agg(sum(col("__d")).as("d_sum"))
+    // dsum gets the same left-join + fill treatment as e_in: a
+    // community whose members all have zero degree (caller-supplied
+    // labels for ids absent from edges) must emit (n_nodes, 0, 0, 0),
+    // not silently vanish from the result.
     nodes
       .join(ein, Seq("label"), "left")
       .na.fill(0L, Seq("e_in"))
-      .join(dsum, Seq("label"))
+      .join(dsum, Seq("label"), "left")
+      .na.fill(0L, Seq("d_sum"))
       .crossJoin(broadcast(mRel))
       .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
         (lit(4).cast(dec) * col("__m").cast(dec) * col("e_in").cast(dec) -

@@ -548,17 +548,22 @@ object Multimodal {
     // project-collapsing inlines the whole per-pixel aHash tree into
     // every consumer — re-deriving each doc's fingerprint PER CANDIDATE
     // PAIR (the t2/x12 re-evaluated-lambda trap, measured 557s vs ~2s
-    // at sf0.1); (2) the verify carries one packed 64-bit word per 64
-    // bits (`bit_count(x ^ y)` per word — codegen'd popcount), not the
-    // 64-element int array a per-element lambda fold would walk.
+    // at sf0.1); (2) the verify carries one packed word per 32 bits
+    // (`bit_count(x ^ y)` per word — codegen'd popcount), not the
+    // per-element int array a per-element lambda fold would walk.
+    // 32-bit slices, NOT 64: a 64-bit pack's fold a*2+v must wrap
+    // through the int64 sign bit on its last step, which throws
+    // ARITHMETIC_OVERFLOW in any ANSI session (Spark 4's default,
+    // pinned off only inside GraftSession); 32 bits per int64 word
+    // keeps every intermediate ≤ 2^32 and XOR/popcount is identical.
     val fp = aHash(df, idCol, pixelCol)
       .withColumn("bits",
         when(assert_true(size(col("bits")) >= lit(8 * (maxDist + 1)),
           lit(s"thumbnail too short for lossless maxDist=$maxDist"))
           .isNull, col("bits")))
       .withColumn("words",
-        expr("transform(sequence(0, int(ceil(size(bits) / 64.0)) - 1), " +
-          "w -> aggregate(slice(bits, w * 64 + 1, 64), 0L, " +
+        expr("transform(sequence(0, int(ceil(size(bits) / 32.0)) - 1), " +
+          "w -> aggregate(slice(bits, w * 32 + 1, 32), 0L, " +
           "(a, v) -> a * 2L + v))"))
       .select(col(idCol), col("blocks"), col("words"))
       .persist(StorageLevel.MEMORY_AND_DISK)

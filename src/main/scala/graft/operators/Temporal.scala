@@ -530,12 +530,17 @@ object Temporal {
 
   /** Peak concurrency per day: the maximum number of intervals
     * simultaneously active, from a boundary sweep — every interval
-    * emits (+1 at start, −1 at end), the global running sum of deltas
-    * in (time, +1-before-−1) order IS the concurrency at each boundary,
-    * and a day's peak is the max over its boundary rows. Intervals are
-    * CLOSED on both ends: a session ending at the exact instant another
-    * starts overlaps it (hence starts sort before ends at a tie — the
-    * packed key's low bit).
+    * emits (+1 at start, −1 at end), and a day's peak is the max over
+    * its boundaries of the concurrency AT the boundary instant:
+    * `prefix_before + greatest(delta, 0)`. A start counts itself
+    * (prefix+1); an end still counts its own session (prefix
+    * unchanged), because intervals are CLOSED on both ends — a session
+    * ending at the exact instant another starts overlaps it (hence
+    * starts sort before ends at a tie, the packed key's low bit).
+    * Sampling AT the boundary (not after it) is what makes a day whose
+    * only boundaries are ends — sessions carried over midnight that
+    * merely finish that day — report the true carry-in peak instead
+    * of the post-departure count.
     *
     * The textbook sweep is a `Window.orderBy(time)` over every
     * boundary — one partition holding the whole relation, the same
@@ -563,7 +568,11 @@ object Temporal {
     * (the a10/a11 `floor(v·10⁶)` convention) times power-of-two weights
     * summed in int64, floor-divided by the constant weight total
     * 2^w − 1. No float accumulation order, no pow(), bit-identical on
-    * any engine.
+    * any engine. The int64 safety envelope is enforced in-plan:
+    * every |value·10⁶| must be ≤ Long.MaxValue / (2^w − 1) (an
+    * `assert_true` guard — at the default w=8 that is ~3.6·10^16,
+    * i.e. |value| up to ~3.6·10^10), so the weighted sum provably
+    * fits and can never silently wrap.
     *
     * Only full windows emit (the a11 contract: a smoothed value built
     * on fewer than `w` observations is not the statistic it claims to
@@ -575,8 +584,19 @@ object Temporal {
   def dyadicEwma(df: DataFrame, keyCol: String, valueCol: String,
                  timeCol: String, idCol: String, w: Int = 8): DataFrame = {
     require(w >= 1 && w <= 62, s"w must be in [1, 62], got $w")
+    // Exact int64 precondition: the weighted sum is at most
+    // max|v| · (2^w − 1), so every |v| must fit Long.MaxValue / (2^w − 1)
+    // or the fold silently wraps (ansi=false). Enforced in-plan (the c1
+    // assert_true pattern): a violating row fails the job loudly instead
+    // of emitting garbage ewma_micro.
+    val vMax = Long.MaxValue / ((1L << w) - 1)
     val ev = df.select(col(idCol), col(keyCol), col(timeCol),
-      floor(col(valueCol) * lit(1000000L)).cast("long").as("v"))
+      floor(col(valueCol) * lit(1000000L)).cast("long").as("__v0"))
+      .withColumn("v",
+        when(assert_true(abs(col("__v0")) <= lit(vMax),
+          lit(s"dyadicEwma(w=$w): |value|*1e6 exceeds $vMax — " +
+            "the int64 weighted sum would overflow")).isNull, col("__v0")))
+      .drop("__v0")
     val win = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col(idCol))
     val num = (0 until w).map { j =>
@@ -596,7 +616,8 @@ object Temporal {
         unix_micros(col("__t")) * 2 + when(col("__delta") < 0, 1L).otherwise(0L))
     SequencePack.prefixSum(b, "__ord", "__delta", numParts)
       .groupBy(to_date(col("__t")).as("day"))
-      .agg(max(col("prefix_before") + col("__delta")).as("peak_concurrent"),
+      .agg(max(col("prefix_before") + greatest(col("__delta"), lit(0L)))
+          .as("peak_concurrent"),
         sum(when(col("__delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
         sum(when(col("__delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
   }

@@ -629,7 +629,8 @@ object StreamingQueries extends QueryModule {
            |                         ROWS UNBOUNDED PRECEDING) AS running
            |      FROM bd)
            |SELECT CAST(date_trunc('day', t) AS DATE) AS day,
-           |       CAST(max(running) AS BIGINT) AS peak_concurrent,
+           |       CAST(max(running + CASE WHEN delta = -1 THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS peak_concurrent,
            |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
            |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),

@@ -298,6 +298,18 @@ class GraphSpec extends SparkSpecBase {
     assert(modu(tri, one) == Map(1L -> (6L, 7L, 14L, 0L)))
   }
 
+  test("modularity: a community of only zero-degree nodes (labels for ids " +
+    "absent from edges) emits (n, 0, 0, 0) instead of vanishing") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val part = Seq(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      // ids 7,8 appear in no edge: their community must still surface
+      7L -> 900L, 8L -> 900L)
+    // m=3; community 100: e_in=3, d_sum=6 → q_num = 4·3·3 − 36 = 0;
+    // community 900: 2 nodes, no edges, no degree → q_num = 0
+    assert(modu(tri, part) ==
+      Map(100L -> (3L, 3L, 6L, 0L), 900L -> (2L, 0L, 0L, 0L)))
+  }
+
   test("modularity: differential vs in-memory bookkeeping over LPA labels " +
     "on a seeded random graph") {
     val rnd = new scala.util.Random(2033)

@@ -312,6 +312,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairsOf(imgs) == brute)
   }
 
+  test("aHash pairs survive an ANSI session (32-bit word packing never " +
+    "wraps through the int64 sign bit)") {
+    // Spark 4 defaults ansi=true; GraftSession pins it off, but the
+    // operator must not depend on that. A 64-bit pack's fold would
+    // throw ARITHMETIC_OVERFLOW here for any fingerprint whose top bit
+    // is set (~half of random corpora).
+    val rnd = new scala.util.Random(7)
+    val imgs = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(256).toLong)))
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val bits = imgs.map { case (id, px) => id -> refBits(px) }.toMap
+      // make sure the fixture actually exercises a set top bit
+      assert(imgs.exists { case (id, _) => bits(id).head == 1 })
+      val brute = (for {
+        a <- imgs.map(_._1); b <- imgs.map(_._1) if a < b
+        d = bits(a).zip(bits(b)).count(t => t._1 != t._2) if d <= 7
+      } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+      assert(pairsOf(imgs) == brute)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("too-short thumbnails fail loudly instead of missing pairs") {
     val short = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(1L, 2L, 4L)))
     val ex = intercept[Exception] { pairsOf(short) }

@@ -546,6 +546,20 @@ class TemporalSpec extends SparkSpecBase {
       ("1970-01-05", 1L, 1L, 1L)))
   }
 
+  test("peakConcurrency: a day whose ONLY boundaries are ends reports the " +
+    "carry-in peak (concurrency AT the boundary, not after it)") {
+    // Two sessions start on day 0 and overlap into day 1; day 1's only
+    // boundaries are their two ends. At the first end (01:00) both are
+    // still active (closed intervals), so day-1 peak is 2 — the
+    // max-over-POST-boundary formulation would report 1.
+    val got = peaks(Seq(
+      (dayTs(0, 22, 0), dayTs(1, 1, 0)),
+      (dayTs(0, 23, 0), dayTs(1, 2, 0))))
+    assert(got == Seq(
+      ("1970-01-01", 2L, 2L, 0L),
+      ("1970-01-02", 2L, 0L, 2L)))
+  }
+
   test("peakConcurrency: differential vs the sequential sweep; invariant " +
     "to the partition count") {
     val rnd = new scala.util.Random(2029)
@@ -563,9 +577,12 @@ class TemporalSpec extends SparkSpecBase {
     val byDay = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
     bounds.foreach { case (key, d) =>
       run += d
+      // concurrency AT the boundary: a closed-interval end still
+      // counts its own session, so undo the −1 it just applied
+      val atBoundary = run + (if (d < 0) 1 else 0)
       val day = (key / 2000L) / 86400000L
       val (p, ns, ne) = byDay.getOrElse(day, (Long.MinValue, 0L, 0L))
-      byDay(day) = (math.max(p, run),
+      byDay(day) = (math.max(p, atBoundary),
         ns + (if (d > 0) 1 else 0), ne + (if (d < 0) 1 else 0))
     }
     val ref = byDay.toSeq.sortBy(_._1).map { case (day, (p, ns, ne)) =>
