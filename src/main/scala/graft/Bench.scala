@@ -24,7 +24,14 @@ import graft.core.GraftSession
   *    reader reject such a run instead of diagnosing phantom
   *    regressions;
   *  - a failing query is reported in "errors" with elapsed -1, never
-  *    silently folded into the total.
+  *    silently folded into the total;
+  *  - PER-QUERY contention evidence: each timed window diffs
+  *    /proc/stat whole-box busy jiffies against /proc/self CPU — the
+  *    foreign-cores figure for queries where it exceeded 0.5 lands in
+  *    "ext_cpu_cores", and queries whose 3 walls spread >2x land in
+  *    "unstable", so one noisy median names itself instead of reading
+  *    as a plan regression (the run-level sentinel brackets the run
+  *    and cannot attribute a mid-run blip to a query).
   */
 object Bench {
 
@@ -71,18 +78,50 @@ object Bench {
       try runOnce(SparkEntry.queries(n)) catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOnce(name: String): Double = {
+    // Whole-box vs own-process CPU jiffies, so each query's timed
+    // window carries its own contention evidence: foreign busy CPU
+    // during the window = (Δ box busy) − (Δ self). The round-8 g5
+    // artifact — one query's median 3× its min inside a
+    // "contended":false run — is exactly what a run-level sentinel
+    // bracket cannot see and this per-query delta can.
+    def procJiffies(): (Long, Long) = try {
+      val statLine = {
+        val s = scala.io.Source.fromFile("/proc/stat")
+        try s.getLines().next() finally s.close()
+      }
+      val f = statLine.split("\\s+").drop(1).take(8).map(_.toLong)
+      val box = f.sum - f(3) - f(4) // minus idle, iowait: busy jiffies
+      val selfStat = scala.io.Source.fromFile("/proc/self/stat")
+      // fields 14,15 (1-based utime, stime) follow the parenthesised
+      // comm field; split after the last ')' to survive spaces in comm
+      val self = try {
+        val s = selfStat.getLines().next()
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong
+      } finally selfStat.close()
+      (box, self)
+    } catch { case _: Throwable => (0L, 0L) }
+
+    /** (wall sec, foreign busy CPU cores averaged over the window). */
+    def timeOnce(name: String): (Double, Double) = {
       // Operators that persist() intermediates (d3, s3) register them in
       // the CacheManager, which matches by logical plan — a later run of
       // the same query would silently read the previous run's cache.
       // Clear so every timed run pays its own materialization and only
       // WITHIN-run reuse (the actual plan property) is measured.
       spark.catalog.clearCache()
+      val (box0, self0) = procJiffies()
       val t0 = System.nanoTime()
-      try { runOnce(SparkEntry.queries(name)); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        runOnce(SparkEntry.queries(name))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (box1, self1) = procJiffies()
+        // USER_HZ = 100 on linux; foreign cores = foreign cpu-sec / wall
+        val foreign = ((box1 - box0) - (self1 - self0)) / 100.0
+        (wall, if (wall > 0) math.max(foreign, 0.0) / wall else 0.0)
+      } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        -1.0
+        (-1.0, 0.0)
       }
     }
     def median3(a: Double, b: Double, c: Double): Double =
@@ -92,20 +131,31 @@ object Bench {
     val sentinels = scala.collection.mutable.ArrayBuffer(spinSentinel())
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     sentinels += spinSentinel()
-    val pass2 = names.map(n => n -> (if (pass1(n) >= 0) timeOnce(n) else -1.0)).toMap
-    val pass3 = names.map(n => n -> (if (pass2(n) >= 0) timeOnce(n) else -1.0)).toMap
+    val pass2 = names.map(n =>
+      n -> (if (pass1(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0))).toMap
+    val pass3 = names.map(n =>
+      n -> (if (pass2(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0))).toMap
     sentinels += spinSentinel()
+    def walls(n: String) = Seq(pass1(n)._1, pass2(n)._1, pass3(n)._1)
+    def allOk(n: String) = walls(n).forall(_ >= 0)
     val results = names.map { n =>
-      val (a, b, c) = (pass1(n), pass2(n), pass3(n))
-      n -> (if (a >= 0 && b >= 0 && c >= 0) median3(a, b, c) else -1.0)
+      n -> (if (allOk(n)) walls(n).sorted.apply(1) else -1.0)
     }
     // best-of-passes, next to the median: rounds before 7 reported
     // best-of-2, so this is the apples-to-apples series for
     // cross-round comparison while the median stays the headline
     val mins = names.map { n =>
-      val (a, b, c) = (pass1(n), pass2(n), pass3(n))
-      n -> (if (a >= 0 && b >= 0 && c >= 0) Seq(a, b, c).min else -1.0)
+      n -> (if (allOk(n)) walls(n).min else -1.0)
     }
+    // Per-query self-identification: max foreign busy cores observed
+    // over the 3 windows (ext_cpu), and queries whose wall spread
+    // exceeds 2x (unstable) — a noisy median names itself instead of
+    // reading as a plan regression.
+    val extCpu = names.map { n =>
+      n -> Seq(pass1(n)._2, pass2(n)._2, pass3(n)._2).max
+    }
+    val unstable = names.filter(n =>
+      allOk(n) && walls(n).min > 0 && walls(n).max > 2 * walls(n).min)
     val sentinelMedian = median3(sentinels(0), sentinels(1), sentinels(2))
     val contended = sentinelMedian > SentinelBaselineSec * ContentionFactor
     def js(s: String): String =
@@ -113,12 +163,19 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
-    val qsMin = mins.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal times keep the full 138-query line inside the
+    // driver's bounded stdout-tail capture (full doubles overflowed
+    // it two rounds running and left BENCH_r*.json unparseable)
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"${js(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => s"${js(k)}:${f3(v)}" }.mkString("{", ",", "}")
+    val extJson = extCpu.collect { case (k, v) if v >= 0.5 => s"${js(k)}:${f3(v)}" }
+      .mkString("{", ",", "}")
+    val unstableJson = unstable.map(js).mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // Sidecar copy: the driver captures only a bounded stdout tail, and
     // round 7's line was truncated past parseability by 20 error

@@ -60,6 +60,33 @@ object Bpe {
     * [[MaxMerges]], so holding it on the driver is O(vocabulary entry),
     * not O(data).
     */
+  /** Word-frequency table → padded space-joined char representation. */
+  private def buildReprs(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("repr"), col("freq"))
+
+  /** Adjacent-pair frequencies over a repr relation. */
+  private def pairCounts(reprs: DataFrame): DataFrame = {
+    val l = split(trim(col("repr")), " ")
+    reprs.select(col("freq"),
+        explode(when(size(l) > 1,
+          transform(sequence(lit(1), size(l) - 1),
+            k => concat_ws(" ", element_at(l, k), element_at(l, k + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+  }
+
+  /** One literal merge application: " a b " → " ab ". */
+  private def applyMerge(repr: org.apache.spark.sql.Column,
+                         pair: String): org.apache.spark.sql.Column =
+    regexp_replace(repr,
+      lit(Pattern.quote(s" $pair ")),
+      lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
+
   def learnMergeList(docs: DataFrame, textCol: String,
                      nMerges: Int): Seq[(Int, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
@@ -67,35 +94,19 @@ object Bpe {
       s"nMerges = $nMerges exceeds MaxMerges = $MaxMerges: each merge is " +
         "a sequential Spark job + driver round-trip (see the cost " +
         "contract); learn large vocabularies in a dedicated run")
-    // word-frequency table → padded space-joined char representation
-    var reprs = docs
-      .select(explode(split(col(textCol), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
-        regexp_replace(col("w"), "(.)", "$1 ")).as("repr"), col("freq"))
+    var reprs = buildReprs(docs, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (i <- 1 to nMerges) {
-      val l = split(trim(col("repr")), " ")
-      val pairs = reprs.select(col("freq"),
-          explode(when(size(l) > 1,
-            transform(sequence(lit(1), size(l) - 1),
-              k => concat_ws(" ", element_at(l, k), element_at(l, k + 1))))
-            .otherwise(array().cast("array<string>"))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
       // 1-row argmax with a total tie-break — the only driver-side
       // collect, bounded at one row per iteration
-      val best = pairs.orderBy(col("f").desc, col("pair")).limit(1).collect()
+      val best = pairCounts(reprs)
+        .orderBy(col("f").desc, col("pair")).limit(1).collect()
       if (best.isEmpty) { reprs.unpersist(); return merges.result() }
       val (pair, f) = (best(0).getString(0), best(0).getLong(1))
       merges += ((i, pair, f))
-      val next = reprs.select(
-          regexp_replace(col("repr"),
-            lit(Pattern.quote(s" $pair ")),
-            lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
-            .as("repr"),
-          col("freq"))
+      val next = reprs
+        .select(applyMerge(col("repr"), pair).as("repr"), col("freq"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before dropping the previous vocabulary
       reprs.unpersist()
@@ -103,6 +114,99 @@ object Bpe {
     }
     reprs.unpersist()
     merges.result()
+  }
+
+  /** BATCHED merge learning — the path that makes a 32k-merge
+    * production vocabulary tractable: per ROUND, ONE pair-count job
+    * selects up to `batchSize` merges instead of one, so the job count
+    * is ~nMerges/batchSize (sub-linear in nMerges) rather than the
+    * sequential loop's nMerges.
+    *
+    * Selection rule (deterministic, and exact where it claims to be):
+    * rank pairs by (freq DESC, pair ASC) — the sequential tie-break —
+    * and greedily keep candidates that are SYMBOL-DISJOINT from every
+    * pair already kept this round (neither symbol, nor the fused
+    * string, collides with a kept pair's symbols or fused string).
+    * Disjointness buys two guarantees: (1) applying one kept merge
+    * cannot create or destroy occurrences of another (a fused "ab"
+    * symbol is new and cannot equal any kept pair's symbol — the fused-
+    * string guard), so every recorded freq IS the pair's frequency at
+    * the moment its merge applies, exactly as in sequential training;
+    * (2) the rewrites commute, so the round's single fold is
+    * order-independent. What batching does NOT preserve is the global
+    * greedy order: sequential BPE would recount after each fuse, and a
+    * newly created pair (e.g. "th e" after "t h") may outrank the
+    * round's later picks. This is the standard corpus-level batching
+    * trade-off of fast BPE trainers (public practice since Sennrich et
+    * al.'s own implementation learned from word-frequency tables);
+    * `batchSize = 1` degenerates to EXACTLY [[learnMergeList]] —
+    * the differential the spec pins.
+    *
+    * Returns (iter, pair, freq, round): iter the 1-based global merge
+    * rank, round the 1-based batch round that learned it. A round that
+    * finds no disjoint candidate beyond the top pair still takes the
+    * top pair, so progress is guaranteed and the loop terminates after
+    * at most nMerges rounds.
+    */
+  def learnMergeBatchList(docs: DataFrame, textCol: String, nMerges: Int,
+                          batchSize: Int = 32): Seq[(Int, String, Long, Int)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var reprs = buildReprs(docs, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long, Int)]
+    var learned = 0
+    var round = 0
+    while (learned < nMerges) {
+      round += 1
+      val want = math.min(batchSize, nMerges - learned)
+      // bounded collect: 4x the batch gives the greedy scan headroom
+      // to skip conflicting candidates; still O(batchSize) rows
+      val ranked = pairCounts(reprs)
+        .orderBy(col("f").desc, col("pair")).limit(want * 4).collect()
+      if (ranked.isEmpty) {
+        reprs.unpersist(); return merges.result()
+      }
+      val used = scala.collection.mutable.Set.empty[String]
+      val picks = Seq.newBuilder[(String, Long)]
+      var kept = 0
+      for (r <- ranked if kept < want) {
+        val pair = r.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        val fused = a + b
+        if (!used(a) && !used(b) && !used(fused)) {
+          used ++= Seq(a, b, fused)
+          picks += ((pair, r.getLong(1)))
+          kept += 1
+        }
+      }
+      val chosen = picks.result()
+      chosen.zipWithIndex.foreach { case ((p, f), j) =>
+        merges += ((learned + j + 1, p, f, round))
+      }
+      learned += chosen.size
+      val next = reprs
+        .select(chosen.foldLeft(col("repr")) { (c, pf) =>
+          applyMerge(c, pf._1)
+        }.as("repr"), col("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous vocabulary
+      reprs.unpersist()
+      reprs = next
+    }
+    reprs.unpersist()
+    merges.result()
+  }
+
+  /** [[learnMergeBatchList]] as a DataFrame (iter, pair, freq, round). */
+  def learnMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                         batchSize: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMergeBatchList(docs, textCol, nMerges, batchSize)
+      .toDF("iter", "pair", "freq", "round")
+      .select(col("iter").cast("long").as("iter"), col("pair"),
+        col("freq"), col("round").cast("long").as("round"))
   }
 
   /** Tokenize documents under a learned merge list: per document, the

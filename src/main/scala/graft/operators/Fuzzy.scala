@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   *  1. pad each string with q-1 sentinels and take its positional
   *     q-gram MULTISET (gram + occurrence ordinal — repeated grams
   *     stay distinct elements, which plain-set filtering gets wrong);
-  *  2. rank every gram element by global document frequency (one
-  *     corpus aggregate, shuffled — never broadcast: the vocabulary
-  *     is corpus-dependent and unbounded); rarest-first is the order
-  *     that minimizes candidate fan-out;
+  *  2. rank every gram element by document frequency (one aggregate,
+  *     shuffled — never broadcast: the vocabulary is corpus-dependent
+  *     and unbounded); rarest-first is the order that minimizes
+  *     candidate fan-out;
   *  3. keep each string's first `q·maxDist + 1` elements in that
   *     order (its PREFIX). Two strings within `maxDist` edits share
   *     ≥ max(grams) − q·maxDist elements, so their prefixes must
@@ -42,21 +42,28 @@ import org.apache.spark.sql.functions._
   * output names, so identically-named id columns on the two inputs
   * never collide.
   *
-  * 100 TB contract (measured, SCALING_r08 candidate series): prefix
-  * selectivity is a PRODUCT of per-gram frequencies, so on a corpus
-  * whose gram frequencies grow with N the candidate set grows ~N² even
-  * while the true answer grows linearly (tagged decade: 241× → 1734×
-  * candidates-per-output across 10×). The exact join is therefore
-  * meant to run WITHIN bounded blocks at scale — LSH band buckets,
-  * dedup clusters, per-source strata (all in this library) — where it
-  * is candidate-optimal; it is not a license to skip blocking on an
-  * unbounded self-join. Positional filtering cannot tighten this
-  * implementation: ordinal-multiset matching pairs occurrences whose
-  * positions can legally shift past maxDist when an edit hits an
-  * earlier same-gram occurrence, so a position window would drop true
-  * pairs. Use q=3 for ~2× fewer candidates than q=2 at identical
-  * output on 40-char-scale strings ([[profile]] measures this per
-  * population).
+  * 100 TB contract — BLOCKING IS THE DEFAULT, enforced by signature:
+  * prefix selectivity is a PRODUCT of per-gram frequencies, so on a
+  * corpus whose gram frequencies grow with N the candidate set grows
+  * ~N² even while the true answer grows linearly (measured,
+  * SCALING_r08 tagged decade: 241× → 1734× candidates-per-output
+  * across 10×). [[editDistanceJoin]] therefore REQUIRES a blocking
+  * key per side — a record-linkage blocking key (name prefix, zip,
+  * source stratum), a [[Dedup]] LSH band bucket, a cluster id — and
+  * runs the whole pipeline per block: per-block gram frequencies,
+  * prefix join and length-band join both carrying the block key.
+  * Candidates can never cross blocks, so volume is Σ_b f(|b|) instead
+  * of f(N) — flat candidates-per-output across scale decades when
+  * block sizes are bounded (SCALING_r09). The unbounded form survives
+  * as the explicit [[Unblocked]] escape hatch for inputs already
+  * bounded by construction.
+  *
+  * Positional filtering cannot tighten this implementation:
+  * ordinal-multiset matching pairs occurrences whose positions can
+  * legally shift past maxDist when an edit hits an earlier same-gram
+  * occurrence, so a position window would drop true pairs. Use q=3
+  * for ~2× fewer candidates than q=2 at identical output on
+  * 40-char-scale strings ([[profile]] measures this per population).
   */
 object Fuzzy {
 
@@ -64,28 +71,67 @@ object Fuzzy {
     * number that predicts 100× behavior: if `gramCandidates /
     * outputPairs` grows across a scale decade, the prefix filter is
     * losing selectivity and needs tightening (larger q, length-aware
-    * prefixes) BEFORE the corpus grows into it. Emitted by the scaling
-    * study per scale multiple.
+    * prefixes, finer blocks) BEFORE the corpus grows into it. Emitted
+    * by the scaling study per scale multiple.
     */
   final case class EditJoinStats(gramCandidates: Long, shortCandidates: Long,
                                  verifyCandidates: Long, outputPairs: Long)
 
+  /** Blocked edit-distance join — the default, 100-TB-shaped entry
+    * point. `leftBlock`/`rightBlock` name a column on each input;
+    * only same-block pairs are candidates (the record-linkage
+    * blocking contract — the caller picks a key that true matches
+    * agree on, e.g. an edit-stable string prefix, an LSH band bucket,
+    * a source stratum). Within each block the q-gram prefix filter is
+    * lossless, with gram rarity ranked PER BLOCK (each block's own
+    * vocabulary decides its prefix order — strictly better candidate
+    * selectivity than a global ranking, at the same one-aggregate
+    * cost). Null block keys drop, like null strings.
+    */
   def editDistanceJoin(left: DataFrame, right: DataFrame,
                        leftId: String, rightId: String,
                        leftStr: String, rightStr: String,
+                       leftBlock: String, rightBlock: String,
                        maxDist: Int, q: Int = 2): DataFrame =
-    build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q).result
+    build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
+      blk = Some((leftBlock, rightBlock))).result
 
-  /** Run the join measuring each pruning stage's row volume. Persists
-    * the candidate stages so the counts don't recompute the prefix
-    * pipeline; diagnostic-path cost only — [[editDistanceJoin]] itself
+  /** [[editDistanceJoin]] measuring each pruning stage's row volume.
+    * Persists the candidate stages so the counts don't recompute the
+    * prefix pipeline; diagnostic-path cost only — the join itself
     * materializes nothing.
     */
   def profile(left: DataFrame, right: DataFrame,
               leftId: String, rightId: String,
               leftStr: String, rightStr: String,
-              maxDist: Int, q: Int = 2): EditJoinStats = {
-    val b = build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q)
+              leftBlock: String, rightBlock: String,
+              maxDist: Int, q: Int = 2): EditJoinStats =
+    profileOf(build(left, right, leftId, rightId, leftStr, rightStr,
+      maxDist, q, blk = Some((leftBlock, rightBlock))), maxDist)
+
+  /** The unbounded self-join escape hatch. Candidate-optimal WITHIN a
+    * bounded input; superlinear candidate growth on an unbounded one
+    * (see the 100 TB contract above) — callers must either pass
+    * inputs bounded by construction (a dedup cluster, one LSH bucket,
+    * a stratum) or use the blocked [[Fuzzy.editDistanceJoin]].
+    */
+  object Unblocked {
+    def editDistanceJoin(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         leftStr: String, rightStr: String,
+                         maxDist: Int, q: Int = 2): DataFrame =
+      build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
+        blk = None).result
+
+    def profile(left: DataFrame, right: DataFrame,
+                leftId: String, rightId: String,
+                leftStr: String, rightStr: String,
+                maxDist: Int, q: Int = 2): EditJoinStats =
+      profileOf(build(left, right, leftId, rightId, leftStr, rightStr,
+        maxDist, q, blk = None), maxDist)
+  }
+
+  private def profileOf(b: Build, maxDist: Int): EditJoinStats = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val gram = b.candGram.persist(lvl)
     val short = b.candShort.persist(lvl)
@@ -105,17 +151,25 @@ object Fuzzy {
   private def build(left: DataFrame, right: DataFrame,
                     leftId: String, rightId: String,
                     leftStr: String, rightStr: String,
-                    maxDist: Int, q: Int): Build = {
+                    maxDist: Int, q: Int,
+                    blk: Option[(String, String)]): Build = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = q * maxDist + 1
     // both strings below this can be within maxDist at zero shared grams
     val shortLen = q * maxDist - q + 1
 
-    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"))
-      .filter(col("__ls").isNotNull)
-    val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"))
-      .filter(col("__rs").isNotNull)
+    // the block key rides every join; unblocked = one global block
+    val (lBlk, rBlk) = blk match {
+      case Some((lb, rb)) => (col(lb), col(rb))
+      case None           => (lit(0), lit(0))
+    }
+    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"),
+        lBlk.as("__blk"))
+      .filter(col("__ls").isNotNull && col("__blk").isNotNull)
+    val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
+        rBlk.as("__blk"))
+      .filter(col("__rs").isNotNull && col("__blk").isNotNull)
 
     // padded q-gram multiset as (gram, occurrence-ordinal) structs;
     // the ordinal is the count of equal grams at earlier positions,
@@ -124,7 +178,7 @@ object Fuzzy {
     def gramElems(s: Column): Column = {
       // distinct begin/end sentinels (classic padding): every non-empty
       // string gets grams and boundary edits cost gram changes too
-      val padded = concat(lit("\u0001" * (q - 1)), s, lit("\u0002" * (q - 1)))
+      val padded = concat(lit("" * (q - 1)), s, lit("" * (q - 1)))
       val gs = transform(
         sequence(lit(1), length(padded) - (q - 1)),
         i => padded.substr(i, lit(q)))
@@ -133,37 +187,40 @@ object Fuzzy {
           size(filter(slice(gs, lit(1), i), x => x === g)).as("o")))
     }
 
-    val lg = l.select(col("__lid"), col("__ls"),
+    val lg = l.select(col("__lid"), col("__ls"), col("__blk"),
       explode(gramElems(col("__ls"))).as("__e"))
-    val rg = r.select(col("__rid"), col("__rs"),
+    val rg = r.select(col("__rid"), col("__rs"), col("__blk"),
       explode(gramElems(col("__rs"))).as("__e"))
 
-    // global rarity rank, one aggregate over both sides' elements —
+    // per-block rarity rank, one aggregate over both sides' elements —
     // ties broken by the element itself so the canonical order is total
-    val dfTable = lg.select(col("__e")).unionAll(rg.select(col("__e")))
-      .groupBy(col("__e")).agg(count(lit(1)).as("__df"))
+    val dfTable = lg.select(col("__blk"), col("__e"))
+      .unionAll(rg.select(col("__blk"), col("__e")))
+      .groupBy(col("__blk"), col("__e")).agg(count(lit(1)).as("__df"))
 
     def prefix(g: DataFrame, id: String): DataFrame = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__df"), col("__e.g"), col("__e.o"))
-      g.join(dfTable, "__e")
+      g.join(dfTable, Seq("__blk", "__e"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= prefixLen)
         .drop("__df", "__rn")
     }
 
-    val candGram = prefix(lg, "__lid").join(prefix(rg, "__rid"), "__e")
+    val candGram = prefix(lg, "__lid")
+      .join(prefix(rg, "__rid"), Seq("__blk", "__e"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
     // short × short fallback: banded length equi-join (width maxDist+1,
-    // left exploded to the 3 adjacent buckets) — never a cross join
+    // left exploded to the 3 adjacent buckets) — never a cross join;
+    // quadratic only within a (block, short-length bucket) class
     val band = maxDist + 1
     val lb = expr(s"length(__ls) div $band")
     val candShort = l.filter(length(col("__ls")) <= shortLen)
       .withColumn("__b", explode(array(lb - 1, lb, lb + 1)))
       .join(r.filter(length(col("__rs")) <= shortLen)
           .withColumn("__b", expr(s"length(__rs) div $band")),
-        "__b")
+        Seq("__blk", "__b"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
     val result = candGram.unionAll(candShort)

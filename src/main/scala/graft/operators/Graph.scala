@@ -91,6 +91,89 @@ object Graph {
     ranks
   }
 
+  /** [[pageRank]]'s mass-conserving twin: Σ_v rank_i(v) = totalMass
+    * EXACTLY, every iteration, by construction — the variant any
+    * downstream that SUMS rank (mass-weighted sampling, per-community
+    * rank share) needs, where g1's documented dangling-mass leak is
+    * wrong rather than merely unnormalized.
+    *
+    * Two additions to the g1 recurrence, both integer-exact and both
+    * oracle-replayable:
+    *
+    *  1. dangling redistribution (textbook): D_i = Σ ranks of nodes
+    *     with no out-edges joins the damped inflow uniformly as
+    *     `D_i div N` per node;
+    *  2. residual reallocation (largest-remainder apportionment): all
+    *     truncation residue — init `T mod N`, per-edge split
+    *     remainders, `D mod N`, per-node damping floors — is the
+    *     exact scalar δ_i = T − Σ_v R'_i(v) ≥ 0, returned as
+    *     `δ div N` to every node plus one extra unit to the δ mod N
+    *     nodes of smallest id. Node order position is computed ONCE
+    *     via [[SequencePack.prefixSum]] (range exchange +
+    *     O(partitions) offsets — never a global single-partition
+    *     window) and reused every iteration as a plain comparison.
+    *
+    * The two per-iteration scalars (D_i, Σ R'_i) are 1-row driver
+    * reads over the cached rank relation — the IvfIndex
+    * bounded-metadata pattern, not a data collect. Everything else is
+    * g1's plan shape: one src-join + one map-side-combined dst
+    * aggregate + one node left join per iteration, edges
+    * repartitioned by src once and persisted, lineage cut per round.
+    */
+  def pageRankConserving(edges: DataFrame, iters: Int,
+                         dampNum: Long = 85L, dampDen: Long = 100L,
+                         totalMass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val nodesPos = SequencePack.prefixSum(
+        nodes.withColumn("__w", lit(1L)), "id", "__w", outCol = "pos")
+      .select(col("id"), col("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodesPos.count()
+    val r0 = totalMass / n
+    val base = (dampDen - dampNum) * r0 / dampDen
+    // exact init: r0 everywhere + the T mod N remainder to smallest ids
+    var ranks: DataFrame = nodesPos.withColumn("rank",
+      lit(r0) + when(col("pos") < lit(totalMass % n), 1L).otherwise(0L))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)))
+        .head().getLong(0)
+      val q = dangling / n
+      val contribs = edgesDeg
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+      val rPrime = nodesPos
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("pos"),
+          expr(s"${base}L + ($dampNum * (coalesce(s, 0L) + ${q}L)) " +
+            s"div $dampDen").cast("long").as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // δ ≥ 0: every truncation only LOSES mass vs the real-arithmetic
+      // recurrence, whose iterate sums to exactly T
+      val delta = totalMass - rPrime.agg(sum(col("rank"))).head().getLong(0)
+      prev.foreach(_.unpersist())
+      prev = Some(rPrime)
+      ranks = rPrime.select(col("id"), col("pos"),
+        (col("rank") + lit(delta / n) +
+          when(col("pos") < lit(delta % n), 1L).otherwise(0L)).as("rank"))
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
   /** Minimum hop distance from a source node to every node reachable
     * within `iters` hops, over the UNDIRECTED view of an edge list:
     * `(id, dist)`, dist in 0..iters. Nodes not reached in `iters`

@@ -644,12 +644,12 @@ object DedupQueries extends QueryModule {
     * (doc-id-classed digit→letter substitutions at fixed positions, so
     * the TRUE edit distance to the own name is exactly the class
     * number) joined back against the clean names at maxDist=2 via
-    * [[graft.operators.Fuzzy.editDistanceJoin]]'s q-gram prefix
-    * filter. The oracle replays the FULL quadratic levenshtein join in
-    * DuckDB — brute-force ground truth at the gate scale, which is
-    * exactly what the prefix filter must be lossless against (typos of
-    * one customer legitimately match neighboring customers whose names
-    * differ in few digits; the oracle decides those too).
+    * [[graft.operators.Fuzzy.Unblocked]]'s q-gram prefix filter —
+    * the explicit escape hatch, used here deliberately: the oracle
+    * replays the FULL quadratic levenshtein join in DuckDB, so the
+    * unblocked form is the only one that matches it (and what the
+    * losslessness claim is graded against). The 100-TB-shaped default
+    * is the blocked d12b twin below.
     */
   private val fuzzyJoin = CatalogQuery(
     "d12_edit_distance_join",
@@ -679,7 +679,7 @@ object DedupQueries extends QueryModule {
       // q=2 (1.81M -> 1.00M at 1x, identical 4146-pair output) and
       // q=4 buys only 18% more — prefix selectivity, the number that
       // predicts 100x behavior, is the q=3 sweet spot here
-      graft.operators.Fuzzy.editDistanceJoin(
+      graft.operators.Fuzzy.Unblocked.editDistanceJoin(
           typos, base, "typo_key", "doc_id", "typo_name", "fp",
           maxDist = 2, q = 3)
         .select(col("left_id").as("typo_key"),
@@ -711,9 +711,71 @@ object DedupQueries extends QueryModule {
       "join (which itself takes 208s at sf0.1 — the filter is the " +
       "query's reason to exist)")
 
+  /** d12's 100-TB-shaped twin: the same typo population through the
+    * BLOCKED edit-distance join — [[graft.operators.Fuzzy
+    * .editDistanceJoin]]'s default entry point, which requires a
+    * record-linkage blocking key and confines candidates to blocks.
+    * The key here is the edit-stable 8-char fingerprint prefix (the
+    * planted typos edit positions 10/13/16, so every typo agrees with
+    * its source on the first 8 chars — classic prefix blocking). The
+    * oracle is d12's full quadratic DuckDB levenshtein join restricted
+    * to same-block pairs: exactly the blocked contract, decided by
+    * brute force. Candidate volume is Σ_b f(|b|) instead of f(N) —
+    * the SCALING_r09 d12b series shows candidates/output ~flat across
+    * the decade where d12's unblocked series grows superlinearly.
+    */
+  private val fuzzyJoinBlocked = CatalogQuery(
+    "d12b_edit_distance_join_blocked",
+    (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+      val r = pmod(col("doc_id"), lit(4))
+      val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
+        substring(col("fp"), 11, 1000))
+      val t2 = concat(substring(t1, 1, 12), lit("y"),
+        substring(t1, 14, 1000))
+      val t3 = concat(substring(t2, 1, 15), lit("x"),
+        substring(t2, 17, 1000))
+      val typos = base.select(col("doc_id").as("typo_key"),
+        when(r === 0, col("fp")).when(r === 1, t1)
+          .when(r === 2, t2).otherwise(t3).as("typo_name"))
+        .withColumn("blk", substring(col("typo_name"), 1, 8))
+      graft.operators.Fuzzy.editDistanceJoin(
+          typos, base.withColumn("blk", substring(col("fp"), 1, 8)),
+          "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+          maxDist = 2, q = 3)
+        .select(col("left_id").as("typo_key"),
+          col("right_id").as("doc_key"), col("dist"))
+        .orderBy(col("typo_key"), col("doc_key"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, substr(text,1,40) AS fp FROM documents),
+           |t AS (
+           |  SELECT doc_id AS typo_key,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN fp
+           |      WHEN 1 THEN substr(fp,1,9)||'z'||substr(fp,11)
+           |      WHEN 2 THEN substr(fp,1,9)||'z'||substr(fp,11,2)
+           |                  ||'y'||substr(fp,14)
+           |      ELSE substr(fp,1,9)||'z'||substr(fp,11,2)||'y'
+           |           ||substr(fp,14,2)||'x'||substr(fp,17)
+           |    END AS typo_name
+           |  FROM base)
+           |SELECT t.typo_key, c.doc_id AS doc_key,
+           |  CAST(levenshtein(t.typo_name, c.fp) AS BIGINT) AS dist
+           |FROM t, base c
+           |WHERE substr(t.typo_name,1,8) = substr(c.fp,1,8)
+           |  AND levenshtein(t.typo_name, c.fp) <= 2
+           |ORDER BY typo_key, doc_key""".stripMargin),
+    doc = "Blocked edit-distance join (the default 100 TB entry " +
+      "point): d12's typo population under prefix blocking on the " +
+      "edit-stable 8-char fingerprint prefix — candidates confined " +
+      "to blocks, per-block gram rarity ranking; oracle is the full " +
+      "quadratic levenshtein join restricted to same-block pairs")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical, fuzzyJoin, novelty, noveltyIncremental,
+      canonical, fuzzyJoin, fuzzyJoinBlocked, novelty, noveltyIncremental,
       decontaminationNormalized, calibration)
 }

@@ -59,6 +59,79 @@ object GraphQueries extends QueryModule {
       "by src once and persisted; oracle unrolls the identical integer " +
       "recurrence")
 
+  // g1b oracle: one iteration of the CONSERVING recurrence — dangling
+  // scalar, contribution aggregate, damped inflow, then the exact
+  // residual δ = T − ΣR' returned as δ//N to all + 1 unit to the
+  // δ%N smallest positions (largest-remainder apportionment)
+  private val consIterSql = (k: Int, prev: String) =>
+    s"""d$k AS (SELECT COALESCE(SUM(r.rank), 0) AS d FROM $prev r
+       |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id)),
+       |c$k AS (SELECT e.dst, SUM(r.rank // dg.outdeg) AS s
+       |  FROM e JOIN $prev r ON e.src = r.id
+       |         JOIN deg dg ON e.src = dg.src
+       |  GROUP BY e.dst),
+       |p$k AS (SELECT n.id, n.pos,
+       |    CAST((SELECT base FROM p) + (85 * (COALESCE(s.s, 0)
+       |      + (SELECT d FROM d$k) // (SELECT n FROM p))) // 100
+       |      AS BIGINT) AS rank
+       |  FROM np n LEFT JOIN c$k s ON n.id = s.dst),
+       |i$k AS (SELECT id, pos, rank
+       |    + ((1000000000000 - (SELECT SUM(rank) FROM p$k))
+       |       // (SELECT n FROM p))
+       |    + CASE WHEN pos < ((1000000000000 - (SELECT SUM(rank) FROM p$k))
+       |                       % (SELECT n FROM p))
+       |      THEN 1 ELSE 0 END AS rank
+       |  FROM p$k)""".stripMargin
+
+  /** g1's mass-conserving twin (see [[graft.operators.Graph
+    * .pageRankConserving]]): dangling mass redistributed uniformly and
+    * every truncation residual returned by largest-remainder
+    * apportionment, so Σ rank = 10^12 exactly after every iteration —
+    * on this graph ALL suppliers are dangling (odd ids never have
+    * out-edges), so the conserving recurrence genuinely diverges from
+    * g1, not just in the residual units. The oracle unrolls the
+    * identical integer recurrence including the δ apportionment.
+    */
+  private val pagerankConserving = CatalogQuery(
+    "g1b_pagerank_conserving",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.pageRankConserving(edges, iters = 3).orderBy(col("id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            |np AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS pos
+            |       FROM nodes),
+            |p AS (SELECT count(*) AS n,
+            |             1000000000000 // count(*) AS r0,
+            |             1000000000000 % count(*) AS ir,
+            |             ((100-85) * (1000000000000 // count(*))) // 100
+            |               AS base
+            |      FROM nodes),
+            |i0 AS (SELECT id, pos, (SELECT r0 FROM p)
+            |         + CASE WHEN pos < (SELECT ir FROM p) THEN 1 ELSE 0 END
+            |         AS rank FROM np),
+            |${consIterSql(1, "i0")},
+            |${consIterSql(2, "i1")},
+            |${consIterSql(3, "i2")}
+            |SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
+            |FROM i3 ORDER BY id""".stripMargin),
+    doc = "Mass-conserving PageRank (3 iters, 0.85 damping, exact " +
+      "integer units): dangling mass redistributed as D div N inside " +
+      "the damped inflow, truncation residue returned by largest-" +
+      "remainder apportionment over SequencePack-computed node " +
+      "positions — sum(rank) = 10^12 exactly every iteration; " +
+      "oracle unrolls the identical recurrence, apportionment " +
+      "included")
+
   /** Triangle counting over the co-purchase graph: parts are adjacent
     * when some order contains both (items-per-order is small and
     * bounded, so the projection self-join is cheap), and a triangle is
@@ -355,5 +428,6 @@ object GraphQueries extends QueryModule {
       "replays LPA AND the modularity bookkeeping end-to-end")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(pagerank, triangles, bfs, sssp, kcore, lpa, modularityQ)
+    Seq(pagerank, pagerankConserving, triangles, bfs, sssp, kcore, lpa,
+      modularityQ)
 }

@@ -194,6 +194,44 @@ object Parity extends QueryModule {
            |ORDER BY source, line_no""".stripMargin),
     doc = "Reference distributed grep (mp0/src/finder/finder.go:19-44)")
 
+  /** F1 at FILE grain: the reference greps real per-machine files with
+    * per-file line counters (`mp0/src/finder/finder.go:28-37`), not a
+    * table with a precomputed line column — so this row materializes
+    * the documents relation as an actual multi-file text directory
+    * (one `source=<src>/lines.txt` per source, lines in doc_id order,
+    * built once per dataset via the IndexCache protocol) and greps it
+    * through [[graft.sources.LogSearch.grepFiles]]: wholeTextFiles,
+    * one task per file, 1-based per-file line numbers, no shuffle.
+    * The oracle replays p4's rank-then-filter over the parquet table —
+    * the two layouts must agree line-for-line, which also pins the
+    * text materialization's ordering contract.
+    */
+  private val grepFilesQ = CatalogQuery(
+    "p4b_grep_files",
+    (s, dir) => {
+      val txtDir = graft.sources.TextCorpus.ensureDocsText(s, dir)
+      graft.sources.LogSearch
+        .grepFiles(s, s"$txtDir/source=*/lines.txt",
+          "join (a|the) (big|small)")
+        .toDF()
+        .select(
+          regexp_extract(col("source"), "source=([^/]+)", 1).as("source"),
+          col("lineNo").as("line_no"), col("line").as("text"))
+        .orderBy(col("source"), col("line_no"))
+    },
+    Some("""SELECT source, line_no, text FROM (
+           |  SELECT source, text,
+           |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           |              AS BIGINT) AS line_no
+           |  FROM documents)
+           |WHERE regexp_matches(text, 'join (a|the) (big|small)')
+           |ORDER BY source, line_no""".stripMargin),
+    doc = "Reference distributed grep at FILE grain " +
+      "(mp0/src/finder/finder.go:28-37): a real per-source text " +
+      "directory greped via wholeTextFiles with per-file 1-based " +
+      "line counters — one task per file, no shuffle; oracle is the " +
+      "table-grain rank-then-filter over the same relation")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(wordcount, wineTokens, condorcet, grep)
+    Seq(wordcount, wineTokens, condorcet, grep, grepFilesQ)
 }

@@ -51,6 +51,75 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.MaxMerges >= 100) // t14 and real small vocabularies stay legal
   }
 
+  private def batched(texts: Seq[String], n: Int,
+                      batch: Int): Seq[(Int, String, Long, Int)] = {
+    val s = spark
+    import s.implicits._
+    Bpe.learnMergeBatchList(texts.toDF("text"), "text", n, batch)
+  }
+
+  test("batched learning with batchSize=1 is EXACTLY the sequential loop") {
+    val rnd = new scala.util.Random(77)
+    def word() = (0 until 2 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    val texts = (1 to 40).map(_ => Seq.fill(4)(word()).mkString(" "))
+    val s = spark
+    import s.implicits._
+    val seq = Bpe.learnMergeList(texts.toDF("text"), "text", 10)
+    val bat = batched(texts, 10, batch = 1)
+    assert(bat.map(t => (t._1, t._2, t._3)) == seq)
+    // each batch-1 round learns exactly one merge
+    assert(bat.map(_._4) == (1 to bat.size))
+  }
+
+  test("batched rounds pick symbol-disjoint merges in rank order, with " +
+    "round-exact frequencies, in ~nMerges/batch rounds") {
+    val rnd = new scala.util.Random(99)
+    def word() = (0 until 2 + rnd.nextInt(7))
+      .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val texts = (1 to 60).map(_ => Seq.fill(5)(word()).mkString(" "))
+    val got = batched(texts, 12, batch = 4)
+    assert(got.size == 12)
+    assert(got.map(_._1) == (1 to 12)) // global iter is dense
+    // within a round: pairwise symbol-disjoint, including fused strings
+    got.groupBy(_._4).foreach { case (round, picks) =>
+      // per-pick symbol sets (a self-pair "b b" contributes {b, bb})
+      // must be pairwise disjoint ACROSS picks
+      val sets = picks.map { case (_, p, _, _) =>
+        val Array(a, b) = p.split(" ", 2); Set(a, b, a + b)
+      }
+      assert(sets.flatten.distinct.size == sets.map(_.size).sum,
+        s"round $round picks share symbols: $picks")
+      // rank order within the round: freq non-increasing
+      assert(picks.map(_._3) == picks.map(_._3).sortBy(-_), s"round $round")
+    }
+    // sub-linear rounds: 12 merges at batch 4 needs far fewer than 12
+    val rounds = got.map(_._4).max
+    assert(rounds <= 6, s"expected <=6 rounds, got $rounds")
+    // frequency exactness: each pick's recorded freq equals a from-
+    // scratch recount on the corpus with all STRICTLY EARLIER merges
+    // applied (disjointness makes same-round earlier picks no-ops on
+    // this pair's count)
+    def recount(applied: Seq[String], pair: String): Long = {
+      val wordFreq = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+      wordFreq.map { case (w, f) =>
+        var repr = " " + w.toCharArray.map(_.toString).mkString(" ") + " "
+        applied.foreach { p =>
+          repr = repr.replace(s" $p ", s" ${p.replace(" ", "")} ")
+        }
+        // non-overlapping scan replicated by replace's left-to-right rule
+        val toks = repr.trim.split(" ")
+        f * (0 until toks.size - 1)
+          .count(k => s"${toks(k)} ${toks(k + 1)}" == pair)
+      }.sum
+    }
+    got.foreach { case (iter, pair, freq, _) =>
+      val earlier = got.filter(_._1 < iter).map(_._2)
+      assert(recount(earlier, pair) == freq, s"iter=$iter pair=$pair")
+    }
+  }
+
   private def encoded(texts: Seq[String],
                       ms: Seq[String]): Map[Long, (Long, Long)] = {
     val s = spark

@@ -27,8 +27,21 @@ class FuzzySpec extends SparkSpecBase {
                   k: Int, q: Int = 2): Set[(Long, Long, Long)] = {
     val s = spark
     import s.implicits._
-    Fuzzy.editDistanceJoin(ls.toDF("id", "s"), rs.toDF("id", "s"),
+    Fuzzy.Unblocked.editDistanceJoin(ls.toDF("id", "s"), rs.toDF("id", "s"),
         "id", "id", "s", "s", maxDist = k, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  /** Blocked run: block key = first character of the string. */
+  private def runBlocked(ls: Seq[(Long, String)], rs: Seq[(Long, String)],
+                         k: Int, q: Int = 2): Set[(Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    def withBlk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("blk", substring(col("s"), 1, 1))
+    Fuzzy.editDistanceJoin(withBlk(ls.toDF("id", "s")),
+        withBlk(rs.toDF("id", "s")),
+        "id", "id", "s", "s", "blk", "blk", maxDist = k, q = q)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
@@ -73,6 +86,67 @@ class FuzzySpec extends SparkSpecBase {
       Set((1L, 10L, 0L), (1L, 11L, 0L)))
   }
 
+  test("blocked join equals brute force restricted to same-block pairs, " +
+    "including the short-string fallback within a block") {
+    val rnd = new scala.util.Random(515)
+    def word() = (0 until 1 + rnd.nextInt(9))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString // len 1..9: shorts too
+    val ls = (1L to 60L).map(i => i -> word())
+    val rs = (101L to 160L).map(i => i -> word())
+    def bruteBlocked(k: Int) = bruteForce(ls, rs, k)
+      .filter { case (li, ri, _) =>
+        val lsv = ls.find(_._1 == li).get._2
+        val rsv = rs.find(_._1 == ri).get._2
+        lsv.take(1) == rsv.take(1)
+      }
+    for (k <- Seq(1, 2); q <- Seq(2, 3)) {
+      assert(runBlocked(ls, rs, k, q) == bruteBlocked(k),
+        s"mismatch at k=$k q=$q")
+      // the fixture must exercise both exclusion and matching or the
+      // differential is vacuous
+      assert(bruteBlocked(k) != bruteForce(ls, rs, k))
+      assert(bruteBlocked(k).nonEmpty)
+    }
+  }
+
+  test("blocked join never emits a cross-block pair even at distance 0") {
+    val ls = Seq(1L -> "same")
+    val rs = Seq(10L -> "same")
+    val s = spark
+    import s.implicits._
+    val got = Fuzzy.editDistanceJoin(
+        ls.toDF("id", "s").withColumn("blk", lit("A")),
+        rs.toDF("id", "s").withColumn("blk", lit("B")),
+        "id", "id", "s", "s", "blk", "blk", maxDist = 2)
+      .collect()
+    assert(got.isEmpty)
+  }
+
+  test("blocked profile: counts consistent and candidates confined to " +
+    "blocks (finer blocks can only shrink the candidate stages)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    def word() = (0 until 3 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val ls = (1L to 50L).map(i => i -> word())
+    val rs = (101L to 150L).map(i => i -> word())
+    def withBlk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("blk", substring(col("s"), 1, 1))
+    val blocked = Fuzzy.profile(withBlk(ls.toDF("id", "s")),
+      withBlk(rs.toDF("id", "s")),
+      "id", "id", "s", "s", "blk", "blk", maxDist = 2)
+    val open = Fuzzy.Unblocked.profile(ls.toDF("id", "s"), rs.toDF("id", "s"),
+      "id", "id", "s", "s", maxDist = 2)
+    assert(blocked.outputPairs == runBlocked(ls, rs, 2).size)
+    assert(blocked.gramCandidates + blocked.shortCandidates
+      >= blocked.verifyCandidates)
+    assert(blocked.verifyCandidates >= blocked.outputPairs)
+    assert(blocked.gramCandidates <= open.gramCandidates)
+    assert(blocked.shortCandidates <= open.shortCandidates)
+    assert(blocked.outputPairs > 0)
+  }
+
   test("profile's stage counts are consistent with the join it profiles") {
     val s = spark
     import s.implicits._
@@ -81,7 +155,7 @@ class FuzzySpec extends SparkSpecBase {
       .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
     val ls = (1L to 50L).map(i => i -> word())
     val rs = (101L to 150L).map(i => i -> word())
-    val st = Fuzzy.profile(ls.toDF("id", "s"), rs.toDF("id", "s"),
+    val st = Fuzzy.Unblocked.profile(ls.toDF("id", "s"), rs.toDF("id", "s"),
       "id", "id", "s", "s", maxDist = 2)
     // output == the real join's output (profile measures, never alters)
     assert(st.outputPairs == run(ls, rs, 2).size)

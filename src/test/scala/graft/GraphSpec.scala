@@ -52,6 +52,88 @@ class GraphSpec extends SparkSpecBase {
     assert(got(3L) == got(4L) && got(4L) == got(5L))
   }
 
+  private def consRanks(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.pageRankConserving(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** In-memory replay of the conserving recurrence. */
+  private def consRef(edges: Seq[(Long, Long)], iters: Int,
+                      t: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter(x => true).distinct
+    val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct.sorted
+    val pos = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val r0 = t / n
+    val base = (100L - 85L) * r0 / 100L
+    var r = nodes.map(v =>
+      v -> (r0 + (if (pos(v) < t % n) 1L else 0L))).toMap
+    for (_ <- 1 to iters) {
+      val d = nodes.filterNot(outdeg.contains).map(r).sum
+      val q = d / n
+      val s = e.groupBy(_._2).map { case (v, in) =>
+        v -> in.map(ed => r(ed._1) / outdeg(ed._1)).sum
+      }
+      val rp = nodes.map(v =>
+        v -> (base + 85L * (s.getOrElse(v, 0L) + q) / 100L)).toMap
+      val delta = t - rp.values.sum
+      assert(delta >= 0)
+      r = nodes.map(v =>
+        v -> (rp(v) + delta / n +
+          (if (pos(v) < delta % n) 1L else 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRankConserving: a dangling fixture sums to exactly 10^12 " +
+    "after EVERY iteration") {
+    // node 2 and 4 are dangling; 10^12 is not divisible by N=4... it
+    // is (25e10 each) — use N=3 fixture too so T mod N > 0 is covered
+    val dangling = Seq((1L, 2L), (3L, 4L), (1L, 4L))
+    for (it <- 1 to 3) {
+      val got = consRanks(dangling, it)
+      assert(got.values.sum == 1000000000000L, s"iters=$it")
+      assert(got == consRef(dangling, it), s"iters=$it")
+    }
+    val n3 = Seq((1L, 2L), (3L, 2L)) // N=3, T mod 3 = 1, both 1,3 dangling-free
+    for (it <- 1 to 3) {
+      val got = consRanks(n3, it)
+      assert(got.values.sum == 1000000000000L, s"n3 iters=$it")
+      assert(got == consRef(n3, it), s"n3 iters=$it")
+    }
+  }
+
+  test("pageRankConserving: differential vs the in-memory recurrence on " +
+    "a seeded random graph with planted dangling nodes") {
+    val rnd = new scala.util.Random(2041)
+    val n = 25
+    // dsts drawn from a wider range than srcs → guaranteed dangling ids
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(2 * n).toLong))
+      .filter(e => e._1 != e._2)
+    for (it <- Seq(1, 3)) {
+      val got = consRanks(edges, it)
+      assert(got == consRef(edges, it), s"iters=$it")
+      assert(got.values.sum == 1000000000000L)
+    }
+  }
+
+  test("pageRankConserving: without dangling nodes or truncation it " +
+    "agrees with pageRank up to the residual apportionment") {
+    // 4-cycle: N=4 divides 10^12, every node outdeg 1 — the leak-free
+    // case where conserving and leaking recurrences coincide except
+    // for base/damping floor residue, which conserving returns
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val cons = consRanks(cyc, 2)
+    assert(cons.values.sum == 1000000000000L)
+    // symmetric graph → perfectly uniform conserved ranks
+    assert(cons.values.toSet.size == 1)
+  }
+
   private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._

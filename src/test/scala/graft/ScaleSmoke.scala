@@ -359,6 +359,75 @@ object ScaleSmoke {
       // linear in the edge scan, like g1's iteration structure
       time("g6_lpa")(graft.operators.Graph
         .labelPropagation(spark.read.parquet(edgePath), rounds = 3).count())
+      // g2 triangles on the co-purchase graph, scaled two ways as two
+      // ops. The companion wedge count (the orientation's actual work
+      // volume, Sigma_u C(outdeg+(u), 2)) is emitted OUTSIDE the timed
+      // block — wedges/edges is the ratio that predicts 100x behavior.
+      def wedgeCount(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val und = e.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = und.select(col("a").as("n"))
+          .unionAll(und.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val wedges = und
+          .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+          .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+          .select(when(col("__da") < col("__db") ||
+              (col("__da") === col("__db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("od"))
+          .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("w"))
+          .head().getLong(0)
+        val nEdges = und.count()
+        und.unpersist()
+        (nEdges, wedges)
+      }
+      def coPurchase(partCol: Int => org.apache.spark.sql.Column) =
+        (0 until mult).map { r =>
+          t.lineitem.select(col("l_orderkey"), partCol(r).as("pk"))
+        }.reduce(_ union _)
+          .as("x").join(
+            (0 until mult).map { r =>
+              t.lineitem.select(col("l_orderkey"), partCol(r).as("pk"))
+            }.reduce(_ union _).as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      // (a) DISJOINT copies — offset node ids, the honest "more
+      // corpora" proxy: wedges/edges must stay ~constant across the
+      // decade (the orientation's O(m^1.5) bound degenerating to
+      // linear on scale-constant per-node structure)
+      if (opsFilter.forall(_.contains("g2_triangles"))) {
+        coPurchase(r => col("l_partkey") + lit(r * 1000000L))
+          .write.mode("overwrite").parquet(s"$tmp/g2edges")
+        val e = spark.read.parquet(s"$tmp/g2edges")
+        val (nEdges, wedges) = wedgeCount(e)
+        println(s"""{"scale":$mult,"op":"g2_wedges",""" +
+          s""""edges":$nEdges,"wedges":$wedges}""")
+        spark.catalog.clearCache()
+        time("g2_triangles")(graft.operators.Graph.triangleCounts(e).count())
+      } else opNames += "g2_triangles"
+      // (b) DENSIFIED — each replica rewires the SAME node set through
+      // an affine partkey bijection mod a prime: degrees grow ~mult,
+      // wedge volume ~mult² — the power-law densification stress where
+      // the degree-ordered orientation's bound is doing real work.
+      // Run only at small mults (the volume is the point; a 30x
+      // densified graph is 900x the wedge work by design).
+      if (opsFilter.exists(_.contains("g2_triangles_densified"))) {
+        val prime = lit(1000003L)
+        coPurchase(r =>
+            pmod(col("l_partkey") * lit(2L * r + 1) + lit(r * 97L), prime))
+          .write.mode("overwrite").parquet(s"$tmp/g2edgesDense")
+        val e = spark.read.parquet(s"$tmp/g2edgesDense")
+        val (nEdges, wedges) = wedgeCount(e)
+        println(s"""{"scale":$mult,"op":"g2_wedges_densified",""" +
+          s""""edges":$nEdges,"wedges":$wedges}""")
+        spark.catalog.clearCache()
+        time("g2_triangles_densified")(
+          graft.operators.Graph.triangleCounts(e).count())
+      } else opNames += "g2_triangles_densified"
       // concurrency sweep: boundaries are 2·sessions rows; the prefix
       // sum is two bounded shuffles however many sessions there are,
       // and the output grain (days) is constant across replicas
@@ -382,11 +451,52 @@ object ScaleSmoke {
         val ms = graft.operators.Bpe.learnMergeList(docs, "text", 5).map(_._2)
         graft.operators.Bpe.encode(docs, "text", "doc_id", ms).count()
       }
+      // BATCHED merge learning at a production-shaped vocabulary size:
+      // the claim is sub-linear JOB count in nMerges (rounds ~
+      // nMerges/batch, ~3 jobs per round), vs the sequential loop's
+      // 2 jobs per merge. Counted with a listener, not inferred.
+      if (opsFilter.forall(_.contains("t14_bpe_batched_256"))) {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val ms = graft.operators.Bpe.learnMergeBatchList(
+          docs, "text", nMerges = 256, batchSize = 32)
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        val rounds = if (ms.isEmpty) 0 else ms.map(_._4).max
+        println(f"""{"scale":$mult,"op":"t14_bpe_batched_256",""" +
+          f""""sec":$sec%.3f,"n_merges":${ms.size},"rounds":$rounds,""" +
+          f""""jobs":${jobs.get()}}""")
+        spark.catalog.clearCache()
+      }
+      opNames += "t14_bpe_batched_256"
       // SemDeDup under the operator's own 100 TB contract: nlist grows
       // with the corpus so per-cell population — and the quadratic
       // within-cell pair work — stays bounded; the quantizer is
       // re-trained per scale (its k-means is part of the measured
       // regime, as it would be in production)
+      // Σ|cell|² companion metric (the within-cell quadratic pair
+      // volume s7's contract bounds) — OUTSIDE the timed block, with
+      // its own identically-trained centroids so the timed row below
+      // stays the same regime as prior rounds (k-means included)
+      if (opsFilter.forall(_.contains("s7_semdedup"))) {
+        val cents = Similarity.ivfCentroids(emb, nlist = 16 * mult,
+          maxIter = 5)
+        val pops = Similarity.cellPopulations(emb, cents, nassign = 3)
+          .agg(sum(expr("n * n")).as("s2"), max(col("n")).as("mx"),
+            count(lit(1)).as("cells"))
+          .head()
+        println(s"""{"scale":$mult,"op":"s7_cells","sum_cell_sq":${
+          pops.getLong(0)},"max_cell":${pops.getLong(1)},"n_cells":${
+          pops.getLong(2)}}""")
+        spark.catalog.clearCache()
+      }
       time("s7_semdedup") {
         val cents = Similarity.ivfCentroids(emb, nlist = 16 * mult,
           maxIter = 5)
@@ -478,7 +588,7 @@ object ScaleSmoke {
         // block — the timed number stays the pure join
         if (opsFilter.forall(_.contains("d12_edit_join")))
           for (qq <- Seq(2, 3)) {
-            val st = graft.operators.Fuzzy.profile(typos, base,
+            val st = graft.operators.Fuzzy.Unblocked.profile(typos, base,
               "typo_key", "doc_id", "typo_name", "fp", maxDist = 2, q = qq)
             println(s"""{"scale":$mult,"op":"d12_candidates_q$qq",""" +
               s""""gram_candidates":${st.gramCandidates},""" +
@@ -487,12 +597,37 @@ object ScaleSmoke {
               s""""output_pairs":${st.outputPairs}}""")
             spark.catalog.clearCache()
           }
+        // BLOCKED candidate accounting (d12b's shape: edit-stable
+        // 8-char fingerprint prefix as the record-linkage blocking
+        // key). The claim under test: candidates/output stays ~flat
+        // across the decade because volume is Sigma_b f(|b|), not
+        // f(N) — versus the unblocked series above whose ratio grows
+        // superlinearly on the same population.
+        val typosB = typos.withColumn("blk",
+          substring(col("typo_name"), 1, 8))
+        val baseB = base.withColumn("blk", substring(col("fp"), 1, 8))
+        if (opsFilter.forall(_.contains("d12b_edit_join_blocked"))) {
+          val st = graft.operators.Fuzzy.profile(typosB, baseB,
+            "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+            maxDist = 2, q = 3)
+          println(s"""{"scale":$mult,"op":"d12b_candidates_blocked_q3",""" +
+            s""""gram_candidates":${st.gramCandidates},""" +
+            s""""short_candidates":${st.shortCandidates},""" +
+            s""""verify_candidates":${st.verifyCandidates},""" +
+            s""""output_pairs":${st.outputPairs}}""")
+          spark.catalog.clearCache()
+        }
+        time("d12b_edit_join_blocked")(graft.operators.Fuzzy
+          .editDistanceJoin(typosB, baseB,
+            "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+            maxDist = 2, q = 3).count())
         // q=3: time the SHIPPED configuration (DedupQueries d12) —
         // timing the default q=2 here would conflate the q change with
         // scaling drift in cross-round comparisons
-        time("d12_edit_join")(graft.operators.Fuzzy.editDistanceJoin(
-          typos, base, "typo_key", "doc_id", "typo_name", "fp",
-          maxDist = 2, q = 3).count())
+        time("d12_edit_join")(graft.operators.Fuzzy.Unblocked
+          .editDistanceJoin(typos, base,
+            "typo_key", "doc_id", "typo_name", "fp",
+            maxDist = 2, q = 3).count())
       }
 
       opsFilter.foreach { f =>
