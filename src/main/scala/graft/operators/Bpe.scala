@@ -4,7 +4,6 @@ import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding merge learning — the tokenizer-training stage of
   * an LLM data pipeline (Sennrich et al. 2016, public literature):
@@ -18,8 +17,8 @@ import org.apache.spark.storage.StorageLevel
   * symbols). Per iteration: one pair explode + hash aggregate + a
   * 1-row argmax to the driver (bounded by construction, the IVF
   * centroid pattern), then one codegen'd literal replace over the
-  * vocabulary. Lineage is cut per iteration by persist/unpersist so
-  * plans stay constant-size.
+  * vocabulary. Lineage is cut per iteration by an eager
+  * localCheckpoint so plans stay constant-size (see [[cutLineage]]).
   *
   * Determinism contract (what the DuckDB oracle replays exactly):
   * symbols are space-joined inside a space-padded representation, the
@@ -87,6 +86,26 @@ object Bpe {
       lit(Pattern.quote(s" $pair ")),
       lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
 
+  /** The checkpointed RDD behind a localCheckpoint'ed DataFrame, for
+    * explicit unpersist — df.rdd would wrap it in a NEW deserializing
+    * RDD whose unpersist frees nothing (the componentsWithRounds
+    * discipline).
+    */
+  private def snapshotRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Eager lineage cut for the per-round vocabulary. localCheckpoint,
+    * NOT persist: a persisted round still carries the previous round's
+    * InMemoryRelation inside its plan, so after R rounds every job
+    * submission renders an R-deep nested AQE plan string — measured
+    * EXPONENTIAL in R on the driver (a 3× tagged corpus at R≈12 spun
+    * the driver 12+ minutes in generateTreeString while all executors
+    * idled). The checkpoint's LogicalRDD plan is flat at every round.
+    */
+  private def cutLineage(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   def learnMergeList(docs: DataFrame, textCol: String,
                      nMerges: Int): Seq[(Int, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
@@ -94,25 +113,24 @@ object Bpe {
       s"nMerges = $nMerges exceeds MaxMerges = $MaxMerges: each merge is " +
         "a sequential Spark job + driver round-trip (see the cost " +
         "contract); learn large vocabularies in a dedicated run")
-    var reprs = buildReprs(docs, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var reprs = cutLineage(buildReprs(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, Long)]
+    def release(): Unit =
+      snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
     for (i <- 1 to nMerges) {
       // 1-row argmax with a total tie-break — the only driver-side
       // collect, bounded at one row per iteration
       val best = pairCounts(reprs)
         .orderBy(col("f").desc, col("pair")).limit(1).collect()
-      if (best.isEmpty) { reprs.unpersist(); return merges.result() }
+      if (best.isEmpty) { release(); return merges.result() }
       val (pair, f) = (best(0).getString(0), best(0).getLong(1))
       merges += ((i, pair, f))
-      val next = reprs
-        .select(applyMerge(col("repr"), pair).as("repr"), col("freq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous vocabulary
-      reprs.unpersist()
+      val next = cutLineage(reprs
+        .select(applyMerge(col("repr"), pair).as("repr"), col("freq")))
+      release()
       reprs = next
     }
-    reprs.unpersist()
+    release()
     merges.result()
   }
 
@@ -152,9 +170,10 @@ object Bpe {
                           batchSize: Int = 32): Seq[(Int, String, Long, Int)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    var reprs = buildReprs(docs, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var reprs = cutLineage(buildReprs(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, Long, Int)]
+    def release(): Unit =
+      snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
     var learned = 0
     var round = 0
     while (learned < nMerges) {
@@ -165,7 +184,7 @@ object Bpe {
       val ranked = pairCounts(reprs)
         .orderBy(col("f").desc, col("pair")).limit(want * 4).collect()
       if (ranked.isEmpty) {
-        reprs.unpersist(); return merges.result()
+        release(); return merges.result()
       }
       val used = scala.collection.mutable.Set.empty[String]
       val picks = Seq.newBuilder[(String, Long)]
@@ -185,16 +204,14 @@ object Bpe {
         merges += ((learned + j + 1, p, f, round))
       }
       learned += chosen.size
-      val next = reprs
+      val next = cutLineage(reprs
         .select(chosen.foldLeft(col("repr")) { (c, pf) =>
           applyMerge(c, pf._1)
-        }.as("repr"), col("freq"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous vocabulary
-      reprs.unpersist()
+        }.as("repr"), col("freq")))
+      release()
       reprs = next
     }
-    reprs.unpersist()
+    release()
     merges.result()
   }
 

@@ -16,6 +16,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** The checkpointed RDD behind a localCheckpoint'ed DataFrame, for
+    * explicit release — df.rdd would wrap it in a NEW deserializing
+    * RDD whose unpersist frees nothing (the Dedup components-loop
+    * discipline).
+    */
+  private def snapshotRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
     *
     * Recurrence (all integer ops, values non-negative):
@@ -42,8 +52,8 @@ object Graph {
     * and persisted; ranks arrive already hashed on the same key, so
     * AQE plans the per-iteration join without re-shuffling the edges.
     * Iteration count is a fixed small constant (the caller's
-    * convergence budget); each iteration's lineage is cut by the
-    * persisted rank relation to keep plans constant-size.
+    * convergence budget); each iteration's lineage is cut by an eager
+    * localCheckpoint of the rank relation to keep plans constant-size.
     */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Long = 85L, dampDen: Long = 100L,
@@ -65,7 +75,6 @@ object Graph {
     val r0 = totalMass / n
     val base = (dampDen - dampNum) * r0 / dampDen
     var ranks = nodes.withColumn("rank", lit(r0))
-    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
       // quotient whose fraction is close enough to 1 rounds UP past the
@@ -77,15 +86,20 @@ object Graph {
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
+      // eager localCheckpoint, NOT persist: a persisted round carries
+      // the previous round's InMemoryRelation inside its plan, and the
+      // per-job plan rendering is exponential in that nesting depth —
+      // fine at iters=3, a driver meltdown past ~10. The checkpoint's
+      // LogicalRDD plan is flat at every round (the bfsHops
+      // discipline); partitioning is preserved, so the next round's
+      // src-join still avoids re-shuffling the edges.
       val next = nodes
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           expr(s"${base}L + ($dampNum * coalesce(s, 0L)) div $dampDen")
             .cast("long").as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before unpersisting the previous rank
-      prev.foreach(_.unpersist())
-      prev = Some(next)
+        .localCheckpoint(true)
+      snapshotRdd(ranks).foreach(_.unpersist(blocking = false))
       ranks = next
     }
     ranks
@@ -144,7 +158,6 @@ object Graph {
     // exact init: r0 everywhere + the T mod N remainder to smallest ids
     var ranks: DataFrame = nodesPos.withColumn("rank",
       lit(r0) + when(col("pos") < lit(totalMass % n), 1L).otherwise(0L))
-    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val dangling = ranks
         .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
@@ -156,17 +169,20 @@ object Graph {
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
+      // eager localCheckpoint per round (the g1/bfsHops discipline):
+      // rPrime is consumed twice (the Σ-rank scalar + next round's
+      // plan), and an uncut chain of rounds renders exponentially at
+      // job submission
       val rPrime = nodesPos
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), col("pos"),
           expr(s"${base}L + ($dampNum * (coalesce(s, 0L) + ${q}L)) " +
             s"div $dampDen").cast("long").as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // δ ≥ 0: every truncation only LOSES mass vs the real-arithmetic
       // recurrence, whose iterate sums to exactly T
       val delta = totalMass - rPrime.agg(sum(col("rank"))).head().getLong(0)
-      prev.foreach(_.unpersist())
-      prev = Some(rPrime)
+      snapshotRdd(ranks).foreach(_.unpersist(blocking = false))
       ranks = rPrime.select(col("id"), col("pos"),
         (col("rank") + lit(delta / n) +
           when(col("pos") < lit(delta % n), 1L).otherwise(0L)).as("rank"))

@@ -384,23 +384,26 @@ object ScaleSmoke {
         und.unpersist()
         (nEdges, wedges)
       }
-      def coPurchase(partCol: Int => org.apache.spark.sql.Column) =
+      def coPurchase(okCol: Int => org.apache.spark.sql.Column,
+                     partCol: Int => org.apache.spark.sql.Column) =
         (0 until mult).map { r =>
-          t.lineitem.select(col("l_orderkey"), partCol(r).as("pk"))
+          t.lineitem.select(okCol(r).as("ok"), partCol(r).as("pk"))
         }.reduce(_ union _)
           .as("x").join(
             (0 until mult).map { r =>
-              t.lineitem.select(col("l_orderkey"), partCol(r).as("pk"))
+              t.lineitem.select(okCol(r).as("ok"), partCol(r).as("pk"))
             }.reduce(_ union _).as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.ok") === col("y.ok") &&
               col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-      // (a) DISJOINT copies — offset node ids, the honest "more
-      // corpora" proxy: wedges/edges must stay ~constant across the
-      // decade (the orientation's O(m^1.5) bound degenerating to
-      // linear on scale-constant per-node structure)
+      // (a) DISJOINT copies — offset node ids AND order ids (a shared
+      // orderkey would cross-join replicas and grow edges ~mult²), the
+      // honest "more corpora" proxy: wedges/edges must stay ~constant
+      // across the decade (the orientation's O(m^1.5) bound
+      // degenerating to linear on scale-constant per-node structure)
       if (opsFilter.forall(_.contains("g2_triangles"))) {
-        coPurchase(r => col("l_partkey") + lit(r * 1000000L))
+        coPurchase(r => col("l_orderkey") + lit(r * 100000000L),
+            r => col("l_partkey") + lit(r * 1000000L))
           .write.mode("overwrite").parquet(s"$tmp/g2edges")
         val e = spark.read.parquet(s"$tmp/g2edges")
         val (nEdges, wedges) = wedgeCount(e)
@@ -417,7 +420,7 @@ object ScaleSmoke {
       // densified graph is 900x the wedge work by design).
       if (opsFilter.exists(_.contains("g2_triangles_densified"))) {
         val prime = lit(1000003L)
-        coPurchase(r =>
+        coPurchase(r => col("l_orderkey"), r =>
             pmod(col("l_partkey") * lit(2L * r + 1) + lit(r * 97L), prime))
           .write.mode("overwrite").parquet(s"$tmp/g2edgesDense")
         val e = spark.read.parquet(s"$tmp/g2edgesDense")
@@ -584,10 +587,14 @@ object ScaleSmoke {
         val typos = base.select(col("doc_id").as("typo_key"),
           when(rr === 0, col("fp")).when(rr === 1, t1)
             .when(rr === 2, t2).otherwise(t3).as("typo_name"))
-        // candidate accounting (both gram sizes) OUTSIDE the timed
-        // block — the timed number stays the pure join
-        if (opsFilter.forall(_.contains("d12_edit_join")))
-          for (qq <- Seq(2, 3)) {
+        // candidate accounting OUTSIDE the timed block — the timed
+        // number stays the pure join. Own filter name so the profile
+        // can run without the timed join (or vice versa); past 10× the
+        // q=2 series is skipped — its candidate volume is ~2× q=3's
+        // and the q-sensitivity conclusion is already pinned at 1–10×
+        opNames += "d12_candidates"
+        if (opsFilter.exists(_.contains("d12_candidates")))
+          for (qq <- if (mult > 10) Seq(3) else Seq(2, 3)) {
             val st = graft.operators.Fuzzy.Unblocked.profile(typos, base,
               "typo_key", "doc_id", "typo_name", "fp", maxDist = 2, q = qq)
             println(s"""{"scale":$mult,"op":"d12_candidates_q$qq",""" +
@@ -619,6 +626,39 @@ object ScaleSmoke {
         }
         time("d12b_edit_join_blocked")(graft.operators.Fuzzy
           .editDistanceJoin(typosB, baseB,
+            "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+            maxDist = 2, q = 3).count())
+        // BOUNDED-block regime: the prefix-8 key alone co-grows with
+        // the corpus in tagged mode (every replica of a doc shares its
+        // doc's prefix), so Σ|b_l||b_r| — the blocked join's exact
+        // cost — grows ~mult² within blocks even though output is
+        // linear. Composing the prefix with the replica STRATUM (the
+        // operator contract's "per-source strata" composition; here
+        // the stratum is recoverable as id div 1e6) keeps every block
+        // scale-constant: candidates/output must be FLAT across the
+        // decade, the row that separates "blocking works" from "this
+        // block key happened to be bounded". Recall trade-off is
+        // explicit: cross-stratum matches are out of contract.
+        val typosS = typos.withColumn("blk",
+          concat(substring(col("typo_name"), 1, 8), lit("#"),
+            expr("typo_key div 1000000")))
+        val baseS = base.withColumn("blk",
+          concat(substring(col("fp"), 1, 8), lit("#"),
+            expr("doc_id div 1000000")))
+        if (opsFilter.exists(_.contains("d12b_candidates_stratum"))) {
+          val st = graft.operators.Fuzzy.profile(typosS, baseS,
+            "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+            maxDist = 2, q = 3)
+          println(s"""{"scale":$mult,"op":"d12b_candidates_stratum_q3",""" +
+            s""""gram_candidates":${st.gramCandidates},""" +
+            s""""short_candidates":${st.shortCandidates},""" +
+            s""""verify_candidates":${st.verifyCandidates},""" +
+            s""""output_pairs":${st.outputPairs}}""")
+          spark.catalog.clearCache()
+        }
+        opNames += "d12b_candidates_stratum"
+        time("d12b_edit_join_stratum")(graft.operators.Fuzzy
+          .editDistanceJoin(typosS, baseS,
             "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
             maxDist = 2, q = 3).count())
         // q=3: time the SHIPPED configuration (DedupQueries d12) —
