@@ -187,9 +187,9 @@ object Bench {
     // BENCH_LAST.json (and in the full line above for un-truncated
     // captures).
     locally {
-      val headline = Seq("p1_wordcount", "p2_wine", "p3_condorcet",
-        "p4_grep", "p4b_grep_files", "mj1_wordcount", "mj2_wordcount_range",
-        "mj3_wordcount_exe")
+      val headline = Seq("p1_wordcount", "p2_wine_token_count",
+        "p3_condorcet", "p4_grep", "p4b_grep_files", "mj1_wordcount_hash",
+        "mj2_wordcount_range", "mj3_wordcount_pipe")
       val resMap = results.toMap
       val shown = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       headline.foreach(n => resMap.get(n).foreach(v => shown(n) = v))
