@@ -165,8 +165,12 @@ object Bench {
       } + "\""
     // 3-decimal times keep the full 138-query line inside the
     // driver's bounded stdout-tail capture (full doubles overflowed
-    // it two rounds running and left BENCH_r*.json unparseable)
-    def f3(v: Double): String = f"$v%.3f"
+    // it two rounds running and left BENCH_r*.json unparseable).
+    // Locale.ROOT: the f"" interpolator honors the JVM default locale,
+    // and a comma-decimal locale (de_DE, fr_FR, ...) would render
+    // 0,123 — corrupting every numeric field of otherwise-valid JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${js(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val qsMin = mins.map { case (k, v) => s"${js(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val extJson = extCpu.collect { case (k, v) if v >= 0.5 => s"${js(k)}:${f3(v)}" }
@@ -174,7 +178,7 @@ object Bench {
     val unstableJson = unstable.map(js).mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val sentinelJson = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val sentinelJson = sentinels.map(f3).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
@@ -194,10 +198,20 @@ object Bench {
       val shown = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       headline.foreach(n => resMap.get(n).foreach(v => shown(n) = v))
       val errShown = errors.take(10)
+      // every variable-size section is capped here — under box-wide
+      // contention ALL 140 queries can land in ext_cpu/unstable, and
+      // an uncapped fixed section would push this line past the very
+      // tail budget it exists to fit (the full line above keeps the
+      // complete maps)
+      val extShown = extCpu.filter(_._2 >= 0.5).sortBy(-_._2).take(8)
+      val unstableShown = unstable.take(10)
       val fixed = {
         val errJ = errShown.map { case (k, v) => s"${js(k)}:${js(v.take(80))}" }
           .mkString("{", ",", "}")
-        s""","errors":$errJ,"more_errors":${math.max(errors.size - 10, 0)},"unstable":$unstableJson,"ext_cpu_cores":$extJson,"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
+        val extJ = extShown.map { case (k, v) => s"${js(k)}:${f3(v)}" }
+          .mkString("{", ",", "}")
+        val unstJ = unstableShown.map(js).mkString("[", ",", "]")
+        s""","errors":$errJ,"more_errors":${math.max(errors.size - 10, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - 10, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - 8, 0)},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
       }
       val budget = 1700 - fixed.length -
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":""".length

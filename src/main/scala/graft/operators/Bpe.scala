@@ -86,16 +86,6 @@ object Bpe {
       lit(Pattern.quote(s" $pair ")),
       lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
 
-  /** The checkpointed RDD behind a localCheckpoint'ed DataFrame, for
-    * explicit unpersist — df.rdd would wrap it in a NEW deserializing
-    * RDD whose unpersist frees nothing (the componentsWithRounds
-    * discipline).
-    */
-  private def snapshotRdd(df: DataFrame) =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
   /** Eager lineage cut for the per-round vocabulary. localCheckpoint,
     * NOT persist: a persisted round still carries the previous round's
     * InMemoryRelation inside its plan, so after R rounds every job
@@ -116,7 +106,7 @@ object Bpe {
     var reprs = cutLineage(buildReprs(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, Long)]
     def release(): Unit =
-      snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
+      Lineage.snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
     for (i <- 1 to nMerges) {
       // 1-row argmax with a total tie-break — the only driver-side
       // collect, bounded at one row per iteration
@@ -173,7 +163,7 @@ object Bpe {
     var reprs = cutLineage(buildReprs(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, Long, Int)]
     def release(): Unit =
-      snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
+      Lineage.snapshotRdd(reprs).foreach(_.unpersist(blocking = false))
     var learned = 0
     var round = 0
     while (learned < nMerges) {

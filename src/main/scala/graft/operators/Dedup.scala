@@ -92,12 +92,6 @@ object Dedup {
     * pointer jump really is O(log diameter).
     */
   private[graft] def componentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
-    // the checkpointed RDD behind a localCheckpoint'ed DataFrame, for
-    // explicit unpersist — df.rdd would wrap it in a NEW deserializing
-    // RDD whose unpersist frees nothing
-    def snapshotRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -142,7 +136,7 @@ object Dedup {
             .select(col("node"), col("jlab").as("lab"), col("old"))
         val next = jumped.localCheckpoint(true)
         changed = next.filter(col("lab") =!= col("old")).count()
-        snapshotRdd(labels).foreach(_.unpersist(blocking = false))
+        Lineage.snapshotRdd(labels).foreach(_.unpersist(blocking = false))
         labels = next
         rounds += 1
       }

@@ -178,7 +178,7 @@ object Fuzzy {
     def gramElems(s: Column): Column = {
       // distinct begin/end sentinels (classic padding): every non-empty
       // string gets grams and boundary edits cost gram changes too
-      val padded = concat(lit("" * (q - 1)), s, lit("" * (q - 1)))
+      val padded = concat(lit("\u0001" * (q - 1)), s, lit("\u0002" * (q - 1)))
       val gs = transform(
         sequence(lit(1), length(padded) - (q - 1)),
         i => padded.substr(i, lit(q)))

@@ -16,16 +16,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** The checkpointed RDD behind a localCheckpoint'ed DataFrame, for
-    * explicit release — df.rdd would wrap it in a NEW deserializing
-    * RDD whose unpersist frees nothing (the Dedup components-loop
-    * discipline).
-    */
-  private def snapshotRdd(df: DataFrame) =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
     *
     * Recurrence (all integer ops, values non-negative):
@@ -75,7 +65,14 @@ object Graph {
     val r0 = totalMass / n
     val base = (dampDen - dampNum) * r0 / dampDen
     var ranks = nodes.withColumn("rank", lit(r0))
-    for (_ <- 1 to iters) {
+    // RDDs THIS loop checkpointed — released one round behind. Tracked
+    // explicitly rather than walking ranks' plan: on round 1 ranks is
+    // not yet a checkpoint, and a plan walk would surface (and
+    // destroy) a LogicalRDD inside the CALLER's edges argument if the
+    // caller localCheckpoint'ed it (see Lineage.snapshotRdd's safety
+    // note).
+    var owned: Option[org.apache.spark.rdd.RDD[_]] = None
+    try for (_ <- 1 to iters) {
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
       // quotient whose fraction is close enough to 1 rounds UP past the
       // integer the oracle's integer division produces. `div` is true
@@ -99,8 +96,13 @@ object Graph {
           expr(s"${base}L + ($dampNum * coalesce(s, 0L)) div $dampDen")
             .cast("long").as("rank"))
         .localCheckpoint(true)
-      snapshotRdd(ranks).foreach(_.unpersist(blocking = false))
+      owned.foreach(_.unpersist(blocking = false))
+      owned = Lineage.snapshotRdd(next)
       ranks = next
+    } finally {
+      // the returned ranks is a self-contained checkpoint — the setup
+      // relations need not outlive the call in the cache manager
+      e.unpersist(); edgesDeg.unpersist(); nodes.unpersist()
     }
     ranks
   }
@@ -158,7 +160,10 @@ object Graph {
     // exact init: r0 everywhere + the T mod N remainder to smallest ids
     var ranks: DataFrame = nodesPos.withColumn("rank",
       lit(r0) + when(col("pos") < lit(totalMass % n), 1L).otherwise(0L))
-    for (_ <- 1 to iters) {
+    // owned-RDD tracking, the g1 discipline: never walk ranks' plan on
+    // round 1 (it would surface a caller-checkpointed edges RDD)
+    var owned: Option[org.apache.spark.rdd.RDD[_]] = None
+    try for (_ <- 1 to iters) {
       val dangling = ranks
         .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)))
@@ -182,10 +187,15 @@ object Graph {
       // δ ≥ 0: every truncation only LOSES mass vs the real-arithmetic
       // recurrence, whose iterate sums to exactly T
       val delta = totalMass - rPrime.agg(sum(col("rank"))).head().getLong(0)
-      snapshotRdd(ranks).foreach(_.unpersist(blocking = false))
+      owned.foreach(_.unpersist(blocking = false))
+      owned = Lineage.snapshotRdd(rPrime)
       ranks = rPrime.select(col("id"), col("pos"),
         (col("rank") + lit(delta / n) +
           when(col("pos") < lit(delta % n), 1L).otherwise(0L)).as("rank"))
+    } finally {
+      // the returned projection roots in the final round's checkpoint —
+      // release the setup relations (e's cache also backs deg/edgesDeg)
+      e.unpersist(); edgesDeg.unpersist(); nodesPos.unpersist()
     }
     ranks.select(col("id"), col("rank"))
   }

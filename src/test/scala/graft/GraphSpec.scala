@@ -428,4 +428,20 @@ class GraphSpec extends SparkSpecBase {
     // labels actually moved, or the differential is vacuous
     assert(lpaRef(edges, 3).exists { case (id, l) => id != l })
   }
+
+  test("pageRank loops release only their OWN snapshots: a " +
+    "caller-checkpointed edge input survives and stays readable") {
+    // Regression: round 1's release used to walk the rank relation's
+    // plan, which embeds the caller's edges — collectFirst would
+    // surface a caller LogicalRDD and unpersist it, destroying blocks
+    // a truncated-lineage checkpoint cannot recompute.
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    assert(Graph.pageRank(e, iters = 2).count() == 3)
+    assert(e.count() == 3) // caller's checkpoint blocks intact
+    assert(Graph.pageRankConserving(e, iters = 2).count() == 3)
+    assert(e.count() == 3)
+  }
 }
