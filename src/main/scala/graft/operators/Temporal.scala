@@ -96,8 +96,13 @@ object Temporal {
     val joined = asofJoinBackward(left, right, keys, leftTime, rightTime, carry)
     val within =
       col(s"asof_$rightTime") >= col(leftTime) - expr(s"INTERVAL $tolerance")
-    carry.foldLeft(joined)((df, c) =>
+    val nulled = carry.foldLeft(joined)((df, c) =>
       df.withColumn(s"asof_$c", when(within, col(s"asof_$c"))))
+    // the right time rode the carry struct only to evaluate `within` —
+    // if the caller did not ask for it, drop it so the schema is
+    // exactly asofJoinBackward's for the same carryCols
+    if (carryCols.contains(rightTime)) nulled
+    else nulled.drop(s"asof_$rightTime")
   }
 
   /** Backward-carry window: ascending (__t, __side) — at equal __t the
@@ -199,10 +204,16 @@ object Temporal {
     events
       .groupBy(col(keyCol))
       .agg(min(secs).as("__lo"), max(secs).as("__hi"))
+      // ceil/floor to the step grid in EXACT long arithmetic via pmod
+      // (always in [0, step)): lo + pmod(-lo, step) is the least
+      // multiple >= lo, hi - pmod(hi, step) the greatest <= hi — for
+      // ANY sign of the epoch seconds. Float .divide + cast("long")
+      // truncates toward zero and mis-places the grid for pre-1970
+      // spans (and drifts past 2^52); the DuckDB oracles use floor
+      // division (//), which this matches everywhere.
       .select(col(keyCol),
-        ((col("__lo") + stepSec - 1).divide(stepSec).cast("long") * stepSec)
-          .as("__g0"),
-        (col("__hi").divide(stepSec).cast("long") * stepSec).as("__g1"))
+        (col("__lo") + pmod(-col("__lo"), lit(stepSec))).as("__g0"),
+        (col("__hi") - pmod(col("__hi"), lit(stepSec))).as("__g1"))
       // a key whose span straddles no aligned point (short series between
       // two grid lines) has g0 > g1 — sequence() with an explicit
       // positive step THROWS on descending bounds, so guard to empty:
@@ -284,14 +295,23 @@ object Temporal {
                           leftId: String, leftTime: String, rightTime: String,
                           windowMicros: Long): DataFrame = {
     require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    // bucket = the greatest multiple of windowMicros <= t, in EXACT
+    // long arithmetic (t - pmod(t, w); pmod is non-negative for any
+    // sign of t). floor(double division) loses exactness past 2^52
+    // micros and truncates toward zero below zero — either slides a
+    // right row into the wrong bucket, silently missing an in-window
+    // pair. Comparing aligned multiples is equivalent to comparing
+    // bucket indices without any division at all.
+    def bucketOf(t: org.apache.spark.sql.Column) =
+      t - pmod(t, lit(windowMicros))
     val l = left.select(col(key), col(leftId),
         unix_micros(col(leftTime)).as("__lt"))
       .withColumn("__b", explode(array(
-        floor(col("__lt") / windowMicros),
-        floor(col("__lt") / windowMicros) + 1)))
+        bucketOf(col("__lt")),
+        bucketOf(col("__lt")) + windowMicros)))
     val r = right.select(col(key).as("__rk"),
         unix_micros(col(rightTime)).as("__rt"))
-      .withColumn("__b", floor(col("__rt") / windowMicros))
+      .withColumn("__b", bucketOf(col("__rt")))
     l.join(r,
         l("__b") === r("__b") && col(key) === col("__rk") &&
           col("__rt") > col("__lt") &&
@@ -403,7 +423,10 @@ object Temporal {
     * (lead over the per-key time order) then one hash aggregate — the
     * same single-shuffle shape as any per-key window, state O(1) per
     * row. The last observation of each key spans no interval and drops
-    * out; keys with one observation produce no row.
+    * out; keys with one observation produce no row, and so does a key
+    * whose observations all share one timestamp (zero total interval —
+    * the same undefined statistic). Each cents·micros term is guarded
+    * by an in-plan int64 assert_true (the dyadicEwma envelope).
     *
     * Determinism contract: values floor into integral cents and time
     * into epoch micros BEFORE any arithmetic, so numerator/denominator
@@ -422,9 +445,26 @@ object Temporal {
         floor(col(valCol) * 100).cast("long").as("c"))
       .withColumn("nxt", lead(col("us"), 1).over(w))
       .filter(col("nxt").isNotNull)
+      // int64 envelope, the dyadicEwma/c1 assert_true pattern: each
+      // term is c·Δt in cents·micros — a large value against a long
+      // gap (|c| > Long.MaxValue / Δt) would silently wrap under
+      // ansi=false and emit garbage; fail the job loudly instead
+      .withColumn("c",
+        when(assert_true(
+          abs(col("c")) <= lit(Long.MaxValue) /
+            greatest(col("nxt") - col("us"), lit(1L)),
+          lit("timeWeightedAvg: |value|*100 * interval-micros exceeds " +
+            "int64 — the cents-by-micros product would overflow"))
+          .isNull, col("c")))
       .groupBy(col("k"))
       .agg(sum(col("c") * (col("nxt") - col("us"))).as("num"),
         sum(col("nxt") - col("us")).as("den"))
+      // a key whose observations all share one timestamp has intervals
+      // of zero total length — the same no-interval situation as a
+      // single observation, which the contract defines as "no row"
+      // (num/den would be 0/0: null here, NaN in a double engine —
+      // divergent spellings of an undefined statistic)
+      .filter(col("den") > 0)
       .select(col("k"), col("num"), col("den"),
         floor(col("num") / col("den") * 10000 + 0.5).cast("long")
           .as("twap_micro"))
@@ -528,38 +568,6 @@ object Temporal {
           .as("week_no"))
       .agg(countDistinct(col("u")).as("n_users"))
 
-  /** Peak concurrency per day: the maximum number of intervals
-    * simultaneously active, from a boundary sweep — every interval
-    * emits (+1 at start, −1 at end), and a day's peak is the max over
-    * its boundaries of the concurrency AT the boundary instant:
-    * `prefix_before + greatest(delta, 0)`. A start counts itself
-    * (prefix+1); an end still counts its own session (prefix
-    * unchanged), because intervals are CLOSED on both ends — a session
-    * ending at the exact instant another starts overlaps it (hence
-    * starts sort before ends at a tie, the packed key's low bit).
-    * Sampling AT the boundary (not after it) is what makes a day whose
-    * only boundaries are ends — sessions carried over midnight that
-    * merely finish that day — report the true carry-in peak instead
-    * of the post-departure count.
-    *
-    * The textbook sweep is a `Window.orderBy(time)` over every
-    * boundary — one partition holding the whole relation, the same
-    * scale-killer [[graft.operators.SequencePack]] exists to avoid, and
-    * its two-level [[graft.operators.SequencePack.prefixSum]] is
-    * exactly the fix here (signed ±1 weights): one range exchange + one
-    * O(partitions) offset plan + partition-local windows, then an
-    * O(days)-grain aggregate. Tied boundaries share a packed key only
-    * with SAME-SIGN deltas (the delta is the key's parity), so the set
-    * of running values over a tie group — and hence the day max — is
-    * order-invariant; per-boundary prefixes are not individually
-    * emitted.
-    *
-    * Output: one row per day that contains at least one boundary —
-    * `(day, peak_concurrent, n_starts, n_ends)`. A day a session spans
-    * entirely without starting or ending is absent (its concurrency is
-    * constant and owned by the neighboring boundary days); emitting it
-    * needs a calendar dimension, which is the caller's join.
-    */
   /** Dyadic exponentially-weighted trailing average: over each key's
     * last `w` events (the row itself plus `w−1` predecessors in
     * (time, id) order), the weighted mean with weights 2^(w−1), …, 2, 1
@@ -608,6 +616,38 @@ object Temporal {
         expr(s"__num div ${(1L << w) - 1}").as("ewma_micro"))
   }
 
+  /** Peak concurrency per day: the maximum number of intervals
+    * simultaneously active, from a boundary sweep — every interval
+    * emits (+1 at start, −1 at end), and a day's peak is the max over
+    * its boundaries of the concurrency AT the boundary instant:
+    * `prefix_before + greatest(delta, 0)`. A start counts itself
+    * (prefix+1); an end still counts its own session (prefix
+    * unchanged), because intervals are CLOSED on both ends — a session
+    * ending at the exact instant another starts overlaps it (hence
+    * starts sort before ends at a tie, the packed key's low bit).
+    * Sampling AT the boundary (not after it) is what makes a day whose
+    * only boundaries are ends — sessions carried over midnight that
+    * merely finish that day — report the true carry-in peak instead
+    * of the post-departure count.
+    *
+    * The textbook sweep is a `Window.orderBy(time)` over every
+    * boundary — one partition holding the whole relation, the same
+    * scale-killer [[graft.operators.SequencePack]] exists to avoid, and
+    * its two-level [[graft.operators.SequencePack.prefixSum]] is
+    * exactly the fix here (signed ±1 weights): one range exchange + one
+    * O(partitions) offset plan + partition-local windows, then an
+    * O(days)-grain aggregate. Tied boundaries share a packed key only
+    * with SAME-SIGN deltas (the delta is the key's parity), so the set
+    * of running values over a tie group — and hence the day max — is
+    * order-invariant; per-boundary prefixes are not individually
+    * emitted.
+    *
+    * Output: one row per day that contains at least one boundary —
+    * `(day, peak_concurrent, n_starts, n_ends)`. A day a session spans
+    * entirely without starting or ending is absent (its concurrency is
+    * constant and owned by the neighboring boundary days); emitting it
+    * needs a calendar dimension, which is the caller's join.
+    */
   def peakConcurrency(sessions: DataFrame, startCol: String,
                       endCol: String, numParts: Int = 0): DataFrame = {
     val b = sessions.select(col(startCol).as("__t"), lit(1L).as("__delta"))

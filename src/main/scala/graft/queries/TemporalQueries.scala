@@ -407,7 +407,7 @@ object TemporalQueries extends QueryModule {
            |  FROM l WHERE nxt IS NOT NULL GROUP BY user_id)
            |SELECT user_id, num, den,
            |  CAST(floor(num/den*10000 + 0.5) AS BIGINT) AS twap_micro
-           |FROM g ORDER BY user_id""".stripMargin),
+           |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin),
     doc = "Time-weighted average per user (LOCF integral over " +
       "observation intervals): one lead-window pass + one aggregate, " +
       "exact integral cents·micros arithmetic end-to-end")

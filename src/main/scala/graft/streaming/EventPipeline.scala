@@ -19,6 +19,12 @@ object EventPipeline {
     * any DataFrame with (ts: timestamp, event_type: string,
     * value: double) — streaming or batch (Spark plans both from the
     * same declaration; a batch frame just computes all windows).
+    *
+    * total_value follows the engine's integral-cents convention (the
+    * st2 spelling): floor(v*100) is one deterministic IEEE op per row
+    * and long addition is order-independent, where round(sum(double))
+    * could flip on an ulp boundary between two runs that sum a
+    * window's values in different partition orders.
     */
   def hourlyByType(events: DataFrame, watermarkDelay: String = "30 minutes",
                    windowLength: String = "1 hour"): DataFrame =
@@ -26,7 +32,8 @@ object EventPipeline {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        sum(floor(col("value") * 100)).cast("long").as("total_value_c"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"),
+        (col("total_value_c") / 100.0).as("total_value"))
 }

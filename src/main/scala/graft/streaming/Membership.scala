@@ -93,11 +93,21 @@ object Membership {
     */
   def onTimeout(s: MemberState, nowMs: Long, failAfterMs: Long,
                 cleanupAfterMs: Long): (Option[MemberState], Seq[MemberEvent]) =
-    if (s.health != Failed && nowMs - s.lastUpdateMs >= failAfterMs) {
+    // only ALIVE entries are failure-detected (`detector.go:123`
+    // guards `currEntry.Health == Alive` before marking Failed): a
+    // member that announced voluntary departure ages straight to
+    // removal — emitting "failed" for it would be a spurious loss
+    // signal (FailureSim counts every "failed" as loss-induced) and
+    // would overwrite the Left status its removal event should carry
+    if (s.health == Alive && nowMs - s.lastUpdateMs >= failAfterMs) {
       val failed = s.copy(health = Failed)
       (Some(failed), Seq(MemberEvent(s.memberId, "failed", s.heartbeatCount, Failed, nowMs)))
-    } else if (s.health == Failed && nowMs - s.lastUpdateMs >= failAfterMs + cleanupAfterMs) {
-      (None, Seq(MemberEvent(s.memberId, "removed", s.heartbeatCount, Failed, nowMs)))
+    } else if (s.health != Alive && nowMs - s.lastUpdateMs >= failAfterMs + cleanupAfterMs) {
+      // Failed AND Left entries share the reference's cleanup timing
+      // (FailMember schedules CleanupMember for Left entries too,
+      // without the fail transition); the removal event reports the
+      // entry's own terminal health
+      (None, Seq(MemberEvent(s.memberId, "removed", s.heartbeatCount, s.health, nowMs)))
     } else (Some(s), Seq.empty)
 
   /** Streaming wiring: heartbeats (with an `eventTime` timestamp column

@@ -66,6 +66,20 @@ class MembershipSpec extends SparkSpecBase {
     assert(gone.isEmpty && eGone.map(_.kind) == Seq("removed"))
   }
 
+  test("a Left member is never failure-detected: it ages straight to a " +
+    "Left-health removal (detector.go:123 guards Health == Alive)") {
+    val (st, _) = merge(None, Seq(hb(1, 1, 1000)))
+    val (left, _) = merge(st, Seq(hb(1, 1, 1100, health = Left)))
+    // past the fail deadline: NO failed event, state unchanged
+    val (same, none) = onTimeout(left.get, 3000, failAfterMs = 1000,
+      cleanupAfterMs = 2000)
+    assert(same == left && none.isEmpty)
+    // past fail+cleanup: removed, reporting its own Left health
+    val (gone, eGone) = onTimeout(left.get, 4200, 1000, 2000)
+    assert(gone.isEmpty)
+    assert(eGone.map(e => (e.kind, e.health)) == Seq(("removed", Left)))
+  }
+
   test("streaming wiring replays a two-batch schedule deterministically") {
     val s = spark
     import s.implicits._

@@ -357,6 +357,49 @@ class TemporalSpec extends SparkSpecBase {
     assert(interp.size == 8 && interp == locf)
   }
 
+  test("resampleLocf: pre-1970 spans floor/ceil to the grid exactly " +
+    "(float truncation toward zero would fabricate an epoch-0 point)") {
+    val s = spark
+    import s.implicits._
+    def tss(sec: Long) = new Timestamp(sec * 1000L)
+    // span [-100s, -10s], step 60: the only in-span multiple is -60 —
+    // truncation toward zero would put g0 = g1 = 0, OUTSIDE the span
+    val ev = Seq((1L, 10L, tss(-100L), 7.0), (1L, 11L, tss(-10L), 9.0))
+      .toDF("k", "id", "t", "v")
+    val got = Temporal.resampleLocf(ev, "k", "t", Seq("v"), stepSec = 60L)
+      .select($"grid_ts".cast("long"), $"asof_v").as[(Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((-60L, 7.0)))
+  }
+
+  test("timeWeightedAvg: a key whose events all share one timestamp " +
+    "emits no row (zero total interval), like a singleton") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(5), 2.0), (1L, 2L, ts(5), 4.0), (1L, 3L, ts(5), 6.0),
+      (2L, 4L, ts(0), 1.0), (2L, 5L, ts(10), 1.0))
+      .toDF("k", "id", "t", "v")
+    val got = Temporal.timeWeightedAvg(ev, "k", "t", "v", tieCol = "id")
+      .select($"k").as[Long].collect().toSeq
+    assert(got == Seq(2L)) // key 1: den = 0 -> dropped, not a null row
+  }
+
+  test("tolerance asof: schema equals the unbounded form's when the " +
+    "right time is not in carryCols") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1, ts(10))).toDF("id", "k", "lt")
+    val right = Seq((1, ts(8), "x")).toDF("k", "rt", "tag")
+    val bounded = Temporal.asofJoinBackwardTolerance(left, right, Seq("k"),
+      "lt", "rt", Seq("tag"), tolerance = "10 minutes")
+    val unbounded = Temporal.asofJoinBackward(left, right, Seq("k"),
+      "lt", "rt", Seq("tag"))
+    assert(bounded.columns.toSeq == unbounded.columns.toSeq)
+    assert(bounded.select($"id", $"asof_tag").as[(Long, Option[String])]
+      .collect().toSeq == Seq((1L, Some("x"))))
+  }
+
   test("timeWeightedAvg: hand-computed integral, tie order fixed, singletons drop") {
     val s = spark
     import s.implicits._
