@@ -213,14 +213,15 @@ object CorpusMix {
           .cast("long").as("p"),
         size(filter(col("__ws"), w => array_contains(stop, w)))
           .cast("long").as("s"))
-      .withColumn("q_micro", when(col("n") > 0,
-        expr("""(10000 * least(n, 50) * l * n + 250000 * (l - p) * n +
-               | 250000 * least(n, 4 * s) * l) div (l * n)""".stripMargin))
-        .otherwise(0L))
-    // fixed-width decimal key: ascending string order == (q desc, id)
+      .withColumn("q_micro", qMicro)
+    // fixed-width decimal key: ascending string order == (q desc, id).
+    // Doc pad is 20 — the full non-negative int64 digit range; a
+    // narrower pad would TRUNCATE longer ids (Spark lpad shortens
+    // over-length strings), colliding sort keys and breaking
+    // prefixSum's unique-orderCol contract for snowflake-sized ids
     val keyed = ints.withColumn("__key",
       concat(lpad((lit(1000000L) - col("q_micro")).cast("string"), 7, "0"),
-        lit("-"), lpad(col("doc").cast("string"), 12, "0")))
+        lit("-"), lpad(col("doc").cast("string"), 20, "0")))
       .withColumn("__one", lit(1L))
     SequencePack.withPackAssignment(keyed, "__key", "__one",
         maxTokens = Long.MaxValue)
@@ -271,16 +272,33 @@ object CorpusMix {
                      salt: String = "wsample1"): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(esKey(df, idCol, weightCol, salt).asc, col(idCol).asc)
+      .orderBy(esKey(idCol, weightCol, salt).asc, col(idCol).asc)
     df.withColumn("sel_rank", row_number().over(w).cast("long"))
       .filter(col("sel_rank") <= k)
   }
+
+  /** x12's exact integer quality score over prepared columns
+    * (n, l, p, s): common-denominator micro-units, the quotient
+    * always in [0, 1e6]. The numerator is carried in DECIMAL(38,0) —
+    * the all-long form silently wraps (ansi=false) for documents past
+    * ~7 MB (l·n ≳ 9·10¹², where 10000·min(n,50)·l·n alone exceeds
+    * int64) and a wrapped-negative q_micro corrupts every consumer
+    * (curriculum sort key, stratum mean). Identical BIGINT values
+    * everywhere the long form doesn't wrap, so the DuckDB oracles are
+    * unchanged.
+    */
+  private def qMicro: Column = when(col("n") > 0,
+    expr("""(10000 * least(n, 50) * CAST(l AS DECIMAL(38,0)) * n +
+           | 250000 * (l - p) * CAST(n AS DECIMAL(38,0)) +
+           | 250000 * least(n, 4 * s) * CAST(l AS DECIMAL(38,0)))
+           | div (CAST(l AS DECIMAL(38,0)) * n)""".stripMargin))
+    .otherwise(0L)
 
   /** Efraimidis–Spirakis race key: `-ln(u)/w` on the deterministic
     * 52-bit keyed-hash uniform, +Infinity for non-positive weights
     * (sorts last, id tie-break, no division by zero).
     */
-  private def esKey(df: DataFrame, idCol: String, weightCol: String,
+  private def esKey(idCol: String, weightCol: String,
                     salt: String): Column = {
     val u = (conv(substring(md5(concat(lit(salt + ":"),
       col(idCol).cast("string"))), 1, 13), 16, 10).cast("long") + 1.0) /
@@ -317,7 +335,7 @@ object CorpusMix {
   def weightedSampleBounded(df: DataFrame, idCol: String, strataCol: String,
                             weightCol: String, k: Int,
                             salt: String = "wsample1"): DataFrame =
-    boundedSelect(df, idCol, strataCol, esKey(df, idCol, weightCol, salt),
+    boundedSelect(df, idCol, strataCol, esKey(idCol, weightCol, salt),
       k, "sel_rank")
 
   private def boundedSelect(df: DataFrame, idCol: String, strataCol: String,
@@ -326,8 +344,15 @@ object CorpusMix {
     require(k > 0, s"selection size must be positive, got $k")
     val s = df.sparkSession
     import s.implicits._
+    // the id must cast to a non-null long or the re-join below would
+    // silently DROP the row (null === null is null) instead of failing
+    // the documented integral-id contract — enforce in-plan, the c1
+    // assert_true pattern
+    val idLong = when(assert_true(col(idCol).cast("long").isNotNull,
+        lit("boundedSelect: idCol must cast to a non-null long"))
+        .isNull, col(idCol).cast("long"))
     val keyed = df.select(col(strataCol).cast("string").as("__s"),
-        keyExpr.as("__k"), col(idCol).cast("long").as("__i"))
+        keyExpr.as("__k"), idLong.as("__i"))
       .as[(String, Double, Long)]
     val winners = keyed.groupByKey(_._1)
       .mapValues(t => graft.functions.SelKey(t._2, t._3))
@@ -336,8 +361,11 @@ object CorpusMix {
       .select(col("__s"), posexplode(col("__sel.vs")))
       .select(col("__s"), (col("pos") + 1).cast("long").as(rankName),
         col("col.id").as("__i"))
+    // null-SAFE on the stratum: the window twins rank a null stratum
+    // as a valid group, so the bounded form must join those rows back
+    // rather than dropping them through null === null
     df.join(broadcast(winners),
-        col(strataCol).cast("string") === col("__s") &&
+        col(strataCol).cast("string") <=> col("__s") &&
           col(idCol).cast("long") === col("__i"))
       .drop("__s", "__i")
   }
@@ -372,10 +400,7 @@ object CorpusMix {
         .cast("long"))
       .withColumn("s", size(filter(col("__ws"), w => array_contains(stop, w)))
         .cast("long"))
-      .withColumn("q_micro", when(col("n") > 0,
-        expr("""(10000 * least(n, 50) * l * n + 250000 * (l - p) * n +
-               | 250000 * least(n, 4 * s) * l) div (l * n)""".stripMargin))
-        .otherwise(0L))
+      .withColumn("q_micro", qMicro)
       // t7's staged semantics: emails on raw text, phones on the
       // email-redacted text, IPs after both
       .withColumn("__t1", t1)
@@ -386,6 +411,12 @@ object CorpusMix {
             regexp_replace(col("__t1"), TextAnalysis.PhoneRegex, "<PHONE>"),
             lit(TextAnalysis.Ipv4Regex))) > 0)
       .withColumn("__fp", md5(col("__t")))
+      // per feeds TWO consumers (the fingerprint aggregate and the
+      // join's left side); AQE plans them independently with no
+      // ReusedExchange, so without this persist the whole tokenize +
+      // 3-stage regex cascade runs twice — the repetitionStats
+      // precedent, and the operator's "one corpus scan" claim
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupFps = per.groupBy(col("__fp"))
       .agg(count(lit(1)).as("__copies"))
       .filter(col("__copies") > 1)

@@ -283,7 +283,7 @@ object Dedup {
     * all of them tokenizing identically, so this must not be copied.
     */
   private[graft] def wordsOf(textCol: String): Column =
-    filter(split(col(textCol), "\\s+"), w => w =!= "")
+    TextAnalysis.words(col(textCol)) // THE one tokenizer — never copy it
 
   /** Guarded n-gram start-index sequence over a materialized words
     * column (empty for docs shorter than n — `sequence(1, k)` counts

@@ -105,6 +105,10 @@ object Outliers {
       .filter(col("n") === w &&
         dev * dev > lit(z * z) * (nDec * col("q") - col("s") * col("s")))
       .select(col(idCol), col(keyCol), col("v").as("value_micro"),
-        expr("CAST(s AS BIGINT) div n").as("mean_micro"))
+        // FLOOR division, matching the oracle's DuckDB `s // n`: `div`
+        // truncates toward zero and disagrees for negative window sums
+        // (all-negative metric streams) — subtract the non-negative
+        // remainder first so the quotient is exact at any sign
+        expr("(s - ((s % n + n) % n)) div n").as("mean_micro"))
   }
 }

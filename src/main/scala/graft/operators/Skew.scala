@@ -3,13 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for hot-key aggregations: the two-stage salted
-  * aggregate. AQE's skew-join splitting handles JOIN skew at runtime
-  * (enabled in GraftSession); aggregation skew needs this plan shape —
-  * stage 1 spreads each key over `saltBuckets` partial groups, stage 2
-  * merges the partials, so no single task ever owns a whole hot key.
-  * Cost: one extra (tiny, O(keys·salt)) shuffle; correct for any
-  * algebraic aggregate expressed as (partial, merge) column pairs.
+/** Skew mitigation: the two-stage salted aggregate and the salted
+  * broadcast join. AQE's skew-join splitting handles JOIN skew at
+  * runtime (enabled in GraftSession); [[saltedJoin]] is the explicit
+  * form for when AQE's size heuristics miss.
+  *
+  * HONEST SCOPE for [[saltedSum]]: for the sum/count aggregates this
+  * API expresses, Spark's HashAggregate already map-side-combines —
+  * a hot key ships at most one partial row per map partition, so the
+  * unsalted plan has no reducer skew and salting buys nothing but an
+  * extra O(keys·salt) shuffle. The shape EXISTS here as the verified
+  * template for the cases that DO need it — aggregates without
+  * map-side combine (exact distinct under a hot key, collect-style
+  * buffers, high-cardinality partial state that overflows the hash
+  * map and falls back to sort-based aggregation) — where stage 1's
+  * salt is what bounds a single task's state. x3 verifies the salted
+  * result equals the direct one, which is the property that lets a
+  * caller swap it in when profiling says so.
   */
 object Skew {
 

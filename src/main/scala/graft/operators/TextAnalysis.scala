@@ -367,7 +367,17 @@ object TextAnalysis {
           .as("tvn"),
         (col("ts").cast(dec) * col("n") * 2).as("tvd"))
       .select(col("source"), col("n_tokens"),
-        col("tvn").cast("long").as("tv_num"),
+        // tv_num is the RAW numerator (~2·TV·T_s·N): it exceeds int64
+        // exactly in the at-scale regime (T_s·N ~ 1e19 already at a
+        // 1e10-token corpus), where decimal→long cast silently nulls
+        // under ansi=false. Guard loudly (the dyadicEwma assert_true
+        // envelope); tv_micro — the actual statistic, ≤ 1e6 — divides
+        // in decimal and is scale-safe
+        when(assert_true(
+          col("tvn") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          lit("sourceDivergence: tv_num exceeds int64 — read tv_micro " +
+            "(scale-safe) or widen the output type")).isNull,
+          col("tvn").cast("long")).as("tv_num"),
         expr("CAST(tvn * 1000000 div tvd AS BIGINT)").as("tv_micro"))
   }
 

@@ -190,6 +190,14 @@ class CorpusMixSpec extends SparkSpecBase {
       == rows(CorpusMix.weightedSample(df, "id", "source", "w", k = 25), "sel_rank"))
     // k above stratum size keeps everything, ranked completely
     assert(CorpusMix.capPerStratumBounded(df, "id", "source", k = 5000).count() == 3000L)
+    // a NULL stratum is a valid group for the window twin — the
+    // bounded form's re-join must be null-safe or those rows vanish
+    val withNull = df.withColumn("source",
+      when($"id" < 10, lit(null: String)).otherwise($"source"))
+    assert(rows(CorpusMix.capPerStratumBounded(withNull, "id", "source", k = 25),
+        "cap_rank")
+      == rows(CorpusMix.capPerStratum(withNull, "id", "source", k = 25),
+        "cap_rank"))
     // the plan property the verdict flagged: no WindowExec sorting
     // whole strata — selection happens in a bounded aggregate
     val p = CorpusMix.weightedSampleBounded(df, "id", "source", "w", k = 25)

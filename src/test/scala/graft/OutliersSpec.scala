@@ -87,6 +87,20 @@ class OutliersSpec extends SparkSpecBase {
       .toSeq
   }
 
+  test("rolling z: mean_micro FLOORS for negative window sums " +
+    "(truncate-toward-zero would disagree with the oracle's //)") {
+    // negative window whose sum does NOT divide evenly by n — dyadic
+    // fractions so floor(v·1e6) is IEEE-exact: micros -250000,
+    // -500000, -125000, sum -875000, n=3 → floor = -291667
+    // (truncate-toward-zero would emit -291666, off by one vs DuckDB)
+    val rows = Seq(
+      (0L, "t", 0L, -0.25), (1L, "t", 1L, -0.5), (2L, "t", 2L, -0.125),
+      (3L, "t", 3L, 1000.0))
+    val got = runZ(rows, w = 3)
+    assert(got.map(_._1) == Seq(3L))
+    assert(got.head._4 == -291667L) // floor(-875000 / 3), not -291666
+  }
+
   test("rolling z: spike vs a flat baseline flags (sigma=0 case)") {
     // flat 10.0 baseline → window variance 0 → ANY deviation flags;
     // the spike at id=6 and the later return-to-baseline points that
