@@ -222,9 +222,20 @@ object Dedup {
   def contaminationReportBloom(train: DataFrame, eval: DataFrame,
                                idCol: String, textCol: String,
                                n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    // persisted: the eval-side explode + distinct — the dominant eval
+    // cost — feeds THREE consumers (the sizing count, the bloomFilter
+    // job, the confirm join); unpersisted it would execute three times
+    // (the file's caching contract). Sized on (approximate) DISTINCT
+    // shingles: the (shingle, eval_doc) row count over-allocates the
+    // bit array by the cross-doc sharing factor; the 1.1 headroom
+    // covers the sketch's error band, and bloom sizing only needs an
+    // upper bound — the confirm join keeps exactness regardless.
     val evalSh = shingles(eval, idCol, textCol, n)
       .select(col("shingle"), col("doc").as("eval_doc"))
-    val expected = math.max(evalSh.count(), 1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = math.max(
+      (evalSh.agg(approx_count_distinct(col("shingle")))
+        .head.getLong(0) * 1.1).toLong, 1L)
     val bloomBytes = {
       val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
       val out = new java.io.ByteArrayOutputStream()
@@ -479,8 +490,12 @@ object Dedup {
     //  - no distinct(): skips a full shuffle; the groupBy's map-side
     //    combine reduces to one 129-long row per doc per partition;
     //  - no shingle STRING (hashedShingles above).
+    // raw xxhash64 values feed the aggregate directly: MinHashSig
+    // reduces every input mod P internally (((raw % P) + P) % P), so a
+    // pre-projection pmod here would be a redundant expression eval +
+    // UnsafeRow write per shingle occurrence on the hot loop — the
+    // streaming withMinhashSignature path already feeds raw hashes
     val sh = hashedShingles(df, idCol, textCol, n)
-      .withColumn("h", pmod(col("h"), lit(MinhashP)))
     // One native imperative aggregate (graft.functions.MinHashSig,
     // same seed-42 family as minhashParams) computes all numHashes
     // mins in a primitive-array buffer per group; the equivalent
@@ -754,10 +769,16 @@ object Dedup {
     val all = df.select(col(idCol).as("doc"))
       .join(comp, Seq("doc"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc")))
-    val keep = all.join(scores, Seq("doc"))
+    // LEFT join, nulls ranked last: an inner join here would silently
+    // DROP any doc the scores relation does not cover (violating the
+    // one-row-per-input-doc contract — a singleton unscored cluster
+    // would vanish from the output) and could crown a lower-quality
+    // doc when a cluster's best is unscored; with nulls-last ordering
+    // an unscored doc is simply never preferred over a scored one
+    val keep = all.join(scores, Seq("doc"), "left")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("cluster"))
-          .orderBy(col("score").desc, col("doc").asc)))
+          .orderBy(col("score").desc_nulls_last, col("doc").asc)))
       .filter(col("__rn") === 1)
       .select(col("cluster"), col("doc").as("keep_doc"))
     all.join(keep, Seq("cluster"))

@@ -249,11 +249,18 @@ object DedupIndex {
     val novelGrams = bmin.join(
       spark.read.parquet(s"$path/owners").select(col("h")),
       Seq("h"), "left_anti")
-    val per = bg.join(novelGrams, Seq("h"), "left")
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("bown") === col("doc"), 1L).otherwise(0L))
-          .as("n_novel"))
+    // eagerly materialize the O(batch-docs) aggregate, then free the
+    // batch gram cache — the probePairsImpl discipline: this is a
+    // recurring per-ingest-batch call, and an unreleased bg would
+    // accumulate cached blocks across batches in a long-lived session
+    val per =
+      try bg.join(novelGrams, Seq("h"), "left")
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("bown") === col("doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .localCheckpoint(true)
+      finally bg.unpersist(blocking = false)
     batch.select(col(idCol).as("doc"))
       .join(per, Seq("doc"), "left")
       .select(col("doc"),

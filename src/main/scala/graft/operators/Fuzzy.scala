@@ -136,17 +136,18 @@ object Fuzzy {
     val gram = b.candGram.persist(lvl)
     val short = b.candShort.persist(lvl)
     try {
-      val verify = gram.unionAll(short).distinct()
-        .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
-        .persist(lvl)
+      // b.verify / b.result ARE the shipped pipeline's stages — the
+      // profile counts the same DataFrames the join executes, so the
+      // stats cannot drift from the operator they predict
+      val verify = b.verify.persist(lvl)
       try EditJoinStats(gram.count(), short.count(), verify.count(),
-        verify.filter(levenshtein(col("__ls"), col("__rs")) <= maxDist).count())
+        b.result.count())
       finally verify.unpersist()
     } finally { gram.unpersist(); short.unpersist() }
   }
 
   private final case class Build(candGram: DataFrame, candShort: DataFrame,
-                                 result: DataFrame)
+                                 verify: DataFrame, result: DataFrame)
 
   private def build(left: DataFrame, right: DataFrame,
                     leftId: String, rightId: String,
@@ -198,8 +199,14 @@ object Fuzzy {
       .unionAll(rg.select(col("__blk"), col("__e")))
       .groupBy(col("__blk"), col("__e")).agg(count(lit(1)).as("__df"))
 
-    def prefix(g: DataFrame, id: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
+    // the prefix budget is PER STRING, so the window partitions by
+    // (id, string): duplicate id values on an input (non-key ids are
+    // routine in record linkage) would otherwise merge two strings'
+    // gram elements into ONE q·k+1 budget — each string then keeps too
+    // few elements and a true pair can silently lose its last shared
+    // prefix element, breaking losslessness with no error
+    def prefix(g: DataFrame, id: String, str: String): DataFrame = {
+      val w = Window.partitionBy(col(id), col(str))
         .orderBy(col("__df"), col("__e.g"), col("__e.o"))
       g.join(dfTable, Seq("__blk", "__e"))
         .withColumn("__rn", row_number().over(w))
@@ -207,8 +214,8 @@ object Fuzzy {
         .drop("__df", "__rn")
     }
 
-    val candGram = prefix(lg, "__lid")
-      .join(prefix(rg, "__rid"), Seq("__blk", "__e"))
+    val candGram = prefix(lg, "__lid", "__ls")
+      .join(prefix(rg, "__rid", "__rs"), Seq("__blk", "__e"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
     // short × short fallback: banded length equi-join (width maxDist+1,
@@ -223,12 +230,20 @@ object Fuzzy {
         Seq("__blk", "__b"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
-    val result = candGram.unionAll(candShort)
+    // ONE shared verify-stage relation: result filters/projects it and
+    // profileOf counts it, so the profiled candidate numbers describe
+    // exactly the join being shipped — a hand-restated twin could
+    // silently drift. levenshtein — the O(|l|·|r|) DP, the verify
+    // stage's dominant scalar — is projected ONCE and filtered on,
+    // never evaluated a second time in the output projection.
+    val verify = candGram.unionAll(candShort)
       .distinct()
       .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
-      .filter(levenshtein(col("__ls"), col("__rs")) <= maxDist)
+    val result = verify
+      .withColumn("__d", levenshtein(col("__ls"), col("__rs")))
+      .filter(col("__d") <= maxDist)
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
-        levenshtein(col("__ls"), col("__rs")).cast("long").as("dist"))
-    Build(candGram, candShort, result)
+        col("__d").cast("long").as("dist"))
+    Build(candGram, candShort, verify, result)
   }
 }

@@ -15,10 +15,12 @@ import java.io.File
   *      Directory rename is atomic on a local filesystem, so concurrent
   *      JVMs (the Verify gate racing an sbt test run) can both build:
   *      one rename wins, the loser discards its scratch dir, and readers
-  *      only ever observe complete indexes. `this.synchronized` still
-  *      serializes within a JVM to avoid duplicate work; the rename is
-  *      what makes the cross-JVM race safe, which a JVM-local lock
-  *      cannot. At warehouse scale the same protocol is "write to a
+  *      only ever observe complete indexes. `this.synchronized`
+  *      serializes within a JVM to avoid duplicate work, and a
+  *      cross-process file lock serializes the failed-rename RECOVERY
+  *      path (which deletes a marker-less occupant — unserialized, it
+  *      could delete an index a racing JVM committed between check and
+  *      delete). At warehouse scale the same protocol is "write to a
   *      staging prefix, commit via manifest swap".
   */
 private[graft] object IndexCache {
@@ -33,6 +35,27 @@ private[graft] object IndexCache {
     val path =
       s"${sys.props("java.io.tmpdir")}/$family/$tag-${fingerprint(dataDir)}"
     this.synchronized {
+      // cross-PROCESS advisory lock alongside the JVM-local one: the
+      // failed-rename recovery below deletes a marker-less occupant,
+      // and without cross-process serialization a racing JVM could
+      // commit a complete index between this JVM's marker check and
+      // its delete — yanking files from under the winner's readers.
+      // All mutations of `path` go through ensure, so the lock closes
+      // that TOCTOU for every cooperating process; rename atomicity
+      // still protects against non-cooperating interference.
+      val lockFile = new File(s"$path.lock")
+      lockFile.getParentFile.mkdirs()
+      val ch = new java.io.RandomAccessFile(lockFile, "rw").getChannel
+      val lock = ch.lock()
+      try ensureLocked(path, marker, build)
+      finally { lock.release(); ch.close() }
+    }
+    path
+  }
+
+  private def ensureLocked(path: String, marker: String,
+                           build: String => Unit): Unit = {
+    {
       if (!new File(s"$path/$marker").exists()) {
         val scratch = s"$path.build-${java.util.UUID.randomUUID().toString.take(8)}"
         build(scratch)
@@ -57,7 +80,6 @@ private[graft] object IndexCache {
         }
       }
     }
-    path
   }
 
   private def fingerprint(dataDir: String): String = {

@@ -84,7 +84,12 @@ object IvfIndex {
   def ensure(spark: SparkSession, dataDir: String, vecs: => DataFrame,
              nlist: Int = 16, maxIter: Int = 10, sampleMod: Int = 1): String = {
     val tag = s"${dataDir.replaceAll("[^A-Za-z0-9._-]", "_")}-n$nlist-i$maxIter-m$sampleMod-v1"
-    IndexCache.ensure("graft-ivf", dataDir, tag, "corpus/_SUCCESS") { scratch =>
+    // marker = the LAST artifact build writes (the IndexCache
+    // contract, as DedupIndex's meta/nmeta): build writes corpus/
+    // first and the centroids sidecar last, so corpus/_SUCCESS could
+    // exist with the sidecar missing (partial delete, /tmp aging) and
+    // be trusted forever while every probe fails on the read
+    IndexCache.ensure("graft-ivf", dataDir, tag, "centroids/_SUCCESS") { scratch =>
       build(vecs, scratch, nlist, maxIter, sampleMod)
     }
   }

@@ -335,7 +335,15 @@ object Similarity {
     // Round-on-double in the pair loop, which allocates a BigDecimal
     // PER ROW in generated code (measured +3s over 5.2M pairs at
     // sf0.1). Callers' oracles may keep the round() spelling; the
-    // accept set is identical.
+    // accept set is identical — but ONLY when the threshold itself
+    // sits on the 4-decimal grid (t = 0.85003 would diverge from a
+    // round()-spelled oracle on a pair at 0.85001), so that
+    // precondition is enforced rather than assumed:
+    require(math.abs(threshold * 10000 -
+        math.rint(threshold * 10000)) < 1e-6,
+      s"semanticDedup: threshold must be a multiple of 1e-4 (got " +
+        s"$threshold) — the round(cosine,4)-equivalent cutoff is only " +
+        "exact on that grid")
     val cutoff = threshold - 0.00005
     // persisted: the orderBy callers end with samples range boundaries
     // off the final plan; without this the whole pair scan runs twice.

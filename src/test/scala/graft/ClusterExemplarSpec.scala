@@ -25,6 +25,23 @@ class ClusterExemplarSpec extends SparkSpecBase {
       (5L, 5L, 5L, 1)))
   }
 
+  test("partial scores: unscored docs still emit rows and never beat " +
+    "a scored doc (inner-join would silently drop them)") {
+    val s = spark
+    import s.implicits._
+    // cluster {1,2}: doc 2 scored, doc 1 not → exemplar is 2;
+    // doc 3: UNSCORED singleton — must still appear, kept
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val scores = Seq((2L, 0.1)).toDF("doc", "score")
+    val out = Dedup.clusterExemplars(docs, pairs, scores)
+      .orderBy($"doc").as[(Long, Long, Long, Int)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 0), // unscored, loses to the scored doc 2
+      (2L, 1L, 2L, 1),
+      (3L, 3L, 3L, 1))) // unscored singleton: present, kept
+  }
+
   test("score ties break to the lowest doc id") {
     val s = spark
     import s.implicits._

@@ -45,6 +45,17 @@ class FuzzySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  test("duplicate left ids: each STRING keeps its own prefix budget — " +
+    "a per-id budget would starve one string's prefix and lose pairs") {
+    // two left rows share id 1 with unrelated strings; both must match
+    // their own target (pre-fix, the merged q·k+1 budget ranked both
+    // strings' grams together and one string could keep zero elements)
+    val ls = Seq(1L -> "abcdefgh", 1L -> "uvwxyzqr")
+    val rs = Seq(10L -> "abcdefgX", 11L -> "uvwxyzqX")
+    assert(run(ls, rs, k = 1) == bruteForce(ls, rs, 1))
+    assert(run(ls, rs, k = 1).map(_._2) == Set(10L, 11L))
+  }
+
   test("hand cases: subs, inserts, deletes, exact, over-threshold") {
     val ls = Seq(1L -> "kitten", 2L -> "flaw", 3L -> "identical")
     val rs = Seq(10L -> "sitten", 11L -> "lawn", 12L -> "identical",
