@@ -417,22 +417,29 @@ object CorpusMix {
       // 3-stage regex cascade runs twice — the repetitionStats
       // precedent, and the operator's "one corpus scan" claim
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupFps = per.groupBy(col("__fp"))
-      .agg(count(lit(1)).as("__copies"))
-      .filter(col("__copies") > 1)
-      .select(col("__fp"), lit(1L).as("__dup"))
-    per.join(dupFps, Seq("__fp"), "left")
-      .groupBy(strata.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n")).as("n_tokens"),
-        sum(col("q_micro")).as("__qsum"),
-        sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii_docs"),
-        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
-      .select(strata.map(col) ++ Seq(
-        col("n_docs"), col("n_tokens"),
-        expr("n_tokens div n_docs").as("mean_tokens"),
-        expr("__qsum div n_docs").as("mean_q_micro"),
-        col("n_pii_docs"), col("n_dup_docs"),
-        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm")): _*)
+    try {
+      val dupFps = per.groupBy(col("__fp"))
+        .agg(count(lit(1)).as("__copies"))
+        .filter(col("__copies") > 1)
+        .select(col("__fp"), lit(1L).as("__dup"))
+      // the aggregate is O(strata) rows — eagerly localCheckpoint'ed so
+      // the returned card no longer roots in `per` and the corpus-wide
+      // persist can be released here rather than leaking for the life
+      // of the session (the contaminationReportBloom discipline)
+      per.join(dupFps, Seq("__fp"), "left")
+        .groupBy(strata.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("q_micro")).as("__qsum"),
+          sum(when(col("__pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(strata.map(col) ++ Seq(
+          col("n_docs"), col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_tokens"),
+          expr("__qsum div n_docs").as("mean_q_micro"),
+          col("n_pii_docs"), col("n_dup_docs"),
+          expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm")): _*)
+        .localCheckpoint(true)
+    } finally per.unpersist()
   }
 }

@@ -233,25 +233,34 @@ object Dedup {
     val evalSh = shingles(eval, idCol, textCol, n)
       .select(col("shingle"), col("doc").as("eval_doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(
-      (evalSh.agg(approx_count_distinct(col("shingle")))
-        .head.getLong(0) * 1.1).toLong, 1L)
-    val bloomBytes = {
-      val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
-      val out = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(out)
-      out.toByteArray
-    }
-    // Native codegen'd probe (BloomMightContain): the serialized filter
-    // rides the plan as a binary literal — task binaries are broadcast,
-    // so executors get it once — and is deserialized once driver-side
-    // into the codegen references. No Scala UDF in the train-side scan.
-    shingles(train, idCol, textCol, n)
-      .filter(call_function("bloom_might_contain", lit(bloomBytes), col("shingle")))
-      .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
-      .groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_shared_shingles"),
-        count_distinct(col("eval_doc")).as("n_eval_docs"))
+    try {
+      val expected = math.max(
+        (evalSh.agg(approx_count_distinct(col("shingle")))
+          .head.getLong(0) * 1.1).toLong, 1L)
+      val bloomBytes = {
+        val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        out.toByteArray
+      }
+      // Native codegen'd probe (BloomMightContain): the serialized
+      // filter rides the plan as a binary literal — task binaries are
+      // broadcast, so executors get it once — and is deserialized once
+      // driver-side into the codegen references. No Scala UDF in the
+      // train-side scan. The aggregate is eagerly localCheckpoint'ed
+      // (it is O(contaminated train docs) — report-sized) so the
+      // returned frame no longer roots in evalSh and the wide persist
+      // can be RELEASED here instead of living as long as the result —
+      // the DedupIndex discipline; the call was already eager (the
+      // sizing count and bloom job above run at call time).
+      shingles(train, idCol, textCol, n)
+        .filter(call_function("bloom_might_contain", lit(bloomBytes), col("shingle")))
+        .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_shared_shingles"),
+          count_distinct(col("eval_doc")).as("n_eval_docs"))
+        .localCheckpoint(true)
+    } finally evalSh.unpersist()
   }
 
   /** The consuming form: training rows with every contaminated doc

@@ -165,12 +165,19 @@ object Fuzzy {
       case Some((lb, rb)) => (col(lb), col(rb))
       case None           => (lit(0), lit(0))
     }
+    // distinct: exact duplicate (id, str, block) input rows would each
+    // occupy row_number slots in the ONE per-string prefix budget below
+    // (two copies -> only ~half the distinct prefix elements survive),
+    // silently breaking losslessness; the output is distinct pairs
+    // anyway, so collapsing input duplicates is semantics-preserving
     val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"),
         lBlk.as("__blk"))
       .filter(col("__ls").isNotNull && col("__blk").isNotNull)
+      .distinct()
     val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
         rBlk.as("__blk"))
       .filter(col("__rs").isNotNull && col("__blk").isNotNull)
+      .distinct()
 
     // padded q-gram multiset as (gram, occurrence-ordinal) structs;
     // the ordinal is the count of equal grams at earlier positions,
@@ -199,14 +206,17 @@ object Fuzzy {
       .unionAll(rg.select(col("__blk"), col("__e")))
       .groupBy(col("__blk"), col("__e")).agg(count(lit(1)).as("__df"))
 
-    // the prefix budget is PER STRING, so the window partitions by
-    // (id, string): duplicate id values on an input (non-key ids are
-    // routine in record linkage) would otherwise merge two strings'
-    // gram elements into ONE q·k+1 budget — each string then keeps too
-    // few elements and a true pair can silently lose its last shared
+    // the prefix budget is PER STRING PER BLOCK, so the window
+    // partitions by (block, id, string): duplicate id values on an
+    // input (non-key ids are routine in record linkage) would
+    // otherwise merge two strings' gram elements into ONE q·k+1
+    // budget — and the same (id, string) row blocked into TWO blocks
+    // (multi-block blocking is a standard linkage technique) carries
+    // one gram relation per block, which must each keep their own
+    // prefix — either collapse silently loses a string's last shared
     // prefix element, breaking losslessness with no error
     def prefix(g: DataFrame, id: String, str: String): DataFrame = {
-      val w = Window.partitionBy(col(id), col(str))
+      val w = Window.partitionBy(col("__blk"), col(id), col(str))
         .orderBy(col("__df"), col("__e.g"), col("__e.o"))
       g.join(dfTable, Seq("__blk", "__e"))
         .withColumn("__rn", row_number().over(w))

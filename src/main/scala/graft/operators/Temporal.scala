@@ -430,7 +430,9 @@ object Temporal {
     *
     * Determinism contract: values floor into integral cents and time
     * into epoch micros BEFORE any arithmetic, so numerator/denominator
-    * are exact long sums (order-free); the quotient is emitted in
+    * are exact integral sums (order-free; the numerator accumulates in
+    * DECIMAL(38,0) and is asserted back into int64); the quotient is
+    * emitted in
     * micro-units via the explicit `floor(x + 0.5)` (engine round()
     * tie-break hazard, as s6). `tieCol` breaks equal-timestamp
     * ordering — without it, which tied row spans the interval is
@@ -445,20 +447,25 @@ object Temporal {
         floor(col(valCol) * 100).cast("long").as("c"))
       .withColumn("nxt", lead(col("us"), 1).over(w))
       .filter(col("nxt").isNotNull)
-      // int64 envelope, the dyadicEwma/c1 assert_true pattern: each
-      // term is c·Δt in cents·micros — a large value against a long
-      // gap (|c| > Long.MaxValue / Δt) would silently wrap under
-      // ansi=false and emit garbage; fail the job loudly instead
-      .withColumn("c",
-        when(assert_true(
-          abs(col("c")) <= lit(Long.MaxValue) /
-            greatest(col("nxt") - col("us"), lit(1L)),
-          lit("timeWeightedAvg: |value|*100 * interval-micros exceeds " +
-            "int64 — the cents-by-micros product would overflow"))
-          .isNull, col("c")))
+      // int64 envelope, widened where the arithmetic actually happens:
+      // each term c·Δt (cents·micros) and their per-key sum are
+      // computed in DECIMAL(38,0) — exact, never wraps (|long·long| ≤
+      // 8.5e37 < 10^38) — and the AGGREGATED numerator is asserted
+      // back into int64 before the long cast below. The previous
+      // per-term guard had two holes the decimal path closes: its
+      // bound used `/` (double division — double(Long.MaxValue)
+      // rounds UP, so a passing term could still wrap), and a sum of
+      // in-range terms could overflow unguarded under ansi=false.
       .groupBy(col("k"))
-      .agg(sum(col("c") * (col("nxt") - col("us"))).as("num"),
+      .agg(sum((col("c").cast("decimal(38,0)") *
+          (col("nxt") - col("us"))).as("term")).as("numd"),
         sum(col("nxt") - col("us")).as("den"))
+      .withColumn("num",
+        when(assert_true(
+          abs(col("numd")) <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          lit("timeWeightedAvg: sum of cents-by-micros terms exceeds " +
+            "int64 — the exact numerator cannot be emitted as a long"))
+          .isNull, col("numd").cast("long")))
       // a key whose observations all share one timestamp has intervals
       // of zero total length — the same no-interval situation as a
       // single observation, which the contract defines as "no row"

@@ -20,11 +20,16 @@ object EventPipeline {
     * value: double) — streaming or batch (Spark plans both from the
     * same declaration; a batch frame just computes all windows).
     *
-    * total_value follows the engine's integral-cents convention (the
-    * st2 spelling): floor(v*100) is one deterministic IEEE op per row
-    * and long addition is order-independent, where round(sum(double))
-    * could flip on an ulp boundary between two runs that sum a
-    * window's values in different partition orders.
+    * total_value follows the engine's integral-cents convention:
+    * round(v*100) is one deterministic IEEE op per row and long
+    * addition is order-independent, where round(sum(double)) could
+    * flip on an ulp boundary between two runs that sum a window's
+    * values in different partition orders. Rounding (not floor) is
+    * the representation-safe direction: a cents-valued double like
+    * 12.34 stores as 12.339999…, so floor(v*100) loses a full cent
+    * on such rows — a bias that scales with rows per window — while
+    * round recovers the intended integer exactly and bounds the error
+    * on arbitrary doubles at half a cent per row.
     */
   def hourlyByType(events: DataFrame, watermarkDelay: String = "30 minutes",
                    windowLength: String = "1 hour"): DataFrame =
@@ -32,7 +37,7 @@ object EventPipeline {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100)).cast("long").as("total_value_c"))
+        sum(round(col("value") * 100).cast("long")).as("total_value_c"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"),
         (col("total_value_c") / 100.0).as("total_value"))

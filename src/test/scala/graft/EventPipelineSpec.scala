@@ -47,13 +47,16 @@ class EventPipelineSpec extends SparkSpecBase {
     val q12 = SparkEntry.queries("q12_events_hourly")(s, sf("sf0.001"))
       .agg(sum($"n_events"), sum($"total_value")).head
     assert(pipeline.getLong(0) == q12.getLong(0))
-    // the pipeline FLOORS into cents per row (order-free long sum, the
-    // st2 convention) where q12's oracle-synced form ROUNDS the double
-    // sum — per (window, type) bucket the two differ by at most one
-    // cent, so the totals agree within 0.01 per bucket
+    // the pipeline ROUNDS into cents per row (order-free long sum)
+    // where q12's oracle-synced form ROUNDS the double sum per bucket —
+    // per-row rounding can shift arbitrary (non-cents-valued) doubles
+    // by up to half a cent EACH, so the honest tolerance scales with
+    // ROWS (0.005 per event), plus half a cent per bucket for q12's
+    // own sum-then-round step
+    val rows = pipeline.getLong(0)
     val buckets = pipeline.getLong(2)
     assert(math.abs(pipeline.getDouble(1) - q12.getDouble(1)) <=
-      0.01 * buckets + 1e-6)
+      0.005 * rows + 0.005 * buckets + 1e-6)
   }
 
   test("the same declaration computes all windows in batch mode") {
