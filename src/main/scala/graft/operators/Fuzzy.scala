@@ -114,14 +114,35 @@ object Fuzzy {
     * (see the 100 TB contract above) — callers must either pass
     * inputs bounded by construction (a dedup cluster, one LSH bucket,
     * a stratum) or use the blocked [[Fuzzy.editDistanceJoin]].
+    *
+    * CIRCUIT BREAKER: because "bounded by construction" is a promise
+    * the signature cannot check, [[editDistanceJoin]] PRE-COUNTS the
+    * exact candidate volume before running the verify stage and fails
+    * loudly past `candidateBudget`. The count is linear-cost — one
+    * aggregate over the (already prefix-filtered) O(N·(q·k+1))-row
+    * prefix relations plus one over the short-length classes, never
+    * the pairs themselves — so a 100 TB misuse dies in seconds with
+    * an actionable message, not in N² silence (SCALING_r09 measured
+    * the misuse mode at ~N^1.96 candidates: 5011× candidates/output
+    * at 30× scale). Callers with a genuinely bounded input larger
+    * than the default budget raise it explicitly — the parameter is
+    * the audit trail.
     */
   object Unblocked {
+    /** Default candidate cap: ~1e8 pairs ≈ minutes of levenshtein
+      * verify at 32 cores — past it the input is either unbounded (use
+      * [[Fuzzy.editDistanceJoin]]) or big enough that the caller
+      * should state the budget they mean.
+      */
+    val DefaultCandidateBudget: Long = 100000000L
+
     def editDistanceJoin(left: DataFrame, right: DataFrame,
                          leftId: String, rightId: String,
                          leftStr: String, rightStr: String,
-                         maxDist: Int, q: Int = 2): DataFrame =
+                         maxDist: Int, q: Int = 2,
+                         candidateBudget: Long = DefaultCandidateBudget): DataFrame =
       build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
-        blk = None).result
+        blk = None, budget = Some(candidateBudget)).result
 
     def profile(left: DataFrame, right: DataFrame,
                 leftId: String, rightId: String,
@@ -153,7 +174,8 @@ object Fuzzy {
                     leftId: String, rightId: String,
                     leftStr: String, rightStr: String,
                     maxDist: Int, q: Int,
-                    blk: Option[(String, String)]): Build = {
+                    blk: Option[(String, String)],
+                    budget: Option[Long] = None): Build = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = q * maxDist + 1
@@ -224,8 +246,54 @@ object Fuzzy {
         .drop("__df", "__rn")
     }
 
-    val candGram = prefix(lg, "__lid", "__ls")
-      .join(prefix(rg, "__rid", "__rs"), Seq("__blk", "__e"))
+    // the candidate-budget guard (the Unblocked escape hatch's circuit
+    // breaker): the EXACT join sizes are Σ over each join key of
+    // |left group|·|right group| — counted from the prefix relations
+    // (eagerly localCheckpoint'ed so the window+rarity pipeline runs
+    // once and the real join reuses the materialization) and the
+    // short-length classes, in DECIMAL so the count itself cannot
+    // wrap. Cost is linear in N; the quadratic work it predicts never
+    // starts if the prediction exceeds the budget.
+    val (pl, pr) = {
+      val p0l = prefix(lg, "__lid", "__ls")
+      val p0r = prefix(rg, "__rid", "__rs")
+      budget match {
+        case None => (p0l, p0r)
+        case Some(b) =>
+          val plC = p0l.localCheckpoint(true)
+          val prC = p0r.localCheckpoint(true)
+          def keyCounts(df: DataFrame, keys: Seq[String]) = df
+            .groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+          def joinVolume(a: DataFrame, bdf: DataFrame, keys: Seq[String]): java.math.BigDecimal =
+            keyCounts(a, keys)
+              .join(keyCounts(bdf, keys).withColumnRenamed("__n", "__m"), keys)
+              .agg(coalesce(sum(col("__n") * col("__m")),
+                lit(0).cast("decimal(38,0)")))
+              .head.getDecimal(0)
+          val band0 = maxDist + 1
+          val lsb = expr(s"length(__ls) div $band0")
+          val gramVol = joinVolume(plC, prC, Seq("__blk", "__e"))
+          val shortVol = joinVolume(
+            l.filter(length(col("__ls")) <= shortLen)
+              .withColumn("__b", explode(array(lsb - 1, lsb, lsb + 1))),
+            r.filter(length(col("__rs")) <= shortLen)
+              .withColumn("__b", expr(s"length(__rs) div $band0")),
+            Seq("__blk", "__b"))
+          val total = gramVol.add(shortVol)
+          if (total.compareTo(java.math.BigDecimal.valueOf(b)) > 0)
+            throw new IllegalStateException(
+              s"Fuzzy.Unblocked: candidate volume $total (gram $gramVol " +
+                s"+ short $shortVol) exceeds candidateBudget $b — this " +
+                "input is not bounded by construction. Use the blocked " +
+                "Fuzzy.editDistanceJoin with a record-linkage block key " +
+                "(stratum, LSH bucket, stable prefix), or raise " +
+                "candidateBudget explicitly if the volume is intended.")
+          (plC, prC)
+      }
+    }
+    val candGram = pl
+      .join(pr, Seq("__blk", "__e"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
 
     // short × short fallback: banded length equi-join (width maxDist+1,

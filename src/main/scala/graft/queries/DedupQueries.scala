@@ -648,8 +648,15 @@ object DedupQueries extends QueryModule {
     * the explicit escape hatch, used here deliberately: the oracle
     * replays the FULL quadratic levenshtein join in DuckDB, so the
     * unblocked form is the only one that matches it (and what the
-    * losslessness claim is graded against). The 100-TB-shaped default
-    * is the blocked d12b twin below.
+    * losslessness claim is graded against). The input honors the
+    * escape hatch's contract — BOUNDED BY CONSTRUCTION: a fixed
+    * `doc_id < 2000` slice whose size is capped at 2000 strings at
+    * EVERY corpus scale (SCALING_r09 measured the unbounded form at
+    * ~N² candidates on a corpus that grows with sf — the catalog must
+    * not ship its own scale-killer as a differential), and the
+    * breaker's default candidateBudget stands. The 100-TB-shaped
+    * default is the blocked d12b twin below; the growing-corpus
+    * population stays measured by the ScaleSmoke d12 series.
     */
   private val fuzzyJoin = CatalogQuery(
     "d12_edit_distance_join",
@@ -663,6 +670,7 @@ object DedupQueries extends QueryModule {
       // honest output, not a plan bug). Entity resolution presumes
       // near-unique entities; this column actually has them.
       val base = Tables(s, dir).documents
+        .filter(col("doc_id") < 2000)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
       val r = pmod(col("doc_id"), lit(4))
       val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
@@ -687,7 +695,8 @@ object DedupQueries extends QueryModule {
         .orderBy(col("typo_key"), col("doc_key"))
     },
     Some("""WITH base AS (
-           |  SELECT doc_id, substr(text,1,40) AS fp FROM documents),
+           |  SELECT doc_id, substr(text,1,40) AS fp FROM documents
+           |  WHERE doc_id < 2000),
            |t AS (
            |  SELECT doc_id AS typo_key,
            |    CASE doc_id % 4
@@ -707,9 +716,10 @@ object DedupQueries extends QueryModule {
     doc = "Edit-distance similarity join (entity resolution): typo'd " +
       "40-char document fingerprints matched back at maxDist=2 " +
       "through the lossless q-gram prefix filter + exact levenshtein " +
-      "verify; the oracle is the full quadratic DuckDB levenshtein " +
-      "join (which itself takes 208s at sf0.1 — the filter is the " +
-      "query's reason to exist)")
+      "verify, on a bounded-by-construction 2000-doc slice (the " +
+      "Unblocked escape hatch's contract, breaker armed); the oracle " +
+      "is the full quadratic DuckDB levenshtein join over the same " +
+      "slice")
 
   /** d12's 100-TB-shaped twin: the same typo population through the
     * BLOCKED edit-distance join — [[graft.operators.Fuzzy
@@ -773,9 +783,79 @@ object DedupQueries extends QueryModule {
       "to blocks, per-block gram rarity ranking; oracle is the full " +
       "quadratic levenshtein join restricted to same-block pairs")
 
+  /** The COMPOSED block key the scaling study recommends: prefix-8 ×
+    * source stratum. SCALING_r09 separates the two regimes — the
+    * prefix-only key's collision classes CO-GROW with a corpus whose
+    * new documents share old prefixes (candidate volume Σ|b_l||b_r|
+    * drifts ~mult² within blocks even at linear output), while
+    * composing with a bounded per-source stratum keeps every block
+    * scale-invariant (per-stratum candidate counts constant to 10 ppm
+    * across 3×→100×). This catalog row ships the composition the
+    * operator contract tells callers to use: block = (edit-stable
+    * 8-char prefix, doc_id mod 16 — the stand-in for a real source/
+    * shard stratum both sides agree on). The recall trade-off is
+    * explicit and decided by brute force in the oracle: pairs
+    * crossing a stratum are out of contract, exactly like pairs
+    * crossing a prefix block in d12b.
+    */
+  private val fuzzyJoinStratified = CatalogQuery(
+    "d12c_edit_distance_join_stratified",
+    (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).documents
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+      val r = pmod(col("doc_id"), lit(4))
+      val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
+        substring(col("fp"), 11, 1000))
+      val t2 = concat(substring(t1, 1, 12), lit("y"),
+        substring(t1, 14, 1000))
+      val t3 = concat(substring(t2, 1, 15), lit("x"),
+        substring(t2, 17, 1000))
+      val typos = base.select(col("doc_id").as("typo_key"),
+        when(r === 0, col("fp")).when(r === 1, t1)
+          .when(r === 2, t2).otherwise(t3).as("typo_name"))
+        .withColumn("blk", concat(substring(col("typo_name"), 1, 8),
+          lit("#"), pmod(col("typo_key"), lit(16)).cast("string")))
+      graft.operators.Fuzzy.editDistanceJoin(
+          typos,
+          base.withColumn("blk", concat(substring(col("fp"), 1, 8),
+            lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
+          "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+          maxDist = 2, q = 3)
+        .select(col("left_id").as("typo_key"),
+          col("right_id").as("doc_key"), col("dist"))
+        .orderBy(col("typo_key"), col("doc_key"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, substr(text,1,40) AS fp FROM documents),
+           |t AS (
+           |  SELECT doc_id AS typo_key,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN fp
+           |      WHEN 1 THEN substr(fp,1,9)||'z'||substr(fp,11)
+           |      WHEN 2 THEN substr(fp,1,9)||'z'||substr(fp,11,2)
+           |                  ||'y'||substr(fp,14)
+           |      ELSE substr(fp,1,9)||'z'||substr(fp,11,2)||'y'
+           |           ||substr(fp,14,2)||'x'||substr(fp,17)
+           |    END AS typo_name
+           |  FROM base)
+           |SELECT t.typo_key, c.doc_id AS doc_key,
+           |  CAST(levenshtein(t.typo_name, c.fp) AS BIGINT) AS dist
+           |FROM t, base c
+           |WHERE substr(t.typo_name,1,8) = substr(c.fp,1,8)
+           |  AND t.typo_key % 16 = c.doc_id % 16
+           |  AND levenshtein(t.typo_name, c.fp) <= 2
+           |ORDER BY typo_key, doc_key""".stripMargin),
+    doc = "Stratum-composed blocked edit-distance join: d12's typo " +
+      "population blocked on (edit-stable 8-char prefix, doc_id mod " +
+      "16) — the composed key whose per-block volume is scale-" +
+      "invariant where prefix-only blocks co-grow with the corpus " +
+      "(SCALING_r09 C); oracle is the quadratic levenshtein join " +
+      "restricted to same-prefix same-stratum pairs")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
-      canonical, fuzzyJoin, fuzzyJoinBlocked, novelty, noveltyIncremental,
+      canonical, fuzzyJoin, fuzzyJoinBlocked, fuzzyJoinStratified,
+      novelty, noveltyIncremental,
       decontaminationNormalized, calibration)
 }

@@ -158,6 +158,33 @@ class FuzzySpec extends SparkSpecBase {
     assert(blocked.outputPairs > 0)
   }
 
+  test("circuit breaker: candidate volume past the budget fails loudly " +
+    "BEFORE the verify stage, and an in-budget run is unaffected") {
+    val s = spark
+    import s.implicits._
+    // every string identical: gram candidates = |L|·|R| = 400, the
+    // degenerate population the unblocked contract warns about
+    val ls = (1L to 20L).map(i => i -> "abcdefgh")
+    val rs = (101L to 120L).map(i => i -> "abcdefgh")
+    val ex = intercept[IllegalStateException] {
+      Fuzzy.Unblocked.editDistanceJoin(ls.toDF("id", "s"), rs.toDF("id", "s"),
+        "id", "id", "s", "s", maxDist = 2, candidateBudget = 100L)
+    }
+    assert(ex.getMessage.contains("candidateBudget"))
+    assert(ex.getMessage.contains("Fuzzy.editDistanceJoin"))
+    // the same input under the default budget still answers exactly
+    assert(run(ls, rs, 2).size == 400)
+    // short-only candidates trip the breaker too (zero gram candidates)
+    val shorts = (1L to 20L).map(i => i -> "ab")
+    val rShorts = (101L to 120L).map(i => i -> "cd")
+    val exShort = intercept[IllegalStateException] {
+      Fuzzy.Unblocked.editDistanceJoin(shorts.toDF("id", "s"),
+        rShorts.toDF("id", "s"),
+        "id", "id", "s", "s", maxDist = 2, candidateBudget = 100L)
+    }
+    assert(exShort.getMessage.contains("short"))
+  }
+
   test("profile's stage counts are consistent with the join it profiles") {
     val s = spark
     import s.implicits._

@@ -663,11 +663,15 @@ object ScaleSmoke {
             maxDist = 2, q = 3).count())
         // q=3: time the SHIPPED configuration (DedupQueries d12) —
         // timing the default q=2 here would conflate the q change with
-        // scaling drift in cross-round comparisons
+        // scaling drift in cross-round comparisons. candidateBudget is
+        // raised EXPLICITLY: this series exists to measure the
+        // escape hatch's ~N² failure mode past the default breaker
+        // (625.9M candidates at 30×, SCALING_r09), which is exactly
+        // the run the breaker would otherwise kill in seconds
         time("d12_edit_join")(graft.operators.Fuzzy.Unblocked
           .editDistanceJoin(typos, base,
             "typo_key", "doc_id", "typo_name", "fp",
-            maxDist = 2, q = 3).count())
+            maxDist = 2, q = 3, candidateBudget = Long.MaxValue).count())
       }
 
       opsFilter.foreach { f =>
