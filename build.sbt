@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout passes through BARE (no "[info] " prefix):
+// graft.Bench's final compact JSON line is machine-parsed from a
+// bounded stdout tail by the round driver, and sbt's default logged
+// output strategy prefixes every line, breaking a line-wise
+// JSON parse (three rounds of BENCH_r*.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Test / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,7 +47,16 @@ object StreamingQueries extends QueryModule {
   private def runReplay(s: SparkSession, out: org.apache.spark.sql.DataFrame,
                         prefix: String, minBatches: Int = 3) = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    // explicit RAM-backed checkpoint (see graft.core.Scratch): the
+    // offset/commit/state fsyncs per micro-batch otherwise land on the
+    // disk-backed default temp dir, where they contend with the box's
+    // page-cache state — measured as +25 s of drift across the
+    // streaming bench family on identical plans. The memory sink holds
+    // the results, so the checkpoint is deletable the moment the
+    // replay stops.
+    val ck = graft.core.Scratch.dir(s"graft_ck_$prefix")
     val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck.getAbsolutePath)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     try {
       q.awaitTermination()
@@ -55,7 +64,7 @@ object StreamingQueries extends QueryModule {
       require(batches >= minBatches,
         s"$prefix: replay must run >= $minBatches batches " +
           s"(maxFilesPerTrigger=1 over the split fixture), got $batches")
-    } finally q.stop()
+    } finally { q.stop(); graft.core.Scratch.delete(ck) }
     s.table(name)
   }
 
@@ -395,9 +404,19 @@ object StreamingQueries extends QueryModule {
         .agg(count(lit(1)).as("n_events"))
         .select(col("window.start").cast("date").as("day"),
           col("event_type"), col("n_events"))
-      val sink = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_st7_" + java.util.UUID.randomUUID().toString.replace("-", ""))
-        .getAbsolutePath
+      // RAM-backed scratch for both the checkpoint and the per-batch
+      // parquet dirs (the runReplay rationale; the day-level aggregate
+      // is kilobytes). The dir must OUTLIVE this builder — the
+      // returned frame reads `$sink/data` lazily — so it is not
+      // deleted here; instead each build reaps its PREDECESSORS
+      // (bench/verify run st7 serially and read each result before the
+      // next build), bounding tmpfs growth at one sink per process
+      // generation.
+      Option(graft.core.Scratch.root.listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_st7_"))
+        .foreach(graft.core.Scratch.delete)
+      val sink = graft.core.Scratch.dir("graft_st7_").getAbsolutePath
       // Hive-style batch_id=<id> subdirs under one data root: the read
       // back is plain partition discovery (no glob), and each re-run
       // of a batch replaces exactly its own partition directory
