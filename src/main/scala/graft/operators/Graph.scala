@@ -123,18 +123,26 @@ object Graph {
     *     truncation residue — init `T mod N`, per-edge split
     *     remainders, `D mod N`, per-node damping floors — is the
     *     exact scalar δ_i = T − Σ_v R'_i(v) ≥ 0, returned as
-    *     `δ div N` to every node plus one extra unit to the δ mod N
-    *     nodes of smallest id. Node order position is computed ONCE
-    *     via [[SequencePack.prefixSum]] (range exchange +
-    *     O(partitions) offsets — never a global single-partition
+    *     `δ div N` to every node plus one extra unit to the first
+    *     δ mod N nodes in position order. Node order position is
+    *     computed ONCE via [[SequencePack.prefixSum]] (range exchange
+    *     + O(partitions) offsets — never a global single-partition
     *     window) and reused every iteration as a plain comparison.
     *
-    * The two per-iteration scalars (D_i, Σ R'_i) are 1-row driver
-    * reads over the cached rank relation — the IvfIndex
-    * bounded-metadata pattern, not a data collect. Everything else is
-    * g1's plan shape: one src-join + one map-side-combined dst
-    * aggregate + one node left join per iteration, edges
-    * repartitioned by src once and persisted, lineage cut per round.
+    * Position order is (dangling first, id) — chosen so the round's
+    * TWO scalars collapse into ONE driver action: with the dangling
+    * census occupying positions 0..|D|−1, the dangling share of any
+    * apportionment over the first m positions is just min(m, |D|),
+    * so next round's dangling mass D = Σ_D R' + |D|·(δ div N) +
+    * min(δ mod N, |D|) is derivable from (Σ_D R', Σ R') — one
+    * two-column aggregate over the checkpointed rank relation per
+    * iteration (1-row driver read, the IvfIndex bounded-metadata
+    * pattern, not a data collect), instead of the two sequential
+    * scalar jobs (dangling census, then Σ-rank) the round-9 shape
+    * paid. Everything else is g1's plan shape: one src-join + one
+    * map-side-combined dst aggregate + one node left join per
+    * iteration, edges repartitioned by src once and persisted,
+    * lineage cut per round.
     */
   def pageRankConserving(edges: DataFrame, iters: Int,
                          dampNum: Long = 85L, dampDen: Long = 100L,
@@ -150,24 +158,38 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      // static dangling flag (no out-edges), part of the node relation
+      // for the whole run: it decides position order AND rides the
+      // per-round aggregate so the dangling census needs no extra job
+      .join(deg.select(col("src").as("id"), lit(true).as("__hasout")),
+        Seq("id"), "left")
+      .select(col("id"), col("__hasout").isNull.as("dang"))
+    // position order (dangling first, id): see the Scaladoc — makes
+    // the dangling share of every apportionment min(m, |D|)
     val nodesPos = SequencePack.prefixSum(
-        nodes.withColumn("__w", lit(1L)), "id", "__w", outCol = "pos")
-      .select(col("id"), col("pos"))
+        nodes.withColumn("__ord",
+            struct(when(col("dang"), 0).otherwise(1).as("d"),
+              col("id").as("i")))
+          .withColumn("__w", lit(1L)), "__ord", "__w", outCol = "pos")
+      .select(col("id"), col("pos"), col("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodesPos.count()
+    val (n, nDang) = {
+      val r = nodesPos.agg(count(lit(1)),
+        sum(when(col("dang"), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val r0 = totalMass / n
     val base = (dampDen - dampNum) * r0 / dampDen
-    // exact init: r0 everywhere + the T mod N remainder to smallest ids
+    // exact init: r0 everywhere + the T mod N remainder to the first
+    // positions; its dangling share is analytic (positions 0..|D|-1
+    // ARE the dangling nodes)
     var ranks: DataFrame = nodesPos.withColumn("rank",
       lit(r0) + when(col("pos") < lit(totalMass % n), 1L).otherwise(0L))
+    var dangling = nDang * r0 + math.min(totalMass % n, nDang)
     // owned-RDD tracking, the g1 discipline: never walk ranks' plan on
     // round 1 (it would surface a caller-checkpointed edges RDD)
     var owned: Option[org.apache.spark.rdd.RDD[_]] = None
     try for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)))
-        .head().getLong(0)
       val q = dangling / n
       val contribs = edgesDeg
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
@@ -175,21 +197,27 @@ object Graph {
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
       // eager localCheckpoint per round (the g1/bfsHops discipline):
-      // rPrime is consumed twice (the Σ-rank scalar + next round's
+      // rPrime is consumed twice (the round scalar + next round's
       // plan), and an uncut chain of rounds renders exponentially at
       // job submission
       val rPrime = nodesPos
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"), col("pos"),
+        .select(col("id"), col("pos"), col("dang"),
           expr(s"${base}L + ($dampNum * (coalesce(s, 0L) + ${q}L)) " +
             s"div $dampDen").cast("long").as("rank"))
         .localCheckpoint(true)
-      // δ ≥ 0: every truncation only LOSES mass vs the real-arithmetic
-      // recurrence, whose iterate sums to exactly T
-      val delta = totalMass - rPrime.agg(sum(col("rank"))).head().getLong(0)
+      // THE round's one driver action: Σ R' (→ δ, every truncation
+      // only LOSES mass vs the real-arithmetic recurrence, so δ ≥ 0)
+      // and Σ_D R' (→ next round's dangling mass, closed-form under
+      // the dangling-first position order)
+      val sums = rPrime.agg(sum(col("rank")),
+        sum(when(col("dang"), col("rank")).otherwise(0L))).head()
+      val delta = totalMass - sums.getLong(0)
+      val sumDang = sums.getLong(1)
+      dangling = sumDang + nDang * (delta / n) + math.min(delta % n, nDang)
       owned.foreach(_.unpersist(blocking = false))
       owned = Lineage.snapshotRdd(rPrime)
-      ranks = rPrime.select(col("id"), col("pos"),
+      ranks = rPrime.select(col("id"), col("pos"), col("dang"),
         (col("rank") + lit(delta / n) +
           when(col("pos") < lit(delta % n), 1L).otherwise(0L)).as("rank"))
     } finally {

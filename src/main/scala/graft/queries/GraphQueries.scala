@@ -108,7 +108,13 @@ object GraphQueries extends QueryModule {
             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
             |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-            |np AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS pos
+            |-- position order (dangling first, id): mirrors the
+            |-- engine's one-driver-action round — the dangling share
+            |-- of an apportionment over the first m positions is then
+            |-- min(m, |D|), analytic on both sides
+            |np AS (SELECT id, row_number() OVER (
+            |         ORDER BY (id IN (SELECT src FROM deg)), id) - 1
+            |         AS pos
             |       FROM nodes),
             |p AS (SELECT count(*) AS n,
             |             1000000000000 // count(*) AS r0,

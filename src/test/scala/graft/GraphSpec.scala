@@ -65,9 +65,11 @@ class GraphSpec extends SparkSpecBase {
                       t: Long = 1000000000000L): Map[Long, Long] = {
     val e = edges.filter(x => true).distinct
     val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct.sorted
-    val pos = nodes.zipWithIndex.toMap
     val n = nodes.size
     val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    // position order (dangling first, id) — the engine's contract that
+    // makes the dangling share of each apportionment analytic
+    val pos = nodes.sortBy(v => (outdeg.contains(v), v)).zipWithIndex.toMap
     val r0 = t / n
     val base = (100L - 85L) * r0 / 100L
     var r = nodes.map(v =>
@@ -120,6 +122,40 @@ class GraphSpec extends SparkSpecBase {
       assert(got == consRef(edges, it), s"iters=$it")
       assert(got.values.sum == 1000000000000L)
     }
+  }
+
+  test("pageRankConserving: TWO driver actions per iteration — the " +
+    "round's checkpoint materialization plus ONE fused scalar " +
+    "aggregate (raw Spark-job counts are AQE-stage-dependent; actions " +
+    "are the deterministic series the claim is about)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (3L, 4L), (1L, 4L), (2L, 5L))
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // per-round action count measured as a DIFFERENCE of two runs, so
+    // the (constant) setup actions cancel and listener-delivery lag
+    // settles per run before reading the counter
+    def actionsFor(iters: Int): Int = {
+      s.listenerManager.register(listener)
+      try {
+        actions.set(0)
+        Graph.pageRankConserving(edges.toDF("src", "dst"), iters).count()
+        Thread.sleep(500) // the listener bus is async; let it drain
+        actions.get()
+      } finally s.listenerManager.unregister(listener)
+    }
+    val a2 = actionsFor(2)
+    val a5 = actionsFor(5)
+    assert(a5 - a2 == 3 * 2,
+      s"expected 2 driver actions per extra iteration, got a2=$a2 a5=$a5")
   }
 
   test("pageRankConserving: without dangling nodes or truncation it " +
