@@ -12,15 +12,51 @@ object LogSearch {
   /** One grep match, the reference's MatchRes (`mp3/src/logs.go:26-30`). */
   case class MatchRes(source: String, lineNo: Long, line: String)
 
+  /** Per-file byte cap [[grepFiles]] enforces by default: a whole-file
+    * read at this size costs a task ~3× in heap (bytes → UTF-16 string
+    * → split line array), comfortably inside a local[32] executor
+    * share and far above the reference's per-machine logs (~60 MB).
+    */
+  val DefaultMaxFileBytes: Long = 128L * 1024 * 1024
+
   /** Exact-line-number grep. Reads each file whole and splits lines —
     * the SAME I/O shape as the reference, which ioutil.ReadFiles the
     * entire log before splitting (`mp3/src/logs.go:179-188`); one task
     * per file, no shuffle, results stream back as they match. Right for
     * the reference's per-machine-log use case (files that fit in one
-    * task's memory).
+    * task's memory) — and ONLY that case, which the signature now
+    * enforces: the matched files are size-audited up front (one
+    * metadata pass, no data read) and any file past `maxFileBytes`
+    * fails the call loudly BEFORE a task OOMs an executor on a silent
+    * whole-file materialization. Large files belong on the splittable
+    * [[grepLines]] path; callers with genuinely bigger per-task memory
+    * raise the cap explicitly.
     */
-  def grepFiles(spark: SparkSession, glob: String, pattern: String): Dataset[MatchRes] = {
+  def grepFiles(spark: SparkSession, glob: String, pattern: String,
+                maxFileBytes: Long = DefaultMaxFileBytes): Dataset[MatchRes] = {
     import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // expand exactly what wholeTextFiles will read: glob matches, one
+    // level of directory listing for matched dirs
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { s =>
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).filter(_.isFile)
+        else Array(s)
+      }
+    val oversized = files.filter(_.getLen > maxFileBytes)
+    if (oversized.nonEmpty)
+      throw new IllegalArgumentException(
+        s"grepFiles reads each file WHOLE (one task per file) and " +
+          s"${oversized.length} matched file(s) exceed maxFileBytes=" +
+          s"$maxFileBytes: " +
+          oversized.take(3).map(s => s"${s.getPath} (${s.getLen} B)")
+            .mkString(", ") +
+          (if (oversized.length > 3) ", …" else "") +
+          ". Use LogSearch.grepLines (splittable scan, any size; no " +
+          "line numbers) or raise maxFileBytes if the executors are " +
+          "sized for it.")
     val regex = pattern // serialized to tasks as a plain string
     spark.sparkContext.wholeTextFiles(glob)
       .flatMap { case (file, content) =>

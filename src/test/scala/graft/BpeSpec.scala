@@ -157,6 +157,61 @@ class BpeSpec extends SparkSpecBase {
     assert(encoded(Seq("   "), Seq("a b")) == Map(0L -> (0L, 0L)))
   }
 
+  test("MaxMerges cap end-to-end: batched learning reaches 2000 merges " +
+    "and encode folds the full 2000-merge chain — plan built and " +
+    "executed in seconds, token counts matching an in-memory replay") {
+    val s = spark
+    import s.implicits._
+    // 600 distinct 12-char words over a 26-letter alphabet: sharing
+    // past 2-3 chars is rare, so the merge forest holds well over 2000
+    // distinct rules before any word fully fuses
+    val rnd = new scala.util.Random(20241)
+    val words = Seq.fill(600)(
+      (0 until 12).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) =>
+        (i.toLong, (ws ++ ws ++ ws).mkString(" ")) // freq 3 per word
+      }.toSeq.toDF("doc_id", "text")
+    val ms = Bpe.learnMergeBatchList(docs, "text", nMerges = Bpe.MaxMerges,
+      batchSize = 64).map(_._2)
+    assert(ms.size == Bpe.MaxMerges,
+      s"corpus must saturate the cap, learned only ${ms.size}")
+    assert(ms.distinct.size == ms.size, "merge rules must be distinct")
+    // encode at the cap: 2000 literal replaces folded over the
+    // distinct-word relation — the deepest expression the operator's
+    // own cost contract permits. The wall bound is deliberately loose
+    // (CI noise) but catches the failure modes that matter: analyzer
+    // stack overflow, pathological plan rendering, codegen collapse.
+    val unseen = "zzzyyyxxxwww zqzqzqzqzqzq"
+    val encDocs = (words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq :+
+      (999L, unseen)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Bpe.encode(encDocs, "text", "doc_id", ms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val encodeSec = (System.nanoTime() - t0) / 1e9
+    assert(encodeSec < 60.0,
+      f"2000-merge encode took $encodeSec%.1f s — plan build/exec blew up")
+    // in-memory replay of the exact merge semantics (literal
+    // left-to-right non-overlapping replace on the padded repr — the
+    // String.replace scan rule regexp_replace shares)
+    def refTokens(word: String): Int = {
+      var repr = " " + word.map(c => s"$c ").mkString
+      for (m <- ms) {
+        val fused = m.replace(" ", "")
+        repr = repr.replace(s" $m ", s" $fused ")
+      }
+      repr.trim.split(" ").length
+    }
+    words.grouped(40).zipWithIndex.foreach { case (ws, i) =>
+      val expect = (ws.size.toLong, ws.map(refTokens(_).toLong).sum)
+      assert(got(i.toLong) == expect, s"doc $i")
+    }
+    assert(got(999L) ==
+      (2L, unseen.split(" ").map(refTokens(_).toLong).sum))
+  }
+
   test("encode: learned merges reproduce the trainer's own segmentation") {
     val s = spark
     import s.implicits._

@@ -24,6 +24,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(hits(1).line == "GET /data 200")
   }
 
+  test("grepFiles size cap: an oversized file fails the call loudly " +
+    "up front, steering to grepLines; at-cap files still grep") {
+    val dir = Files.createTempDirectory("graft-src")
+    val content = "needle one\nhay\nneedle two"
+    Files.writeString(dir.resolve("big.log"), content)
+    val glob = dir.resolve("*.log").toString
+    val ex = intercept[IllegalArgumentException] {
+      LogSearch.grepFiles(spark, glob, "needle",
+        maxFileBytes = content.length - 1L)
+    }
+    assert(ex.getMessage.contains("grepLines"))
+    assert(ex.getMessage.contains("big.log"))
+    // exactly at the cap: reads fine, numbers intact — the boundary is
+    // strict-greater
+    val hits = LogSearch.grepFiles(spark, glob, "needle",
+      maxFileBytes = content.length.toLong).collect().sortBy(_.lineNo)
+    assert(hits.map(_.lineNo).toSeq == Seq(1L, 3L))
+    // a directory target audits the files INSIDE it (wholeTextFiles
+    // reads one level down)
+    val exDir = intercept[IllegalArgumentException] {
+      LogSearch.grepFiles(spark, dir.toString, "needle",
+        maxFileBytes = 1L)
+    }
+    assert(exDir.getMessage.contains("big.log"))
+  }
+
   test("grepLines matches the same lines without numbering") {
     val log = writeTemp("machine.2.log", "a match 1\nno\nanother match 2")
     val got = LogSearch.grepLines(spark, log, "match").collect()
