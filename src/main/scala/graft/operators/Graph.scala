@@ -375,8 +375,19 @@ object Graph {
     * against the canonical edge set), explode each triangle to its 3
     * corners, count. No cartesian anywhere; the orientation join keys
     * are plain equality.
+    *
+    * `waves > 1` runs the wedge pipeline in `waves` sequential passes
+    * over disjoint apex hash classes (a wedge's legs share its apex,
+    * so each wedge — and so each triangle — lands in exactly one
+    * wave), merging O(nodes)-sized per-wave corner counts at the end.
+    * Identical answer, peak shuffle scratch divided by ~waves: the
+    * knob for wedge volumes that out-size a node's spill disk. On a
+    * cluster the same volume spreads across executors' local disks
+    * and waves=1 is right until it isn't — the decision input is
+    * wedge volume × ~24 B against aggregate scratch.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, waves: Int = 1): DataFrame = {
+    require(waves >= 1, s"waves must be >= 1, got $waves")
     // canonical undirected edge set: (a < b), self-loops dropped,
     // duplicates collapsed — persisted: wedge build and wedge close
     // both read it
@@ -403,17 +414,45 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at each triangle's (degree, id)-minimum vertex; the pair
     // (x, y) is kept in id order so closing it is one equi-join on
-    // the canonical edge set
-    val wedges = oriented.select(col("u"), col("v").as("x"))
-      .join(oriented.select(col("u"), col("v").as("y")), "u")
-      .filter(col("x") < col("y"))
-    val triangles = wedges
-      .join(und, col("x") === col("a") && col("y") === col("b"))
-      .select(col("u"), col("x"), col("y"))
-    triangles
-      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // the canonical edge set. A wedge's BOTH legs share its apex u, so
+    // restricting the apex to one hash class builds each wedge in
+    // exactly one wave — the per-wave pipeline is the whole-graph
+    // pipeline over 1/waves of the wedge volume, and the union of
+    // waves is exactly the single-pass answer.
+    def corners(wv: Int): DataFrame = {
+      val o = if (waves == 1) oriented
+              else oriented.filter(pmod(hash(col("u")), lit(waves)) === wv)
+      val wedges = o.select(col("u"), col("v").as("x"))
+        .join(o.select(col("u"), col("v").as("y")), "u")
+        .filter(col("x") < col("y"))
+      wedges
+        .join(und, col("x") === col("a") && col("y") === col("b"))
+        .select(col("u"), col("x"), col("y"))
+        .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
+    if (waves == 1) corners(0)
+    else {
+      // WAVED execution — the in-box/bounded-scratch path for wedge
+      // volumes whose materialized join would exhaust shuffle spill
+      // space run whole (4.1 B wedges ≈ >80 GB scratch on one box;
+      // SCALING_r09). Each wave's O(nodes) corner-count partial is
+      // eagerly localCheckpoint'ed; dropping every reference to the
+      // wave's joins lets the ContextCleaner retire its shuffle files
+      // before the next wave writes, bounding peak scratch at
+      // ~1/waves of the whole-join footprint. The System.gc nudge is
+      // what makes that bound real: shuffle files die with their
+      // dependency objects, which die at the next collection.
+      val partials = (0 until waves).map { wv =>
+        val p = corners(wv).localCheckpoint(true)
+        System.gc()
+        p
+      }
+      partials.reduce(_ unionAll _)
+        .groupBy(col("node"))
+        .agg(sum(col("n_triangles")).as("n_triangles"))
+    }
   }
 
   /** Fixed-round k-core peel: `rounds` iterations of "delete every node

@@ -208,6 +208,23 @@ class GraphSpec extends SparkSpecBase {
     assert(tri(edges) == expected)
   }
 
+  test("triangles: waved execution (any wave count) equals the " +
+    "single-pass answer — each wedge lands in exactly one apex wave") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4321)
+    val n = 40
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val single = tri(edges)
+    assert(single.nonEmpty, "fixture must contain triangles")
+    for (waves <- Seq(2, 3, 7)) {
+      val waved = Graph.triangleCounts(edges.toDF("src", "dst"), waves)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(waved == single, s"waves=$waves")
+    }
+  }
+
   private def bfs(edges: Seq[(Long, Long)], source: Long,
                   iters: Int): Map[Long, Int] = {
     val s = spark

@@ -407,10 +407,16 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(s"$tmp/g2edges")
         val e = spark.read.parquet(s"$tmp/g2edges")
         val (nEdges, wedges) = wedgeCount(e)
+        // wave count from the measured wedge volume: ~600M wedges per
+        // wave keeps peak shuffle scratch ~15-20 GB — the knob that
+        // fits the 100x join (4.1B wedges, >80 GB run whole) in-box.
+        // 1-10x stay single-pass, identical to the r09 series.
+        val waves = math.max(1L, wedges / 600000000L).toInt
         println(s"""{"scale":$mult,"op":"g2_wedges",""" +
-          s""""edges":$nEdges,"wedges":$wedges}""")
+          s""""edges":$nEdges,"wedges":$wedges,"waves":$waves}""")
         spark.catalog.clearCache()
-        time("g2_triangles")(graft.operators.Graph.triangleCounts(e).count())
+        time("g2_triangles")(
+          graft.operators.Graph.triangleCounts(e, waves).count())
       } else opNames += "g2_triangles"
       // (b) DENSIFIED — each replica rewires the SAME node set through
       // an affine partkey bijection mod a prime: degrees grow ~mult,
