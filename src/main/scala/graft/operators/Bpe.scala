@@ -41,6 +41,16 @@ object Bpe {
     */
   val MaxMerges = 2000
 
+  /** Encode-side representation switch: at or below this many merges
+    * the chain folds as nested codegen'd `regexp_replace` calls (the
+    * fastest shape for the common small-vocabulary case); above it the
+    * chain becomes a runtime `aggregate` fold over a constant merge
+    * array, because nested-expression depth is what overflows
+    * Catalyst's recursive analyzer — 128 is comfortably inside every
+    * JVM default stack, [[MaxMerges]] is measured not to be.
+    */
+  val FoldedMergeLimit = 128
+
   /** The first `nMerges` learned merges as (iter, pair, freq) — iter
     * is 1-based rank, pair the space-separated symbol pair, freq its
     * corpus frequency at the time of the merge.
@@ -224,10 +234,19 @@ object Bpe {
     *
     * Shape at 100 TB: the merge chain is applied to the DISTINCT-WORD
     * relation, not the token stream — Heaps' law makes the vocabulary
-    * orders of magnitude smaller than the corpus, and each merge is
-    * one codegen'd literal replace folded into a single projection
-    * (zero jobs, zero driver round-trips at encode time, however the
-    * merges were learned). Documents then equi-join the (word,
+    * orders of magnitude smaller than the corpus. Short merge lists
+    * fold as one codegen'd literal replace per merge inside a single
+    * projection; past [[FoldedMergeLimit]] the chain instead becomes a
+    * RUNTIME fold — `aggregate(<merge array literal>, repr0, replace)`
+    * — because a [[MaxMerges]]-deep nested expression overflows the
+    * analyzer's recursion (measured: StackOverflowError in column
+    * resolution at 2000 nested calls). The array form keeps the plan
+    * depth O(1) — 2000 merge literals are SIBLINGS in one constant
+    * array, folded to a single literal — while the per-row work is
+    * identical (one literal left-to-right replace per merge per
+    * distinct word). Either way: zero jobs, zero driver round-trips at
+    * encode time, however the merges were learned. Documents then
+    * equi-join the (word,
     * n_tokens) relation on the word key and aggregate — the vocabulary
     * side is broadcast-sized in practice and AQE picks that up; the
     * corpus-sized word stream is never regex-processed per occurrence,
@@ -243,10 +262,24 @@ object Bpe {
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
     val repr0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val repr = merges.foldLeft(repr0) { (c, pair) =>
-      regexp_replace(c, lit(Pattern.quote(s" $pair ")),
-        lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
-    }
+    val repr =
+      if (merges.size <= FoldedMergeLimit)
+        merges.foldLeft(repr0) { (c, pair) =>
+          regexp_replace(c, lit(Pattern.quote(s" $pair ")),
+            lit(Matcher.quoteReplacement(s" ${pair.replace(" ", "")} ")))
+        }
+      else
+        // runtime fold: same literal non-overlapping replace scan rule
+        // (java.lang.String.replace — what DuckDB's replace() and the
+        // quoted-regex fold above both implement), applied in merge
+        // order over a constant array. Plan depth is O(1) regardless
+        // of |merges|, so the MaxMerges cap is reachable without
+        // overflowing Catalyst's recursive analysis.
+        aggregate(
+          array(merges.map(lit(_)): _*), repr0,
+          (acc, m) => replace(acc,
+            concat(lit(" "), m, lit(" ")),
+            concat(lit(" "), replace(m, lit(" "), lit("")), lit(" "))))
     val vocab = dw.select(col("w")).distinct()
       .select(col("w"), size(split(trim(repr), " ")).cast("long").as("__nt"))
     val perDoc = dw.join(vocab, "w")

@@ -233,34 +233,60 @@ object Dedup {
     val evalSh = shingles(eval, idCol, textCol, n)
       .select(col("shingle"), col("doc").as("eval_doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val expected = math.max(
-        (evalSh.agg(approx_count_distinct(col("shingle")))
-          .head.getLong(0) * 1.1).toLong, 1L)
-      val bloomBytes = {
-        val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
-        val out = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(out)
-        out.toByteArray
-      }
-      // Native codegen'd probe (BloomMightContain): the serialized
-      // filter rides the plan as a binary literal — task binaries are
-      // broadcast, so executors get it once — and is deserialized once
-      // driver-side into the codegen references. No Scala UDF in the
-      // train-side scan. The aggregate is eagerly localCheckpoint'ed
-      // (it is O(contaminated train docs) — report-sized) so the
-      // returned frame no longer roots in evalSh and the wide persist
-      // can be RELEASED here instead of living as long as the result —
-      // the DedupIndex discipline; the call was already eager (the
-      // sizing count and bloom job above run at call time).
-      shingles(train, idCol, textCol, n)
-        .filter(call_function("bloom_might_contain", lit(bloomBytes), col("shingle")))
-        .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
-        .groupBy(col("doc"))
-        .agg(count(lit(1)).as("n_shared_shingles"),
-          count_distinct(col("eval_doc")).as("n_eval_docs"))
-        .localCheckpoint(true)
-    } finally evalSh.unpersist()
+    // The report aggregate is eagerly localCheckpoint'ed (it is
+    // O(contaminated train docs) — report-sized) so the returned frame
+    // no longer roots in evalSh and the wide persist can be RELEASED
+    // here instead of living as long as the result — the DedupIndex
+    // discipline; the call was already eager (the sizing count and
+    // bloom job inside bloomReport run at call time).
+    try bloomReport(train, evalSh, idCol, textCol, n, fpp)
+      .localCheckpoint(true)
+    finally evalSh.unpersist()
+  }
+
+  /** The d11 report WITHOUT the eager-checkpoint/persist wrapping the
+    * public method ships — package-private so PlanSpec can assert the
+    * physical shape of the join the checkpoint otherwise hides behind
+    * a `Scan ExistingRDD` (shuffled hash verify join, native bloom
+    * probe on the train scan). Not for production callers: the eval
+    * shingle relation here re-executes once per downstream job.
+    */
+  private[graft] def contaminationReportBloomPlan(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val evalSh = shingles(eval, idCol, textCol, n)
+      .select(col("shingle"), col("doc").as("eval_doc"))
+    bloomReport(train, evalSh, idCol, textCol, n, fpp)
+  }
+
+  /** Shared d11 core over an already-built (shingle, eval_doc)
+    * relation: size + build the bloom (two eager jobs against evalSh —
+    * the public caller persists it for exactly that reason), probe it
+    * natively on the train shingle scan, exact-verify with a shuffled
+    * hash join, aggregate to the per-doc report. The bloom probe is
+    * the codegen'd BloomMightContain: the serialized filter rides the
+    * plan as a binary literal — task binaries are broadcast, so
+    * executors get it once — and is deserialized once driver-side into
+    * the codegen references. No Scala UDF in the train-side scan.
+    */
+  private def bloomReport(train: DataFrame, evalSh: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, fpp: Double): DataFrame = {
+    val expected = math.max(
+      (evalSh.agg(approx_count_distinct(col("shingle")))
+        .head.getLong(0) * 1.1).toLong, 1L)
+    val bloomBytes = {
+      val bloom = evalSh.stat.bloomFilter("shingle", expected, fpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    shingles(train, idCol, textCol, n)
+      .filter(call_function("bloom_might_contain", lit(bloomBytes), col("shingle")))
+      .join(evalSh.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
   }
 
   /** The consuming form: training rows with every contaminated doc

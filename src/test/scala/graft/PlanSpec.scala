@@ -146,8 +146,16 @@ class PlanSpec extends SparkSpecBase {
     // the point of the bloom path is that the eval side does NOT have
     // to fit a broadcast hash relation — the exact-verify join must
     // shuffle (ShuffledHashJoin via the hint), and the bloom probe
-    // must sit on the train scan side as a plain Filter
-    val p = plan("d11_bloom_decontamination")
+    // must sit on the train scan side as a plain Filter. The shipped
+    // query eagerly localCheckpoints the report (so its executedPlan
+    // is just the checkpoint scan); assert on the package-private
+    // pre-checkpoint shape that the public method executes.
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val split = d.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val p = graft.operators.Dedup.contaminationReportBloomPlan(
+        d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split),
+        "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"),
       s"d11 verify join must be the shuffled hash join:\n$p")
     assert(!p.contains("BroadcastHashJoin"),
