@@ -78,8 +78,14 @@ object Graph {
       // integer the oracle's integer division produces. `div` is true
       // 64-bit integer division — bit-equal to DuckDB's `//` here
       // (all values non-negative).
+      // shuffle_hash on the O(nodes) rank side: sort-merge would re-SORT
+      // the O(edges) relation every round (its src partitioning is
+      // checkpoint-preserved, so the exchange is already free — the
+      // per-round sort was the remaining edge-sized cost; measured on
+      // the g6 twin of this loop, G6Probe at 30x: 52s -> 15.6s)
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
@@ -191,8 +197,10 @@ object Graph {
     var owned: Option[org.apache.spark.rdd.RDD[_]] = None
     try for (_ <- 1 to iters) {
       val q = dangling / n
+      // shuffle_hash on the rank side — the g1 rationale verbatim
       val contribs = edgesDeg
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .join(ranks.select(col("id").as("src"), col("rank"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
@@ -274,8 +282,12 @@ object Graph {
     var frontier = visited.select(col("id"))
     for (k <- 1 to iters) {
       // neighbors of the frontier not yet assigned a (smaller) dist
+      // shuffle_hash on the frontier: it is the SMALL side every round
+      // (shrinking toward the BFS fringe), and sort-merge would re-sort
+      // the O(edges) adjacency per round
       val reached = adj
-        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .join(frontier.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("id"))
         .distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
@@ -489,6 +501,14 @@ object Graph {
       val keep = adj.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
         .filter(col("__deg") >= k)
         .select(col("src").as("__id"))
+      // NO join hint here, deliberately (measured, SCALING_r10): `keep`
+      // is the output of a materialized shuffle stage, so AQE sizes it
+      // at runtime and converts both semi-joins to BROADCAST when it
+      // fits — the edge relation is then never shuffled at all. Forcing
+      // shuffle_hash (tried) disabled that and cost 3-6x at 30-100x.
+      // Contrast the g1/g6 loops, whose build sides are checkpointed
+      // LogicalRDDs with unknown stats that AQE cannot size — there the
+      // explicit hint is what avoids a per-round edge sort.
       adj = adj
         .join(keep.select(col("__id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("__id").as("dst")), Seq("dst"), "left_semi")
@@ -536,8 +556,17 @@ object Graph {
     var labels = cut(adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     for (_ <- 1 to rounds) {
+      // shuffle_hash on the O(nodes) label side: a sort-merge join here
+      // re-SORTS the O(edges) adjacency relation every round (adj's
+      // checkpoint preserves its dst hash-partitioning, so the exchange
+      // is already free — the per-round sort was the remaining
+      // edge-relation-sized cost; G6Probe measured it at 30x). Hashing
+      // the per-partition label slice is O(nodes/partitions) and the
+      // edge side streams unsorted. Broadcast would be wrong here: the
+      // label relation grows with the graph and re-collects per round.
       labels = cut(adj
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
         .groupBy(col("src").as("id"))
