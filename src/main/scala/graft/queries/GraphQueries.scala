@@ -184,6 +184,35 @@ object GraphQueries extends QueryModule {
       "corner, wedge volume O(m^1.5) on any graph); oracle enumerates " +
       "canonical triangles by brute-force three-way join")
 
+  /** The WAVED-execution twin of g2 under the same brute-force oracle:
+    * identical co-purchase graph, identical answer, but the wedge
+    * pipeline runs in 3 sequential apex-hash waves — the bounded-
+    * scratch path SCALING_r10 proves at 4.1 B wedges (the 100× join
+    * that exhausts this box's disk run whole). GraphSpec pins
+    * waved == single-pass structurally; this slot puts the waved
+    * physical path under the DRIVER's rows+schema+hash gate too, so a
+    * wave-partition bug (an apex double-counted across waves, a wave
+    * dropped) would flip the hash, not just a unit test.
+    */
+  private val trianglesWaved = CatalogQuery(
+    "g2b_triangles_waved",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graph.triangleCounts(e, waves = 3)
+        .select(col("node").cast("long").as("node"), col("n_triangles"))
+        .orderBy(col("node"))
+    },
+    triangles.oracle,
+    doc = "g2 under 3-wave bounded-scratch execution (wedges built per " +
+      "apex hash class, per-wave corner partials checkpointed and " +
+      "summed): same brute-force triangle oracle — the scale path for " +
+      "wedge volumes whose single-pass join exceeds shuffle scratch")
+
   /** Frontier BFS over the undirected customer↔supplier purchase graph
     * (same edge derivation and node-id parity as g1): minimum hop
     * distance from customer 1 within 3 hops. The bipartite hub
@@ -434,6 +463,6 @@ object GraphQueries extends QueryModule {
       "replays LPA AND the modularity bookkeeping end-to-end")
 
   override def queries: Seq[CatalogQuery] =
-    Seq(pagerank, pagerankConserving, triangles, bfs, sssp, kcore, lpa,
-      modularityQ)
+    Seq(pagerank, pagerankConserving, triangles, trianglesWaved, bfs,
+      sssp, kcore, lpa, modularityQ)
 }
