@@ -184,20 +184,24 @@ object GraphQueries extends QueryModule {
       "corner, wedge volume O(m^1.5) on any graph); oracle enumerates " +
       "canonical triangles by brute-force three-way join")
 
-  /** The WAVED-execution twin of g2 under the same brute-force oracle:
-    * identical co-purchase graph, identical answer, but the wedge
-    * pipeline runs in 3 sequential apex-hash waves — the bounded-
-    * scratch path SCALING_r10 proves at 4.1 B wedges (the 100× join
-    * that exhausts this box's disk run whole). GraphSpec pins
-    * waved == single-pass structurally; this slot puts the waved
+  /** The WAVED-execution twin of g2 under the same brute-force oracle
+    * shape: the wedge pipeline runs in 3 sequential apex-hash waves —
+    * the bounded-scratch path SCALING_r10 proves at 4.1 B wedges (the
+    * 100× join that exhausts this box's disk run whole). GraphSpec
+    * pins waved == single-pass structurally; this slot puts the waved
     * physical path under the DRIVER's rows+schema+hash gate too, so a
     * wave-partition bug (an apex double-counted across waves, a wave
-    * dropped) would flip the hash, not just a unit test.
+    * dropped) would flip the hash, not just a unit test. Runs on a
+    * quarter of the orders (l_orderkey % 4 = 1) — wave coverage needs
+    * A graph, not THE biggest graph, and the slice keeps the bench
+    * from paying g2's full wedge volume twice plus small-scale wave
+    * overhead for a path whose scale proof lives in SCALING_r10.
     */
   private val trianglesWaved = CatalogQuery(
     "g2b_triangles_waved",
     (s, dir) => {
       val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 4 === 1)
         .select(col("l_orderkey"), col("l_partkey"))
       val e = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
@@ -207,10 +211,29 @@ object GraphQueries extends QueryModule {
         .select(col("node").cast("long").as("node"), col("n_triangles"))
         .orderBy(col("node"))
     },
-    triangles.oracle,
-    doc = "g2 under 3-wave bounded-scratch execution (wedges built per " +
-      "apex hash class, per-wave corner partials checkpointed and " +
-      "summed): same brute-force triangle oracle — the scale path for " +
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+           |         greatest(l1.l_partkey, l2.l_partkey) AS b
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |  WHERE l1.l_partkey <> l2.l_partkey
+           |    AND l1.l_orderkey % 4 = 1),
+           |tri AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |corners AS (
+           |  SELECT x AS node FROM tri
+           |  UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri)
+           |SELECT CAST(node AS BIGINT) AS node,
+           |       CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM corners GROUP BY node ORDER BY node""".stripMargin),
+    doc = "g2's answer under 3-wave bounded-scratch execution (wedges " +
+      "built per apex hash class, per-wave corner partials " +
+      "checkpointed and summed), on the l_orderkey%4=1 co-purchase " +
+      "slice: same brute-force triangle oracle — the scale path for " +
       "wedge volumes whose single-pass join exceeds shuffle scratch")
 
   /** Frontier BFS over the undirected customer↔supplier purchase graph
