@@ -40,6 +40,48 @@ object Scratch {
     d
   }
 
+  /** Fresh scratch dir named `<prefix><pid>_<uuid>`, registered for
+    * deletion at JVM exit. The embedded pid is what makes cross-process
+    * cleanup SAFE: [[reapDead]] can tell a dead process's leftovers
+    * from a live sibling's working sink, where a bare prefix glob
+    * cannot — /dev/shm is box-wide, and a glob reap deletes the live
+    * parquet sink of any concurrent process using the same prefix (and
+    * any earlier frame in THIS process still lazily reading its sink).
+    */
+  def pidDir(prefix: String): File = {
+    val d = dir(s"$prefix${ProcessHandle.current().pid()}_")
+    synchronized { owned += d }
+    d
+  }
+
+  private val owned = scala.collection.mutable.ArrayBuffer.empty[File]
+  locally {
+    // one hook for every pidDir this process ever creates; best-effort
+    // (tmpfs contents die with the box anyway — this just keeps a
+    // long-lived box tidy across many short verify/bench processes)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      synchronized { owned.foreach(delete) }))
+  }
+
+  /** Delete `<prefix><pid>_<uuid>` dirs under [[root]] whose embedded
+    * pid is provably dead. Dirs without a parseable pid (foreign
+    * naming) and live-pid dirs are left alone; a dir this process owns
+    * is never reaped here (its pid is alive by definition).
+    */
+  def reapDead(prefix: String): Unit = {
+    val re = (java.util.regex.Pattern.quote(prefix) + "(\\d+)_.*").r
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case re(pid) =>
+          // ProcessHandle.of is empty iff no such native process exists
+          val alive = try ProcessHandle.of(pid.toLong).isPresent
+          catch { case _: Exception => true } // out-of-range pid: assume live
+          if (!alive) delete(f)
+        case _ => ()
+      }
+    }
+  }
+
   /** Best-effort recursive delete — scratch cleanup must never fail
     * the query whose results are already produced.
     */

@@ -38,12 +38,19 @@ object LogSearch {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // expand exactly what wholeTextFiles will read: glob matches, one
-    // level of directory listing for matched dirs
+    // level of directory listing for matched dirs — MINUS hidden files
+    // (`_`/`.` prefixes): FileInputFormat's hiddenFileFilter never
+    // reads those, so an oversized _SUCCESS/.crc must not fail an
+    // audit of files that will never be materialized
+    def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .flatMap { s =>
         if (s.isDirectory)
-          fs.listStatus(s.getPath).filter(_.isFile)
-        else Array(s)
+          fs.listStatus(s.getPath).filter(f => f.isFile && visible(f))
+        else Array(s).filter(visible)
       }
     val oversized = files.filter(_.getLen > maxFileBytes)
     if (oversized.nonEmpty)

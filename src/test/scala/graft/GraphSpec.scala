@@ -148,7 +148,17 @@ class GraphSpec extends SparkSpecBase {
       try {
         actions.set(0)
         Graph.pageRankConserving(edges.toDF("src", "dst"), iters).count()
-        Thread.sleep(500) // the listener bus is async; let it drain
+        // the listener bus is async: poll until the counter has been
+        // stable for several consecutive reads (a fixed sleep let late
+        // deliveries bleed between the a2/a5 runs under CI load)
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 5 && waited < 10000) {
+          Thread.sleep(100); waited += 100
+          val now = actions.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
         actions.get()
       } finally s.listenerManager.unregister(listener)
     }
