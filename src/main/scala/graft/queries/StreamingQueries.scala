@@ -407,16 +407,15 @@ object StreamingQueries extends QueryModule {
       // RAM-backed scratch for both the checkpoint and the per-batch
       // parquet dirs (the runReplay rationale; the day-level aggregate
       // is kilobytes). The dir must OUTLIVE this builder — the
-      // returned frame reads `$sink/data` lazily — so it is not
-      // deleted here; instead each build reaps its PREDECESSORS
-      // (bench/verify run st7 serially and read each result before the
-      // next build), bounding tmpfs growth at one sink per process
-      // generation.
-      Option(graft.core.Scratch.root.listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_st7_"))
-        .foreach(graft.core.Scratch.delete)
-      val sink = graft.core.Scratch.dir("graft_st7_").getAbsolutePath
+      // returned frame reads `$sink/data` lazily — so it is never
+      // deleted by a LIVE process's builds: the dir name embeds the
+      // owning pid, cross-process reaping touches only dirs whose pid
+      // is provably dead, and this process's own dirs die in its JVM
+      // shutdown hook (Scratch.pidDir). A bare prefix glob here once
+      // deleted concurrent siblings' live sinks and earlier same-
+      // process frames still lazily re-listing theirs.
+      graft.core.Scratch.reapDead("graft_st7_")
+      val sink = graft.core.Scratch.pidDir("graft_st7_").getAbsolutePath
       // Hive-style batch_id=<id> subdirs under one data root: the read
       // back is plain partition discovery (no glob), and each re-run
       // of a batch replaces exactly its own partition directory
@@ -658,8 +657,177 @@ object StreamingQueries extends QueryModule {
       "emission frontier), swept batch-side via the distributed " +
       "prefix sum; oracle = a14's replay restricted to the frontier")
 
+  /** The SURVEY §2.8 membership state machine (ST1–ST5) under the
+    * oracle gate — until round 11 the one family verified only by
+    * spec. Heartbeats derive deterministically from `events`: member =
+    * `user_id`, counter = the heartbeat's epoch second (monotone per
+    * member, so stale/duplicate gossip is a same-second arrival),
+    * health = `Left` on 'signup' rows (voluntary departure that
+    * re-joins on the next higher-counter heartbeat — the reference's
+    * rejoin rule) else `Alive`, and each member stops heartbeating at
+    * a per-member HORIZON (day `10 + user_id % 20`) so the replay's
+    * three watermark checkpoints each catch a different cohort going
+    * silent: failure timeouts fire at W2 for the early horizons, at
+    * the final no-data batch for the late ones, and cleanup removes
+    * the earliest cohort entirely.
+    *
+    * The oracle replays the merge rules ANALYTICALLY: applied
+    * heartbeats are first-of-their-second or Left (LWW stale-skip),
+    * lifecycle kinds come from the prior applied state, and the
+    * timeout events are reconstructed from the three deterministic
+    * watermark values (max event time per batch prefix − 1 h) — fail
+    * when `W − lastUpdate > failAfter` for an Alive entry whose
+    * member has no data in the firing batch, removal when the silence
+    * exceeds `failAfter + cleanupAfter` (`≥` on the Left path, whose
+    * timer re-arms at `failAfter`). The planted three-weeks-late
+    * sentinel maps to a member id absent from the pristine table —
+    * the watermark must drop it before the state machine sees it, or
+    * a phantom 'joined' row flips the hash.
+    *
+    * Reference anchor: `mp3/src/detector.go:163-227` (HeartbeatHandler
+    * merge + FailMember/CleanupMember timers).
+    */
+  private val streamMembership = CatalogQuery(
+    "st11_membership_lifecycle",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val F = 259200000L // failAfter: 3 days
+      val C = 432000000L // cleanupAfter: 5 more days
+      val hbs = eventsStream(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("tsms"),
+          col("event_type"))
+        // per-member heartbeat horizon: day 10 + (user_id % 20)
+        .filter(col("tsms") < lit(1704067200000L) +
+          (lit(10) + pmod(col("user_id"), lit(20))) * lit(86400000L))
+        .select(
+          col("user_id").cast("int").as("memberId"),
+          concat(lit("10.0.0."), col("user_id").cast("string")).as("ip"),
+          (col("tsms") / 1000).cast("long").as("heartbeatCount"),
+          when(col("event_type") === "signup",
+            lit(graft.streaming.Membership.Left))
+            .otherwise(lit(graft.streaming.Membership.Alive)).as("health"),
+          col("tsms").as("eventTimeMs"))
+        .as[graft.streaming.Membership.Heartbeat]
+      val ev = graft.streaming.Membership.updates(hbs,
+        failAfterMs = F, cleanupAfterMs = C, watermarkDelay = "1 hour")
+      runReplay(s, ev.toDF(), "graft_st11_")
+        .select(col("memberId").as("member_id"), col("kind"),
+          col("heartbeatCount").as("hb_count"), col("health"),
+          col("atMs").as("at_ms"))
+        .orderBy(col("member_id"), col("at_ms"), col("kind"))
+    },
+    Some("""WITH hb AS (
+           |  SELECT CAST(user_id AS INT) AS member_id,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tsms,
+           |         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000) // 1000 AS sec,
+           |         CASE WHEN event_type = 'signup' THEN 2 ELSE 0 END AS health
+           |  FROM events
+           |  WHERE (epoch_us(CAST(ts AS TIMESTAMP)) // 1000) <
+           |        1704067200000 + (10 + user_id % 20) * 86400000),
+           |wm AS (
+           |  SELECT (SELECT max(tsms) FROM hb WHERE tsms < 1704931200000)
+           |           - 3600000 AS w1,
+           |         (SELECT max(tsms) FROM hb WHERE tsms < 1705795200000)
+           |           - 3600000 AS w2,
+           |         (SELECT max(tsms) FROM hb) - 3600000 AS w3),
+           |app AS (
+           |  SELECT *,
+           |    (row_number() OVER (PARTITION BY member_id, sec
+           |                        ORDER BY tsms) = 1
+           |     OR health = 2) AS applied
+           |  FROM hb),
+           |st AS (
+           |  SELECT *,
+           |    last_value(CASE WHEN applied THEN sec END IGNORE NULLS)
+           |      OVER mw AS prev_sec,
+           |    last_value(CASE WHEN applied THEN health END IGNORE NULLS)
+           |      OVER mw AS prev_health
+           |  FROM app
+           |  WINDOW mw AS (PARTITION BY member_id ORDER BY tsms
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |emit AS (
+           |  SELECT member_id,
+           |    CASE WHEN health = 2 THEN 'left'
+           |         WHEN prev_sec IS NULL THEN 'joined'
+           |         ELSE 'updated' END AS kind,
+           |    sec AS hb_count, health, tsms AS at_ms
+           |  FROM st
+           |  WHERE applied AND (prev_sec IS NULL OR sec != prev_sec
+           |                     OR health != prev_health)),
+           |m AS (
+           |  SELECT member_id,
+           |    bool_or(tsms < 1704931200000) AS d1,
+           |    bool_or(tsms >= 1704931200000 AND tsms < 1705795200000) AS d2,
+           |    bool_or(tsms >= 1705795200000) AS d3,
+           |    max(tsms) FILTER (WHERE applied AND tsms < 1704931200000) AS l1,
+           |    max(tsms) FILTER (WHERE applied AND tsms < 1705795200000) AS l2,
+           |    max(tsms) FILTER (WHERE applied) AS l3,
+           |    arg_max(health, tsms)
+           |      FILTER (WHERE applied AND tsms < 1704931200000) AS h1,
+           |    arg_max(health, tsms)
+           |      FILTER (WHERE applied AND tsms < 1705795200000) AS h2,
+           |    arg_max(health, tsms) FILTER (WHERE applied) AS h3
+           |  FROM app GROUP BY member_id),
+           |sim AS (
+           |  SELECT m.*, wm.w1, wm.w2, wm.w3,
+           |    -- checkpoint 1 fires during batch 2 (watermark w1):
+           |    -- suppressed when the member has batch-2 data
+           |    (d1 AND NOT d2 AND h1 = 0 AND w1 - l1 > 259200000) AS f1,
+           |    (d1 AND NOT d2 AND h1 = 2 AND w1 - l1 >= 691200000) AS r1
+           |  FROM m, wm),
+           |sim2 AS (
+           |  SELECT *,
+           |    CASE WHEN d2 THEN h2 WHEN f1 THEN 1 ELSE h1 END AS e2,
+           |    CASE WHEN d2 THEN l2 ELSE l1 END AS le2,
+           |    (d1 OR d2) AND NOT r1 AS present2
+           |  FROM sim),
+           |sim3 AS (
+           |  SELECT *,
+           |    (present2 AND NOT d3 AND e2 = 0 AND w2 - le2 > 259200000) AS f2,
+           |    (present2 AND NOT d3 AND
+           |     ((e2 = 2 AND w2 - le2 >= 691200000)
+           |      OR (e2 = 1 AND w2 - le2 > 691200000))) AS r2
+           |  FROM sim2),
+           |sim4 AS (
+           |  SELECT *,
+           |    CASE WHEN d3 THEN h3 WHEN f2 THEN 1 ELSE e2 END AS e3,
+           |    CASE WHEN d3 THEN l3 ELSE le2 END AS le3,
+           |    (present2 OR d3) AND NOT r2 AS present3
+           |  FROM sim3),
+           |timers AS (
+           |  SELECT member_id, 'failed' AS kind, l1 // 1000 AS hb_count,
+           |         1 AS health, w1 AS at_ms
+           |  FROM sim4 WHERE f1
+           |  UNION ALL
+           |  SELECT member_id, 'removed', l1 // 1000, h1, w1
+           |  FROM sim4 WHERE r1
+           |  UNION ALL
+           |  SELECT member_id, 'failed', le2 // 1000, 1, w2
+           |  FROM sim4 WHERE f2
+           |  UNION ALL
+           |  SELECT member_id, 'removed', le2 // 1000, e2, w2
+           |  FROM sim4 WHERE r2
+           |  UNION ALL
+           |  SELECT member_id, 'failed', le3 // 1000, 1, w3
+           |  FROM sim4 WHERE present3 AND e3 = 0 AND w3 - le3 > 259200000
+           |  UNION ALL
+           |  SELECT member_id, 'removed', le3 // 1000, e3, w3
+           |  FROM sim4 WHERE present3 AND
+           |    ((e3 = 2 AND w3 - le3 >= 691200000)
+           |     OR (e3 = 1 AND w3 - le3 > 691200000))),
+           |allev AS (SELECT * FROM emit UNION ALL SELECT * FROM timers)
+           |SELECT member_id, kind, CAST(hb_count AS BIGINT) AS hb_count,
+           |       CAST(health AS INT) AS health, CAST(at_ms AS BIGINT) AS at_ms
+           |FROM allev ORDER BY member_id, at_ms, kind""".stripMargin),
+    doc = "Gossip-membership lifecycle (ST1-ST5) as a catalog row: " +
+      "LWW heartbeat merge with Left propagation and same-second " +
+      "stale-skip, event-time failure timeouts and TTL cleanup fired " +
+      "at the replay's three watermark checkpoints; the oracle " +
+      "replays merge + timer rules analytically and the late sentinel " +
+      "must die at the watermark before faking a member")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
       streamAttribution, streamDau, streamTrending, streamMotif,
-      streamOhlc, streamConcurrency)
+      streamOhlc, streamConcurrency, streamMembership)
 }
