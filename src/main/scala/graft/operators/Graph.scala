@@ -397,33 +397,44 @@ object Graph {
     * cluster the same volume spreads across executors' local disks
     * and waves=1 is right until it isn't — the decision input is
     * wedge volume × ~24 B against aggregate scratch.
+    *
+    * The waved inputs are materialized ONCE as parquet tables BUCKETED
+    * on their join keys (`oriented` on the apex `u`, the canonical
+    * edge set on `(a, b)`): a bucketed scan already satisfies the
+    * join's hash-distribution requirement, so the wedge self-join
+    * runs with ZERO exchange every wave and the close join shuffles
+    * only the wave's wedges — the two per-wave re-shuffles of fixed
+    * O(edges) relations that made 2-wave runs cost 1.65–1.78× the
+    * single-pass per-wedge rate (SCALING_r10 finding B) are paid once
+    * at table-build time instead of once per wave. shuffle_hash on
+    * the bucketed build sides keeps the multi-billion-row wedge
+    * stream out of sort-merge sorts.
     */
   def triangleCounts(edges: DataFrame, waves: Int = 1): DataFrame = {
     require(waves >= 1, s"waves must be >= 1, got $waves")
     // canonical undirected edge set: (a < b), self-loops dropped,
-    // duplicates collapsed — persisted: wedge build and wedge close
-    // both read it
-    val und = edges
+    // duplicates collapsed
+    val undPlan = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("n"))
-      .unionAll(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient each edge toward the (degree, id)-larger endpoint
-    val oriented = und
-      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
-      .select(
-        when(col("__da") < col("__db") ||
-            (col("__da") === col("__db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v")))
-          .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def orient(und: DataFrame): DataFrame = {
+      val deg = und.select(col("a").as("n"))
+        .unionAll(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      und
+        .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+        .select(
+          when(col("__da") < col("__db") ||
+              (col("__da") === col("__db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v")))
+            .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+    }
     // wedges at each triangle's (degree, id)-minimum vertex; the pair
     // (x, y) is kept in id order so closing it is one equi-join on
     // the canonical edge set. A wedge's BOTH legs share its apex u, so
@@ -431,39 +442,88 @@ object Graph {
     // exactly one wave — the per-wave pipeline is the whole-graph
     // pipeline over 1/waves of the wedge volume, and the union of
     // waves is exactly the single-pass answer.
-    def corners(wv: Int): DataFrame = {
+    def corners(oriented: DataFrame, und: DataFrame,
+                wv: Int, hints: Boolean): DataFrame = {
       val o = if (waves == 1) oriented
               else oriented.filter(pmod(hash(col("u")), lit(waves)) === wv)
+      val ySide = o.select(col("u"), col("v").as("y"))
       val wedges = o.select(col("u"), col("v").as("x"))
-        .join(o.select(col("u"), col("v").as("y")), "u")
+        .join(if (hints) ySide.hint("shuffle_hash") else ySide, "u")
         .filter(col("x") < col("y"))
       wedges
-        .join(und, col("x") === col("a") && col("y") === col("b"))
+        .join(if (hints) und.hint("shuffle_hash") else und,
+          col("x") === col("a") && col("y") === col("b"))
         .select(col("u"), col("x"), col("y"))
         .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_triangles"))
     }
-    if (waves == 1) corners(0)
-    else {
+    if (waves == 1) {
+      // single-pass: persisted in-memory relations feed both join
+      // sides within the one job; AQE sizes them at runtime (broadcast
+      // when small), so no hints
+      val und = undPlan.persist(StorageLevel.MEMORY_AND_DISK)
+      corners(orient(und).persist(StorageLevel.MEMORY_AND_DISK), und,
+        0, hints = false)
+    } else {
       // WAVED execution — the in-box/bounded-scratch path for wedge
       // volumes whose materialized join would exhaust shuffle spill
       // space run whole (4.1 B wedges ≈ >80 GB scratch on one box;
-      // SCALING_r09). Each wave's O(nodes) corner-count partial is
-      // eagerly localCheckpoint'ed; dropping every reference to the
-      // wave's joins lets the ContextCleaner retire its shuffle files
-      // before the next wave writes, bounding peak scratch at
-      // ~1/waves of the whole-join footprint. The System.gc nudge is
-      // what makes that bound real: shuffle files die with their
-      // dependency objects, which die at the next collection.
-      val partials = (0 until waves).map { wv =>
-        val p = corners(wv).localCheckpoint(true)
-        System.gc()
-        p
+      // SCALING_r09). und and oriented are written ONCE as bucketed
+      // tables so every wave's joins read a pre-partitioned scan
+      // instead of re-shuffling the fixed relations; each wave's
+      // O(nodes) corner-count partial is eagerly localCheckpoint'ed,
+      // and dropping every reference to the wave's joins lets the
+      // ContextCleaner retire its shuffle files before the next wave
+      // writes, bounding peak scratch at ~1/waves of the whole-join
+      // footprint.
+      val spark = edges.sparkSession
+      val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val undTbl = s"graft_g2_und_$runId"
+      val orTbl = s"graft_g2_or_$runId"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_g2_waves")
+      val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      try {
+        undPlan.write.format("parquet")
+          .bucketBy(buckets, "a", "b")
+          .option("path", tmp.resolve("und").toString)
+          .saveAsTable(undTbl)
+        val und = spark.table(undTbl)
+        orient(und).write.format("parquet")
+          .bucketBy(buckets, "u")
+          .option("path", tmp.resolve("or").toString)
+          .saveAsTable(orTbl)
+        val oriented = spark.table(orTbl)
+        val partials = (0 until waves).map { wv =>
+          // shuffle_hash hints: the build sides are bucketed scans the
+          // wave reads exchange-free; unhinted, Catalyst would plan
+          // sort-merge and SORT the wedge stream (the AQE-hint rule —
+          // stats exist here, but the sort is the known loss)
+          val p = corners(oriented, und, wv, hints = true)
+            .localCheckpoint(true)
+          // Shuffle files die with their dependency objects, which die
+          // at the next collection — on one box (local mode) a nudge
+          // per wave is what makes the 1/waves scratch bound real. On
+          // a shared cluster driver a forced full GC is a latency
+          // hiccup for every concurrent query, the scratch spreads
+          // over executors' local disks, and spark.cleaner.periodicGC
+          // (default 30 min) already bounds it — so the nudge is
+          // LOCAL-MODE-ONLY unless spark.graft.waves.gcNudge overrides.
+          val nudge = spark.conf.getOption("spark.graft.waves.gcNudge")
+            .map(_.toBoolean).getOrElse(spark.sparkContext.isLocal)
+          if (nudge) System.gc()
+          p
+        }
+        partials.reduce(_ unionAll _)
+          .groupBy(col("node"))
+          .agg(sum(col("n_triangles")).as("n_triangles"))
+      } finally {
+        // the partials are already materialized RDDs: the bucketed
+        // inputs can be dropped before the merged frame is ever read
+        spark.sql(s"DROP TABLE IF EXISTS `$undTbl`")
+        spark.sql(s"DROP TABLE IF EXISTS `$orTbl`")
+        graft.core.Scratch.delete(tmp.toFile)
       }
-      partials.reduce(_ unionAll _)
-        .groupBy(col("node"))
-        .agg(sum(col("n_triangles")).as("n_triangles"))
     }
   }
 
