@@ -136,8 +136,39 @@ object Bench {
     val pass3 = names.map(n =>
       n -> (if (pass2(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0))).toMap
     sentinels += spinSentinel()
-    def walls(n: String) = Seq(pass1(n)._1, pass2(n)._1, pass3(n)._1)
-    def allOk(n: String) = walls(n).forall(_ >= 0)
+    val samples = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n ->
+        scala.collection.mutable.ArrayBuffer(pass1(n), pass2(n), pass3(n))): _*)
+    def allOk(n: String) = samples(n).forall(_._1 >= 0)
+    // CONTENTION RETRY: a query whose EVERY timed window saw >= 1
+    // foreign busy core has no clean measurement — its median is the
+    // box's weather, not the plan (round-10 driver record: st family
+    // 2x the idle-box truth at 6-11 ext cores, readable only by a
+    // human cross-referencing annotations). Re-measure those queries
+    // (bounded: 3 extra tries each, 45 box-wide — a fully loaded box
+    // must not double the bench) until a window under 1 foreign core
+    // lands, then report the median of the 3 LEAST-contended windows.
+    // On an idle box this is a no-op; under transient load the
+    // headline becomes the least-contended median instead of a number
+    // that needs a footnote.
+    val RetryForeignCores = 1.0
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var retryBudget = 45
+    names.foreach { n =>
+      var tries = 0
+      while (allOk(n) && tries < 3 && retryBudget > 0 &&
+             samples(n).map(_._2).min >= RetryForeignCores) {
+        samples(n) += timeOnce(n)
+        tries += 1; retryBudget -= 1
+        retried(n) = tries
+      }
+    }
+    // per query: the 3 least-contended windows (ties: faster wall)
+    // carry the reported stats; extra contended windows influence
+    // nothing once a cleaner one exists
+    def chosen(n: String) =
+      samples(n).sortBy(s => (s._2, s._1)).take(3)
+    def walls(n: String) = chosen(n).map(_._1)
     val results = names.map { n =>
       n -> (if (allOk(n)) walls(n).sorted.apply(1) else -1.0)
     }
@@ -145,14 +176,14 @@ object Bench {
     // best-of-2, so this is the apples-to-apples series for
     // cross-round comparison while the median stays the headline
     val mins = names.map { n =>
-      n -> (if (allOk(n)) walls(n).min else -1.0)
+      n -> (if (allOk(n)) samples(n).map(_._1).min else -1.0)
     }
     // Per-query self-identification: max foreign busy cores observed
-    // over the 3 windows (ext_cpu), and queries whose wall spread
-    // exceeds 2x (unstable) — a noisy median names itself instead of
-    // reading as a plan regression.
+    // over the reported windows (ext_cpu), and queries whose wall
+    // spread exceeds 2x (unstable) — a noisy median names itself
+    // instead of reading as a plan regression.
     val extCpu = names.map { n =>
-      n -> Seq(pass1(n)._2, pass2(n)._2, pass3(n)._2).max
+      n -> chosen(n).map(_._2).max
     }
     val unstable = names.filter(n =>
       allOk(n) && walls(n).min > 0 && walls(n).max > 2 * walls(n).min)
@@ -177,9 +208,10 @@ object Bench {
       .mkString("{", ",", "}")
     val unstableJson = unstable.map(js).mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val retriedJson = retried.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(f3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"retried":$retriedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
@@ -215,7 +247,7 @@ object Bench {
           .map { case (k, v) => s"${js(k)}:${f3(v)}" }
           .mkString("{", ",", "}")
         val unstJ = unstable.take(unstN).map(js).mkString("[", ",", "]")
-        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
+        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"retried_n":${retried.size},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
       }
       val fixed = Seq((10, 80, 8, 10), (5, 40, 4, 5), (2, 30, 2, 2),
           (0, 0, 0, 0))
