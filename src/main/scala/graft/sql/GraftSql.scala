@@ -607,7 +607,209 @@ object GraftSql {
         |  sum(coalesce(per.n_new, 0L))
         |    OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS vocab_size
         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-        |ORDER BY doc""".stripMargin
+        |ORDER BY doc""".stripMargin,
+
+    // ---- round 11: the dedup / text / similarity families a pipeline
+    // user actually types, parity-asserted against their DataFrame
+    // twins like everything above ----
+
+    // brute-force cosine top-k through the native array_dot expression
+    // by SQL name — the BROADCAST hint carries the DataFrame form's
+    // physical intent (small query set to every executor, one corpus
+    // pass)
+    "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS ARRAY<DOUBLE>) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT /*+ BROADCAST(q) */ qid, e.vec_id AS neighbor_id,
+        |    array_dot(qv, CAST(e.embedding AS ARRAY<DOUBLE>)) /
+        |      (sqrt(array_dot(qv, qv)) *
+        |       sqrt(array_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |                      CAST(e.embedding AS ARRAY<DOUBLE>)))) AS cos
+        |  FROM embeddings e JOIN q ON e.vec_id <> qid),
+        |ranked AS (
+        |  SELECT qid, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, neighbor_id, round(cos, 4) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // symmetric int8 quantization audit: the s_raw/scale alias split
+    // is load-bearing (the Quantize lateral-alias note) — the rounded
+    // "scale" must never rebind the error expressions
+    "s5_int8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    array_max(transform(v, x -> abs(x))) / 127.0d AS s_raw
+        |  FROM e)
+        |SELECT vec_id, round(s_raw, 9) AS scale,
+        |  CAST(size(v) AS BIGINT) AS n_dims,
+        |  CASE WHEN s_raw = 0.0d THEN 0L ELSE
+        |    CAST(array_min(transform(v, x -> floor(x / s_raw + 0.5d)))
+        |      AS BIGINT) END AS qmin,
+        |  CASE WHEN s_raw = 0.0d THEN 0L ELSE
+        |    CAST(array_max(transform(v, x -> floor(x / s_raw + 0.5d)))
+        |      AS BIGINT) END AS qmax,
+        |  CASE WHEN s_raw = 0.0d THEN 0.0d ELSE
+        |    round(array_max(transform(v,
+        |      x -> abs(x - floor(x / s_raw + 0.5d) * s_raw))), 9)
+        |    END AS max_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // per-label element-wise centroid in integral micro-units
+    "s6_label_centroids" ->
+      """WITH d AS (
+        |  SELECT label, pos, v FROM embeddings
+        |  LATERAL VIEW posexplode(embedding) t AS pos, v),
+        |q AS (
+        |  SELECT label, pos,
+        |    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM d)
+        |SELECT label, pos, sum(qv) AS sum_q, count(1) AS n,
+        |  CAST(floor(sum(qv) / count(1) + 0.5d) AS BIGINT) AS centroid_micro
+        |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // exact word-3-gram Jaccard pairs over the shingle inverted index
+    // (the x11 core, d2's stop-shingle guard and ROUNDED threshold)
+    "d2_ngram_jaccard_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        |  FROM f
+        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i, j,
+        |    round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j)
+        |SELECT i, j, jaccard FROM scored
+        |WHERE jaccard >= 0.8 ORDER BY i, j""".stripMargin,
+
+    // same inverted-index core, asymmetric containment metric
+    "d13_containment_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        |  FROM f
+        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i, j,
+        |    round(CAST(c AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = i
+        |  JOIN sizes sb ON sb.doc_id = j)
+        |SELECT i, j, containment FROM scored
+        |WHERE containment >= 0.8 ORDER BY i, j""".stripMargin,
+
+    // verbatim 8-gram train/eval decontamination audit; broadcast
+    // carries the DataFrame form's physical intent (eval shingles are
+    // the small side at any corpus size)
+    "d7_decontamination" ->
+      """WITH split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+        |f AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS s
+        |  FROM f
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+        |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
+        |SELECT /*+ BROADCAST(ev) */ tr.doc_id AS doc,
+        |  count(*) AS n_shared_shingles,
+        |  count(DISTINCT ev.doc_id) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY tr.doc_id ORDER BY doc""".stripMargin,
+
+    // marker-vote language id with the DataFrame form's exact
+    // tie-break: sort the (negated score, lang) structs, take the head
+    "t3_language_id" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc, array_sort(array(
+        |    named_struct('neg', -CAST(size(filter(ws, w -> array_contains(
+        |      array('der','die','das','und','nicht'), w))) AS BIGINT),
+        |      'lang', 'de'),
+        |    named_struct('neg', -CAST(size(filter(ws, w -> array_contains(
+        |      array('the','a','of','to','and'), w))) AS BIGINT),
+        |      'lang', 'en'),
+        |    named_struct('neg', -CAST(size(filter(ws, w -> array_contains(
+        |      array('el','los','que','y','en'), w))) AS BIGINT),
+        |      'lang', 'es'),
+        |    named_struct('neg', -CAST(size(filter(ws, w -> array_contains(
+        |      array('le','la','les','et','est'), w))) AS BIGINT),
+        |      'lang', 'fr'))) AS sc
+        |  FROM f)
+        |SELECT doc,
+        |  CASE WHEN sc[0].neg = 0L THEN 'und' ELSE sc[0].lang END
+        |    AS lang_guess,
+        |  -sc[0].neg AS score
+        |FROM s ORDER BY doc""".stripMargin,
+
+    // Gopher-style repetition signals: in-row word features plus the
+    // per-doc 2-gram aggregate cascade
+    "t6_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc, ws, CAST(size(ws) AS BIGINT) AS n_tokens,
+        |    CASE WHEN size(ws) > 0
+        |      THEN round(1.0d - CAST(size(array_distinct(ws)) AS DOUBLE)
+        |                 / size(ws), 6)
+        |      ELSE 0.0d END AS dup_word_ratio
+        |  FROM f),
+        |g AS (
+        |  SELECT doc, concat_ws(' ', ws[i], ws[i+1]) AS g
+        |  FROM base
+        |  LATERAL VIEW explode(if(size(ws) >= 2, sequence(0, size(ws) - 2),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |gc AS (SELECT doc, g, count(1) AS c FROM g GROUP BY doc, g),
+        |gs AS (
+        |  SELECT doc, sum(c) AS n_2grams,
+        |    round(1.0d - CAST(count(1) AS DOUBLE) / sum(c), 6)
+        |      AS dup_2gram_ratio,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_ratio
+        |  FROM gc GROUP BY doc)
+        |SELECT b.doc, b.n_tokens, b.dup_word_ratio,
+        |  coalesce(gs.n_2grams, 0L) AS n_2grams,
+        |  coalesce(gs.dup_2gram_ratio, 0.0d) AS dup_2gram_ratio,
+        |  coalesce(gs.top_2gram_ratio, 0.0d) AS top_2gram_ratio
+        |FROM base b LEFT JOIN gs ON gs.doc = b.doc
+        |ORDER BY b.doc""".stripMargin
   )
 }
 
