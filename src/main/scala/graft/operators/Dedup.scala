@@ -370,10 +370,22 @@ object Dedup {
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) from the co-occurrence counts —
     * the intersection never needs materialized sets.
     */
+  /** Default candidate-pair budget for the exact shingle co-occurrence
+    * joins: ~2e9 counted join rows ≈ minutes at 32 cores (the rows are
+    * bare (i, j) counts, an order of magnitude cheaper than
+    * [[Fuzzy]]'s levenshtein-verified candidates — hence the larger
+    * default). The maxDf stop-shingle guard bounds each PER-SHINGLE
+    * group at maxDf², but Σ over shingles is still corpus-shaped: a
+    * templated corpus where most shingles sit just under maxDf costs
+    * ~N·k·maxDf pairs, and a raised maxDf is quadratic in the raise.
+    */
+  val DefaultShingleCandidateBudget: Long = 2000000000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = 100): DataFrame =
-    shingleCoOccurrence(df, idCol, textCol, n, maxDf)
+                        maxDf: Int = 100,
+                        candidateBudget: Long = DefaultShingleCandidateBudget): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxDf, candidateBudget)
       .select(col("i"), col("j"),
         round(col("c").cast("double") / (col("szi") + col("szj") - col("c")), 6)
           .as("jaccard"))
@@ -393,8 +405,9 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       maxDf: Int = 100): DataFrame =
-    shingleCoOccurrence(df, idCol, textCol, n, maxDf)
+                       maxDf: Int = 100,
+                       candidateBudget: Long = DefaultShingleCandidateBudget): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxDf, candidateBudget)
       .select(col("i"), col("j"),
         round(col("c").cast("double") / least(col("szi"), col("szj")), 6)
           .as("containment"))
@@ -403,9 +416,16 @@ object Dedup {
   /** Shared co-occurrence core of the exact set-overlap pair finders:
     * (i, j, c, szi, szj) with i < j, c = |A∩B| counted via the shingle
     * inverted-index self-join, szi/szj = full shingle-set sizes.
+    *
+    * Carries the family circuit breaker (the [[Fuzzy]] contract): the
+    * exact self-join volume is Σ over surviving shingles of
+    * df·(df−1)/2, one DECIMAL aggregate over the already-persisted
+    * annotated relation — linear cost, predicted BEFORE the quadratic
+    * join starts, loud failure past `candidateBudget`.
     */
   private def shingleCoOccurrence(df: DataFrame, idCol: String, textCol: String,
-                                  n: Int, maxDf: Int): DataFrame = {
+                                  n: Int, maxDf: Int,
+                                  candidateBudget: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Annotate each (doc, shingle) row with the doc's set size and the
     // shingle's document frequency via two window passes over the SAME
@@ -426,6 +446,27 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (candidateBudget < Long.MaxValue) {
+      // Σ df·(df−1)/2 over the SURVIVING (post-maxDf) shingles — the
+      // exact a.doc < b.doc join row count. One aggregate over the
+      // persisted relation the join reuses; DECIMAL so the prediction
+      // itself cannot wrap.
+      val twice = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+        .agg(coalesce(sum(col("__n") * (col("__n") - 1)),
+          lit(0).cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      // df·(df−1) is even, so /2 back to pairs is exact
+      val vol = twice.divide(java.math.BigDecimal.valueOf(2))
+      if (vol.compareTo(new java.math.BigDecimal(candidateBudget)) > 0)
+        throw new IllegalStateException(
+          s"Dedup shingle co-occurrence: predicted candidate volume " +
+            s"$vol exceeds candidateBudget $candidateBudget — this " +
+            "corpus's shingle groups are too co-occurring for the " +
+            "exact inverted-index join. Lower maxDf, use the MinHash " +
+            "LSH path (minhashLshPairs), or raise candidateBudget " +
+            "explicitly if the volume is intended.")
+    }
     sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))

@@ -144,12 +144,21 @@ object Fuzzy {
       build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
         blk = None, budget = Some(candidateBudget)).result
 
+    /** Stats for the unblocked pipeline — with the SAME circuit breaker
+      * as [[Unblocked.editDistanceJoin]] armed by default: profiling
+      * counts candGram/verify, i.e. it EXECUTES the quadratic candidate
+      * join it measures, so an unbudgeted profile of an unbounded input
+      * is the very misuse the breaker exists to kill. A caller who
+      * means to measure past the default states the budget explicitly
+      * (`Long.MaxValue` = deliberate unguarded measurement).
+      */
     def profile(left: DataFrame, right: DataFrame,
                 leftId: String, rightId: String,
                 leftStr: String, rightStr: String,
-                maxDist: Int, q: Int = 2): EditJoinStats =
+                maxDist: Int, q: Int = 2,
+                candidateBudget: Long = DefaultCandidateBudget): EditJoinStats =
       profileOf(build(left, right, leftId, rightId, leftStr, rightStr,
-        maxDist, q, blk = None), maxDist)
+        maxDist, q, blk = None, budget = Some(candidateBudget)), maxDist)
   }
 
   private def profileOf(b: Build, maxDist: Int): EditJoinStats = {

@@ -39,16 +39,42 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Default [[bruteForceTopK]] pair budget: ~1e9 scored pairs ≈
+    * minutes of d=64 dot products at 32 cores — past it the query set
+    * is not "small" and the caller either wants the LSH/IVF path or
+    * should state the budget they mean (the [[graft.operators.Fuzzy]]
+    * breaker contract).
+    */
+  val DefaultBrutePairBudget: Long = 1000000000L
+
   /** Exact top-k cosine neighbors of each query vector by brute force:
     * the small query set broadcasts to every executor, the corpus
     * streams through once (O(Q·N·d) flops, one pass over N) — the right
     * plan when Q is small, and the oracle for the LSH path. Ranking
     * ties break on neighbor id for determinism.
+    *
+    * CIRCUIT BREAKER: brute force is the family's quadratic escape
+    * hatch, and its misuse mode (a "query set" that is really the
+    * corpus) costs Q·N silently. The exact pair volume is two linear
+    * counts — predicted BEFORE the scoring join runs, and the join
+    * never starts past `pairBudget`; a 100 TB misuse dies in seconds
+    * with the operator to use instead, not in N² silence.
     */
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     pairBudget: Long = DefaultBrutePairBudget): DataFrame = {
     val corpus = vecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
     val qs = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    if (pairBudget < Long.MaxValue) {
+      val pairs = BigInt(qs.count()) * BigInt(corpus.count())
+      if (pairs > BigInt(pairBudget))
+        throw new IllegalStateException(
+          s"Similarity.bruteForceTopK: predicted pair volume $pairs " +
+            s"exceeds pairBudget $pairBudget — the query set is not " +
+            "small relative to the corpus. Use lshTopK/ivfTopK (the " +
+            "sublinear paths), or raise pairBudget explicitly if the " +
+            "volume is intended.")
+    }
     val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -317,4 +317,27 @@ class DedupSpec extends SparkSpecBase {
     // and a genuinely partial pair survived, or the test is vacuous
     assert(got.exists(r => r._4 < 16L))
   }
+
+  test("shingle co-occurrence circuit breaker: a co-occurring corpus " +
+    "trips the candidate budget BEFORE the self-join; the volume " +
+    "prediction is exact") {
+    val s = spark
+    import s.implicits._
+    // 30 docs sharing one identical text → every shingle has df=30 →
+    // C(30,2)=435 candidate pairs per shingle
+    val docs = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, maxDf = 100, candidateBudget = 10L)
+    }
+    assert(ex.getMessage.contains("candidateBudget"))
+    assert(ex.getMessage.contains("minhashLshPairs"))
+    // 3 shingles/doc × C(30,2) = 1305 predicted candidates
+    assert(ex.getMessage.contains("1305"))
+    // in-budget: same corpus passes and still finds the full clique
+    val ok = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.8, maxDf = 100, candidateBudget = 2000L)
+    assert(ok.count() == 435L)
+  }
 }

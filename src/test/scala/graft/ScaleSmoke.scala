@@ -98,7 +98,8 @@ object ScaleSmoke {
 
       time("d1_exact")(Dedup.exact(docs, "doc_id", "text").count())
       time("d2_ngram_jaccard")(Dedup.ngramJaccardPairs(docs, "doc_id",
-        "text", 3, 0.8, maxDf = maxDf).count())
+        "text", 3, 0.8, maxDf = maxDf,
+        candidateBudget = Long.MaxValue).count())
       time("d3_minhash_lsh")(Dedup.minhashLshPairs(docs, "doc_id", "text",
         3, 16, 8, 0.8, maxDf = maxDf).count())
       time("d4_simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
@@ -161,7 +162,8 @@ object ScaleSmoke {
       // (same candidate set, different denominator), so its curve must
       // track d2's; a divergence here means the shared core regressed
       time("d13_containment")(Dedup.containmentPairs(docs, "doc_id",
-        "text", 3, 0.8, maxDf = maxDf).count())
+        "text", 3, 0.8, maxDf = maxDf,
+        candidateBudget = Long.MaxValue).count())
       // d14's stress axis is the gram->min-owner aggregate: tagged mode
       // grows the distinct-gram domain ~linearly (disjoint vocab per
       // replica), dense mode keeps it constant with mult'd counts
@@ -179,7 +181,7 @@ object ScaleSmoke {
       // projection: the delta over d2 alone must stay scan-shaped
       time("x11_split_leakage") {
         val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          3, 0.8, maxDf = maxDf)
+          3, 0.8, maxDf = maxDf, candidateBudget = Long.MaxValue)
         val splits = CorpusMix.withSplit(docs, "doc_id")
           .select(col("doc_id"), col("split"))
         pairs
@@ -231,7 +233,8 @@ object ScaleSmoke {
       // the eager per-round checkpoint, so nothing prunes away
       time("d8_components") {
         Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, "doc_id",
-          "text", 3, 0.8, maxDf = maxDf)).count()
+          "text", 3, 0.8, maxDf = maxDf,
+          candidateBudget = Long.MaxValue)).count()
       }
       // the adversarial-diameter axis the corpus graphs don't have:
       // ONE chain component whose length scales with mult. Plain
@@ -601,8 +604,12 @@ object ScaleSmoke {
         opNames += "d12_candidates"
         if (opsFilter.exists(_.contains("d12_candidates")))
           for (qq <- if (mult > 10) Seq(3) else Seq(2, 3)) {
+            // Long.MaxValue: this series EXISTS to measure the misuse
+            // mode's candidate blowup, so the profile breaker (armed by
+            // default since r11) is explicitly stood down
             val st = graft.operators.Fuzzy.Unblocked.profile(typos, base,
-              "typo_key", "doc_id", "typo_name", "fp", maxDist = 2, q = qq)
+              "typo_key", "doc_id", "typo_name", "fp", maxDist = 2, q = qq,
+              candidateBudget = Long.MaxValue)
             println(s"""{"scale":$mult,"op":"d12_candidates_q$qq",""" +
               s""""gram_candidates":${st.gramCandidates},""" +
               s""""short_candidates":${st.shortCandidates},""" +

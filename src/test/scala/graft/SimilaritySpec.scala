@@ -135,4 +135,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(row.getDouble(0) == 32.0)
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("brute-force circuit breaker: a corpus-sized query set trips the " +
+    "pair budget BEFORE the scoring join; an in-budget call is unaffected") {
+    // misuse mode: queries == corpus → Q·N pairs
+    val ex = intercept[IllegalStateException] {
+      Similarity.bruteForceTopK(emb, emb, k = 1, pairBudget = 100L)
+    }
+    assert(ex.getMessage.contains("pairBudget"))
+    assert(ex.getMessage.contains("lshTopK"))
+    // the same call with a genuinely small query set still runs
+    val ok = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2),
+      k = 1, pairBudget = 100000L)
+    assert(ok.count() == 2)
+  }
 }
