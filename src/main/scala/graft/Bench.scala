@@ -31,7 +31,12 @@ import graft.core.GraftSession
   *    "ext_cpu_cores", and queries whose 3 walls spread >2x land in
   *    "unstable", so one noisy median names itself instead of reading
   *    as a plan regression (the run-level sentinel brackets the run
-  *    and cannot attribute a mid-run blip to a query).
+  *    and cannot attribute a mid-run blip to a query). The same window
+  *    also diffs /proc/stat's steal column into "steal_cores": the
+  *    share of the foreign figure the HYPERVISOR withheld (burst steal
+  *    from co-tenant guests inflates the latency-sensitive st/g
+  *    families 1.5-2x while the three 1-second sentinel windows can
+  *    all read idle — measured round 11).
   */
 object Bench {
 
@@ -84,7 +89,7 @@ object Bench {
     // artifact — one query's median 3× its min inside a
     // "contended":false run — is exactly what a run-level sentinel
     // bracket cannot see and this per-query delta can.
-    def procJiffies(): (Long, Long) = try {
+    def procJiffies(): (Long, Long, Long) = try {
       val statLine = {
         val s = scala.io.Source.fromFile("/proc/stat")
         try s.getLines().next() finally s.close()
@@ -99,29 +104,42 @@ object Bench {
         val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
         rest(11).toLong + rest(12).toLong
       } finally selfStat.close()
-      (box, self)
-    } catch { case _: Throwable => (0L, 0L) }
+      (box, self, f(7))
+    } catch { case _: Throwable => (0L, 0L, 0L) }
 
-    /** (wall sec, foreign busy CPU cores averaged over the window). */
-    def timeOnce(name: String): (Double, Double) = {
+    /** (wall sec, foreign busy CPU cores averaged over the window,
+      * hypervisor-steal cores averaged over the window). Steal is a
+      * SUBSET of foreign: /proc/stat's steal column counts jiffies the
+      * host withheld from this guest entirely. Splitting it out is what
+      * distinguishes "a co-tenant process on this box is busy" (fix: find
+      * and stop it) from "the hypervisor's other guests took the cores"
+      * (nothing on this box can fix it; the round-11 session measured
+      * burst steal of 2-5 cores inflating exactly the latency-sensitive
+      * st/g families while three 1-second sentinel windows all read
+      * idle).
+      */
+    def timeOnce(name: String): (Double, Double, Double) = {
       // Operators that persist() intermediates (d3, s3) register them in
       // the CacheManager, which matches by logical plan — a later run of
       // the same query would silently read the previous run's cache.
       // Clear so every timed run pays its own materialization and only
       // WITHIN-run reuse (the actual plan property) is measured.
       spark.catalog.clearCache()
-      val (box0, self0) = procJiffies()
+      val (box0, self0, steal0) = procJiffies()
       val t0 = System.nanoTime()
       try {
         runOnce(SparkEntry.queries(name))
         val wall = (System.nanoTime() - t0) / 1e9
-        val (box1, self1) = procJiffies()
+        val (box1, self1, steal1) = procJiffies()
         // USER_HZ = 100 on linux; foreign cores = foreign cpu-sec / wall
         val foreign = ((box1 - box0) - (self1 - self0)) / 100.0
-        (wall, if (wall > 0) math.max(foreign, 0.0) / wall else 0.0)
+        val steal = (steal1 - steal0) / 100.0
+        (wall,
+          if (wall > 0) math.max(foreign, 0.0) / wall else 0.0,
+          if (wall > 0) math.max(steal, 0.0) / wall else 0.0)
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        (-1.0, 0.0)
+        (-1.0, 0.0, 0.0)
       }
     }
     def median3(a: Double, b: Double, c: Double): Double =
@@ -132,9 +150,9 @@ object Bench {
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     sentinels += spinSentinel()
     val pass2 = names.map(n =>
-      n -> (if (pass1(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0))).toMap
+      n -> (if (pass1(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0, 0.0))).toMap
     val pass3 = names.map(n =>
-      n -> (if (pass2(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0))).toMap
+      n -> (if (pass2(n)._1 >= 0) timeOnce(n) else (-1.0, 0.0, 0.0))).toMap
     sentinels += spinSentinel()
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map(n => n ->
@@ -185,6 +203,11 @@ object Bench {
     val extCpu = names.map { n =>
       n -> chosen(n).map(_._2).max
     }
+    // hypervisor steal over the same reported windows: the share of
+    // ext_cpu nothing on this box caused (see timeOnce)
+    val stealCpu = names.map { n =>
+      n -> chosen(n).map(_._3).max
+    }
     val unstable = names.filter(n =>
       allOk(n) && walls(n).min > 0 && walls(n).max > 2 * walls(n).min)
     val sentinelMedian = median3(sentinels(0), sentinels(1), sentinels(2))
@@ -206,12 +229,14 @@ object Bench {
     val qsMin = mins.map { case (k, v) => s"${js(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val extJson = extCpu.collect { case (k, v) if v >= 0.5 => s"${js(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
+    val stealJson = stealCpu.collect { case (k, v) if v >= 0.5 => s"${js(k)}:${f3(v)}" }
+      .mkString("{", ",", "}")
     val unstableJson = unstable.map(js).mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(f3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"retried":$retriedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
@@ -247,7 +272,7 @@ object Bench {
           .map { case (k, v) => s"${js(k)}:${f3(v)}" }
           .mkString("{", ",", "}")
         val unstJ = unstable.take(unstN).map(js).mkString("[", ",", "]")
-        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"retried_n":${retried.size},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
+        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"steal_n":${stealCpu.count(_._2 >= 0.5)},"steal_max":${f3(stealCpu.map(_._2).foldLeft(0.0)(math.max))},"retried_n":${retried.size},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
       }
       val fixed = Seq((10, 80, 8, 10), (5, 40, 4, 5), (2, 30, 2, 2),
           (0, 0, 0, 0))
