@@ -527,6 +527,73 @@ object Graph {
     }
   }
 
+  /** Exact wedge volume of [[triangleCounts]]' degree-ordered
+    * orientation: Σ over nodes of C(out-degree, 2). This is the join's
+    * work AND scratch denominator (each wedge is one probe row of the
+    * close join), and computing it costs one degree aggregate + two
+    * O(edges) equi-joins + an O(nodes) sum — orders of magnitude less
+    * than materializing the wedges themselves, so it is the right
+    * pre-pass for sizing waved execution before committing to the
+    * join.
+    */
+  def wedgeVolume(edges: DataFrame): Long = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    und
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      .select(when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("w"))
+      .head().getLong(0)
+  }
+
+  /** Measured close-join scratch per wedge (shuffle write of the wedge
+    * stream + its sort-free hash-join structures; SCALING_r09/r10:
+    * ~600 M wedges per ~15-20 GB wave).
+    */
+  private val BytesPerWedge = 32L
+
+  /** [[triangleCounts]] with the wave count DERIVED from the measured
+    * wedge volume instead of guessed by the caller — the default entry
+    * point at data scales where the wedge join's shuffle scratch may
+    * out-size the node (the 100 TB posture: a graph too big to
+    * eyeball is exactly a graph whose wedge volume nobody knows ahead
+    * of time). waves = ceil(wedges × 32 B / budget), where the budget
+    * is `spark.graft.waves.scratchBytes` (default 20 GB — the in-box
+    * per-wave ceiling the SCALING_r09/r10 studies ran at; on a
+    * cluster set it to the aggregate executor scratch you are willing
+    * to pin). The pre-pass costs one O(edges) aggregate pipeline
+    * ([[wedgeVolume]]); with bucketed fixed relations a waved run
+    * costs no more per wedge than single-pass (SCALING_r11: 2-wave
+    * 30x at 0.173 s/M wedges vs 0.451 single-pass, same JVM), so
+    * over-waving is cheap insurance while under-waving is an
+    * out-of-disk abort — auto-sizing errs on the waved side via
+    * ceil.
+    */
+  def triangleCountsAuto(edges: DataFrame): DataFrame = {
+    val budget = edges.sparkSession.conf
+      .getOption("spark.graft.waves.scratchBytes")
+      .map(_.toLong).getOrElse(20L * 1000 * 1000 * 1000)
+    triangleCounts(edges, wavesFor(wedgeVolume(edges), budget))
+  }
+
+  /** ceil(wedges × 32 B / budget), floored at one wave. */
+  private[graft] def wavesFor(wedges: Long, budgetBytes: Long): Int = {
+    require(budgetBytes > 0,
+      s"scratch budget must be positive, got $budgetBytes")
+    math.max(1L, (wedges * BytesPerWedge + budgetBytes - 1) / budgetBytes)
+      .toInt
+  }
+
   /** Fixed-round k-core peel: `rounds` iterations of "delete every node
     * whose current degree is below k, and every edge touching one",
     * over the undirected simple graph induced by `edges` (directions

@@ -235,6 +235,44 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("triangles: wedgeVolume is exact and auto wave-sizing derives " +
+    "waves from it") {
+    val s = spark
+    import s.implicits._
+    // path a-b-c-d: orientation makes each 2-path one wedge candidate;
+    // K4: each node's oriented out-degree is (3,2,1,0) -> C(3,2)+C(2,2)
+    // = 3+1 = 4 wedges
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(Graph.wedgeVolume(k4.toDF("src", "dst")) == 4L)
+    // star: hub degree-ordered LAST, every leaf orients toward it with
+    // out-degree 1 -> zero wedges regardless of hub fan-out
+    assert(Graph.wedgeVolume((2L to 9L).map(i => (1L, i))
+      .toDF("src", "dst")) == 0L)
+    // the sizing arithmetic: ceil(wedges * 32 / budget), floor 1
+    assert(Graph.wavesFor(0L, 1000L) == 1)
+    assert(Graph.wavesFor(31L, 1000L) == 1)   // 992 B fits
+    assert(Graph.wavesFor(32L, 1000L) == 2)   // 1024 B: 2 waves
+    assert(Graph.wavesFor(625000000L, 20000000000L) == 1)
+    assert(Graph.wavesFor(625000001L, 20000000000L) == 2)
+    intercept[IllegalArgumentException](Graph.wavesFor(1L, 0L))
+    // end-to-end: a scratch budget small enough to force multiple
+    // waves must reproduce the single-pass answer bit-for-bit
+    val rnd = new scala.util.Random(9181)
+    val edges = (1 to 250).map(_ =>
+      (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+    val single = tri(edges)
+    assert(single.nonEmpty)
+    val df = edges.toDF("src", "dst")
+    spark.conf.set("spark.graft.waves.scratchBytes", "64")
+    try {
+      assert(Graph.wavesFor(Graph.wedgeVolume(df), 64L) > 1,
+        "fixture must actually engage waved execution")
+      val auto = Graph.triangleCountsAuto(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(auto == single)
+    } finally spark.conf.unset("spark.graft.waves.scratchBytes")
+  }
+
   private def bfs(edges: Seq[(Long, Long)], source: Long,
                   iters: Int): Map[Long, Int] = {
     val s = spark
