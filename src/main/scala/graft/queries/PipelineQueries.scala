@@ -541,7 +541,101 @@ object PipelineQueries extends QueryModule {
       "per-doc signals, one fingerprint aggregate whose >=2-owner " +
       "survivors join back as an O(dup-fps) marker; O(strata) output")
 
+  /** Z-ordered layout plan over lineitem's (partkey, suppkey): Morton
+    * codes (exact shift/mask bit interleave — [[Layout.mortonZ]]),
+    * rank by the distributed prefix sum, fixed 4096-row files, and the
+    * per-file min/max envelopes a parquet reader would prune on. The
+    * envelopes ARE the deliverable: a single-key sort gives the second
+    * column full-range envelopes in every file, while this layout
+    * bounds both dimensions per file — the oracle replays the curve,
+    * the ranks and the envelopes bit-for-bit.
+    */
+  private val zorder = CatalogQuery(
+    "x14_zorder_layout",
+    (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey"), col("l_suppkey"))
+      // l_linenumber <= 7, so orderkey*8+ln is unique and < 2^30 at
+      // catalog scale (the zorderAssign packing domain)
+      val uid = li.withColumn("uid", col("l_orderkey") * 8 + col("ln"))
+      graft.operators.Layout.zorderAssign(uid,
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L)),
+          "uid", rowsPerFile = 4096)
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy(col("file_id"))
+    },
+    Some("""WITH sp AS (
+           |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |    CAST(l_partkey AS BIGINT) % 65536 AS xa,
+           |    CAST(l_suppkey AS BIGINT) % 65536 AS xb
+           |  FROM lineitem),
+           |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
+           |                 ((xb | (xb << 8)) & 16711935) AS b1 FROM sp),
+           |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+           |                 ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+           |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+           |                 ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+           |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+           |                 ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+           |zz AS (SELECT *, (a4 | (b4 << 1)) AS z FROM s4),
+           |rk AS (
+           |  SELECT *, CAST((row_number() OVER (
+           |      ORDER BY z, l_orderkey * 8 + l_linenumber) - 1) // 4096
+           |    AS BIGINT) AS file_id
+           |  FROM zz)
+           |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+           |FROM rk GROUP BY file_id ORDER BY file_id""".stripMargin),
+    doc = "Z-order (Morton) layout plan: exact bit-interleaved curve " +
+      "position, distributed-prefix-sum ranks, 4096-row files, and " +
+      "the per-file two-dimensional min/max pruning envelopes")
+
+  /** Small-file compaction plan over the documents corpus: contiguous
+    * groups of ~8 KB by running byte total (floor(prefix/budget) —
+    * [[SequencePack.withPackAssignment]]'s binning, so a group may
+    * overshoot by less than one trailing member, the same contract a
+    * file-coalescing writer honors). O(groups) output; the prefix sum
+    * is distributed, never a single-partition running-total window.
+    */
+  private val compaction = CatalogQuery(
+    "x15_compaction_plan",
+    (s: SparkSession, dir: String) => {
+      val files = Tables(s, dir).documents.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      SequencePack.withPackAssignment(files, "doc_id", "bytes",
+          maxTokens = 8192L)
+        .groupBy(col("pack_id").as("group_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("group_id"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+           |  FROM documents),
+           |p AS (
+           |  SELECT *, COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS start_b
+           |  FROM f)
+           |SELECT CAST(start_b // 8192 AS BIGINT) AS group_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "Target-size compaction plan: contiguous ~8 KB groups from " +
+      "a distributed running byte total — the small-file governance " +
+      "pass a 100 TB layout runs between ingest and read")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
-      tokenBudget, epochs, weighted, splitLeakage, curriculum, card)
+      tokenBudget, epochs, weighted, splitLeakage, curriculum, card,
+      zorder, compaction)
 }

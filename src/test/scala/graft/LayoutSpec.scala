@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpecBase {
+
+  /** Reference Morton interleave: bit i of a -> bit 2i, bit i of b ->
+    * bit 2i+1. The operator's shift/mask cascade must equal this loop.
+    */
+  private def refMorton(a: Int, b: Int): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((a.toLong >> i) & 1L) << (2 * i)
+      z |= ((b.toLong >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("mortonZ equals the bit-loop reference across corners and a sweep") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 5), (65535, 0),
+      (0, 65535), (65535, 65535), (12345, 54321)) ++
+      (0 until 64).map(i => (i * 1021 % 65536, i * 2053 % 65536))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.mortonZ(col("a").cast("long"), col("b").cast("long")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == refMorton(a, b), s"morton($a,$b)")
+    }
+  }
+
+  test("zorderAssign on a full 16x16 grid: every 16-row file is one " +
+    "aligned 4x4 block — both envelope dimensions bounded at 3") {
+    val s = spark
+    import s.implicits._
+    val grid = for (p <- 0L until 16L; q <- 0L until 16L) yield (p, q)
+    val df = grid.toDF("p", "q").withColumn("uid", col("p") * 16 + col("q"))
+    val stats = Layout.zorderAssign(df, col("p"), col("q"), "uid", 16)
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("p")) - min(col("p"))).as("dp"),
+        (max(col("q")) - min(col("q"))).as("dq"))
+      .collect()
+    assert(stats.length == 16)
+    stats.foreach { r =>
+      assert(r.getLong(1) == 16L, s"file ${r.get(0)} row count")
+      // the z-curve fills each axis-aligned 4x4 quadrant contiguously,
+      // so a 16-row file is exactly one such block; a single-key sort
+      // would give dq = 15 in every file
+      assert(r.getLong(2) == 3L && r.getLong(3) == 3L,
+        s"file ${r.get(0)} envelope (${r.getLong(2)}, ${r.getLong(3)})")
+    }
+  }
+
+  test("zorderAssign file ids are the (z, uid)-sorted ranks div rowsPerFile") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2026)
+    val rows = (0L until 500L).map(i =>
+      (i, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = rows.toDF("uid", "p", "q")
+    val got = Layout.zorderAssign(df, col("p"), col("q"), "uid", 64)
+      .select(col("uid"), col("file_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows
+      .map { case (uid, p, q) => uid -> refMorton(p.toInt, q.toInt) }
+      .sortBy { case (uid, z) => (z, uid) }
+      .zipWithIndex
+      .map { case ((uid, _), rank) => uid -> (rank / 64).toLong }
+      .toMap
+    assert(got == expected)
+  }
+}
