@@ -526,6 +526,50 @@ object GraftSql {
         |FROM j JOIN st ON j.source = st.source CROSS JOIN n
         |ORDER BY j.source""".stripMargin,
 
+    // z-order layout as pure SQL: the Morton shift/mask cascade is
+    // plain integer arithmetic, and the rank a global window (semantic
+    // twin — the DataFrame form's distributed prefix sum is the 100 TB
+    // plan; same note as x4)
+    "x14_zorder_layout" ->
+      """WITH sp AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    pmod(l_partkey, 65536L) AS xa, pmod(l_suppkey, 65536L) AS xb
+        |  FROM lineitem),
+        |s1 AS (SELECT *, ((xa | shiftleft(xa, 8)) & 16711935L) AS a1,
+        |                 ((xb | shiftleft(xb, 8)) & 16711935L) AS b1 FROM sp),
+        |s2 AS (SELECT *, ((a1 | shiftleft(a1, 4)) & 252645135L) AS a2,
+        |                 ((b1 | shiftleft(b1, 4)) & 252645135L) AS b2 FROM s1),
+        |s3 AS (SELECT *, ((a2 | shiftleft(a2, 2)) & 858993459L) AS a3,
+        |                 ((b2 | shiftleft(b2, 2)) & 858993459L) AS b3 FROM s2),
+        |s4 AS (SELECT *, ((a3 | shiftleft(a3, 1)) & 1431655765L) AS a4,
+        |                 ((b3 | shiftleft(b3, 1)) & 1431655765L) AS b4 FROM s3),
+        |zz AS (SELECT *, (a4 | shiftleft(b4, 1)) AS z FROM s4),
+        |rk AS (
+        |  SELECT *, CAST((row_number() OVER (
+        |      ORDER BY z, l_orderkey * 8 + l_linenumber) - 1) DIV 4096
+        |    AS BIGINT) AS file_id
+        |  FROM zz)
+        |SELECT file_id, count(*) AS n_rows,
+        |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+        |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+        |FROM rk GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    // compaction plan as pure SQL: running byte total as a global
+    // window (semantic twin of the distributed prefix sum)
+    "x15_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, coalesce(sum(bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |    AS start_b
+        |  FROM f)
+        |SELECT CAST(start_b DIV 8192 AS BIGINT) AS group_id,
+        |  count(*) AS n_docs, sum(bytes) AS total_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY group_id""".stripMargin,
+
     // x11 as pure SQL: shingle inverted-index Jaccard + md5 split
     // assignment + the straddle filter in one statement. The shingle
     // index explode guards short docs (sequence() counts DOWN for a
