@@ -174,12 +174,38 @@ object Bench {
     var retryBudget = 45
     names.foreach { n =>
       var tries = 0
-      while (allOk(n) && tries < 3 && retryBudget > 0 &&
+      var giveUp = false
+      while (!giveUp && allOk(n) && tries < 3 && retryBudget > 0 &&
              samples(n).map(_._2).min >= RetryForeignCores) {
-        samples(n) += timeOnce(n)
+        val extra = timeOnce(n)
         tries += 1; retryBudget -= 1
         retried(n) = tries
+        if (extra._1 >= 0) samples(n) += extra
+        else {
+          // a FAILED retry must not poison a query that already has 3
+          // valid timed windows: retries fire exactly when the box is
+          // loaded (transient failures most likely), and appending the
+          // -1 would flip allOk false and report a fabricated error.
+          // Drop the sample, clear the error timeOnce recorded, and
+          // stop retrying this query — its contended median stands.
+          errors.remove(n)
+          giveUp = true
+        }
       }
+    }
+    // WEATHER-DECOUPLED COMPANION for the streaming family: one extra
+    // back-to-back solo pass over the st rows at the end of the timed
+    // session. The st family's walls historically moved 2-3x with
+    // hypervisor-steal bursts hitting the interleaved passes; this
+    // same-session second reading makes a round-over-round regression
+    // on an st row readable without hand-run probes (NOTES explain any
+    // >15% divergence from the median). A solo failure is dropped, not
+    // promoted to an error — the 3 reported windows already measured.
+    val stSolo = names.filter(_.startsWith("st")).map { n =>
+      val hadError = errors.contains(n)
+      val w = timeOnce(n)._1
+      if (w < 0 && !hadError) errors.remove(n)
+      n -> w
     }
     // per query: the 3 least-contended windows (ties: faster wall)
     // carry the reported stats; extra contended windows influence
@@ -190,11 +216,14 @@ object Bench {
     val results = names.map { n =>
       n -> (if (allOk(n)) walls(n).sorted.apply(1) else -1.0)
     }
-    // best-of-passes, next to the median: rounds before 7 reported
-    // best-of-2, so this is the apples-to-apples series for
-    // cross-round comparison while the median stays the headline
+    // best-of-passes, next to the median — over the SAME fixed 3
+    // reported windows as the median (chosen(n)), not every attempt:
+    // contention retries vary the window count 3-6 per query, and a
+    // min over a variable attempt count biases downward under load
+    // relative to rounds with fixed 3 passes, breaking the
+    // apples-to-apples cross-round series this field exists for
     val mins = names.map { n =>
-      n -> (if (allOk(n)) samples(n).map(_._1).min else -1.0)
+      n -> (if (allOk(n)) chosen(n).map(_._1).min else -1.0)
     }
     // Per-query self-identification: max foreign busy cores observed
     // over the reported windows (ext_cpu), and queries whose wall
@@ -234,9 +263,11 @@ object Bench {
     val unstableJson = unstable.map(js).mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val retriedJson = retried.map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val stSoloJson = stSolo.collect { case (k, v) if v >= 0 => s"${js(k)}:${f3(v)}" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(f3).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
@@ -264,7 +295,8 @@ object Bench {
       // complete maps). Caps SHRINK until the fixed section fits its
       // share of the budget: 10 errors × ~100 chars alone can exceed
       // 1700, so fixed caps cannot guarantee the invariant.
-      def fixedAt(errN: Int, errLen: Int, extN: Int, unstN: Int): String = {
+      def fixedAt(errN: Int, errLen: Int, extN: Int, unstN: Int,
+                  stN: Int): String = {
         val errJ = errors.take(errN)
           .map { case (k, v) => s"${js(k)}:${js(v.take(errLen))}" }
           .mkString("{", ",", "}")
@@ -272,13 +304,18 @@ object Bench {
           .map { case (k, v) => s"${js(k)}:${f3(v)}" }
           .mkString("{", ",", "}")
         val unstJ = unstable.take(unstN).map(js).mkString("[", ",", "]")
-        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"steal_n":${stealCpu.count(_._2 >= 0.5)},"steal_max":${f3(stealCpu.map(_._2).foldLeft(0.0)(math.max))},"retried_n":${retried.size},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
+        // slowest-first: under a shrunken cap the st rows a reader
+        // compares against their medians are the expensive ones
+        val stJ = stSolo.filter(_._2 >= 0).sortBy(-_._2).take(stN)
+          .map { case (k, v) => s"${js(k)}:${f3(v)}" }
+          .mkString("{", ",", "}")
+        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"steal_n":${stealCpu.count(_._2 >= 0.5)},"steal_max":${f3(stealCpu.map(_._2).foldLeft(0.0)(math.max))},"retried_n":${retried.size},"st_solo":$stJ,"st_solo_more":${math.max(stSolo.count(_._2 >= 0) - stN, 0)},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
       }
-      val fixed = Seq((10, 80, 8, 10), (5, 40, 4, 5), (2, 30, 2, 2),
-          (0, 0, 0, 0))
-        .map { case (a, b, c, d) => fixedAt(a, b, c, d) }
+      val fixed = Seq((10, 80, 8, 10, 11), (5, 40, 4, 5, 11),
+          (2, 30, 2, 2, 4), (0, 0, 0, 0, 0))
+        .map { case (a, b, c, d, e) => fixedAt(a, b, c, d, e) }
         .find(_.length <= 1200)
-        .getOrElse(fixedAt(0, 0, 0, 0))
+        .getOrElse(fixedAt(0, 0, 0, 0, 0))
       val budget = 1700 - fixed.length -
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":""".length
       var used = shown.map { case (k, v) => s"${js(k)}:${f3(v)}," }

@@ -96,6 +96,73 @@ object Fuzzy {
     build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
       blk = Some((leftBlock, rightBlock))).result
 
+  /** Default per-wave candidate ceiling for [[editDistanceJoinAutoWaved]]:
+    * ~5e7 candidate pairs of ~40-char strings ≈ a few GB of verify-join
+    * shuffle scratch per wave — the D12WaveProbe regime where 4 waves
+    * bounded per-wave scratch at 0.096× the 952 MB whole-join footprint.
+    */
+  val DefaultWaveCandidateCeiling: Long = 50000000L
+
+  /** [[editDistanceJoin]] that decides its own wave count from the
+    * PREDICTED candidate volume — the g2 auto-waving pattern applied to
+    * the blocked fuzzy join, so the 952 MB → 10× scratch-headroom
+    * decision is the operator's, not a human's. The prediction is the
+    * breaker's exact linear-cost count (Σ per join key of |L|·|R| over
+    * the prefix relations + the short-length classes, in DECIMAL);
+    * below `waveCandidateCeiling` the join runs whole, REUSING the
+    * checkpointed prefix relations the count already materialized —
+    * the measured path costs nothing extra. Past the ceiling the block
+    * keys split into ceil(volume / ceiling) hash classes (capped at
+    * `maxWaves`) and the join executes as SEQUENTIAL per-class waves —
+    * every candidate pair shares its block, so waves partition the
+    * candidate space exactly (D12WaveProbe: pair counts conserved,
+    * max per-wave scratch ~1/waves of the whole footprint). Each wave
+    * eagerly materializes via localCheckpoint, so scratch from wave g
+    * is released before wave g+1 shuffles; the returned frame is the
+    * union of the materialized waves. Per-block gram rarity is
+    * unchanged by waving (blocks are atomic within a wave), so the
+    * output is bit-identical to the whole join.
+    *
+    * `onWaves` observes the decision (specs assert the trip; callers
+    * can log it).
+    */
+  def editDistanceJoinAutoWaved(left: DataFrame, right: DataFrame,
+                                leftId: String, rightId: String,
+                                leftStr: String, rightStr: String,
+                                leftBlock: String, rightBlock: String,
+                                maxDist: Int, q: Int = 2,
+                                waveCandidateCeiling: Long = DefaultWaveCandidateCeiling,
+                                maxWaves: Int = 64,
+                                onWaves: Int => Unit = _ => ()): DataFrame = {
+    require(waveCandidateCeiling > 0 && maxWaves >= 1)
+    val whole = build(left, right, leftId, rightId, leftStr, rightStr,
+      maxDist, q, blk = Some((leftBlock, rightBlock)), measure = true)
+    val (gramVol, shortVol) = whole.volume.get
+    val total = gramVol.add(shortVol)
+    val ceil = java.math.BigDecimal.valueOf(waveCandidateCeiling)
+    val waves =
+      if (total.compareTo(ceil) <= 0) 1
+      else if (total.compareTo(ceil.multiply(
+        java.math.BigDecimal.valueOf(maxWaves.toLong))) >= 0) maxWaves
+      else total.divide(ceil, 0, java.math.RoundingMode.CEILING).intValueExact()
+    onWaves(waves)
+    if (waves == 1) whole.result
+    else {
+      def cls(c: Column) = pmod(xxhash64(c), lit(waves.toLong))
+      (0 until waves).map { g =>
+        build(left.filter(cls(col(leftBlock)) === g),
+            right.filter(cls(col(rightBlock)) === g),
+            leftId, rightId, leftStr, rightStr, maxDist, q,
+            blk = Some((leftBlock, rightBlock)))
+          .result
+          // EAGER per-wave materialization: wave g's shuffle scratch is
+          // gone before wave g+1 starts (the bounded-scratch point);
+          // localCheckpoint, never persist (flat LogicalRDD plan)
+          .localCheckpoint(true)
+      }.reduce(_ unionAll _)
+    }
+  }
+
   /** [[editDistanceJoin]] measuring each pruning stage's row volume.
     * Persists the candidate stages so the counts don't recompute the
     * prefix pipeline; diagnostic-path cost only — the join itself
@@ -177,14 +244,16 @@ object Fuzzy {
   }
 
   private final case class Build(candGram: DataFrame, candShort: DataFrame,
-                                 verify: DataFrame, result: DataFrame)
+                                 verify: DataFrame, result: DataFrame,
+                                 volume: Option[(java.math.BigDecimal, java.math.BigDecimal)] = None)
 
   private def build(left: DataFrame, right: DataFrame,
                     leftId: String, rightId: String,
                     leftStr: String, rightStr: String,
                     maxDist: Int, q: Int,
                     blk: Option[(String, String)],
-                    budget: Option[Long] = None): Build = {
+                    budget: Option[Long] = None,
+                    measure: Boolean = false): Build = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val prefixLen = q * maxDist + 1
@@ -263,33 +332,33 @@ object Fuzzy {
     // short-length classes, in DECIMAL so the count itself cannot
     // wrap. Cost is linear in N; the quadratic work it predicts never
     // starts if the prediction exceeds the budget.
-    val (pl, pr) = {
+    val (pl, pr, measured) = {
       val p0l = prefix(lg, "__lid", "__ls")
       val p0r = prefix(rg, "__rid", "__rs")
-      budget match {
-        case None => (p0l, p0r)
-        case Some(b) =>
-          val plC = p0l.localCheckpoint(true)
-          val prC = p0r.localCheckpoint(true)
-          def keyCounts(df: DataFrame, keys: Seq[String]) = df
-            .groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
-          def joinVolume(a: DataFrame, bdf: DataFrame, keys: Seq[String]): java.math.BigDecimal =
-            keyCounts(a, keys)
-              .join(keyCounts(bdf, keys).withColumnRenamed("__n", "__m"), keys)
-              .agg(coalesce(sum(col("__n") * col("__m")),
-                lit(0).cast("decimal(38,0)")))
-              .head.getDecimal(0)
-          val band0 = maxDist + 1
-          val lsb = expr(s"length(__ls) div $band0")
-          val gramVol = joinVolume(plC, prC, Seq("__blk", "__e"))
-          val shortVol = joinVolume(
-            l.filter(length(col("__ls")) <= shortLen)
-              .withColumn("__b", explode(array(lsb - 1, lsb, lsb + 1))),
-            r.filter(length(col("__rs")) <= shortLen)
-              .withColumn("__b", expr(s"length(__rs) div $band0")),
-            Seq("__blk", "__b"))
-          val total = gramVol.add(shortVol)
+      if (budget.isEmpty && !measure) (p0l, p0r, None)
+      else {
+        val plC = p0l.localCheckpoint(true)
+        val prC = p0r.localCheckpoint(true)
+        def keyCounts(df: DataFrame, keys: Seq[String]) = df
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+        def joinVolume(a: DataFrame, bdf: DataFrame, keys: Seq[String]): java.math.BigDecimal =
+          keyCounts(a, keys)
+            .join(keyCounts(bdf, keys).withColumnRenamed("__n", "__m"), keys)
+            .agg(coalesce(sum(col("__n") * col("__m")),
+              lit(0).cast("decimal(38,0)")))
+            .head.getDecimal(0)
+        val band0 = maxDist + 1
+        val lsb = expr(s"length(__ls) div $band0")
+        val gramVol = joinVolume(plC, prC, Seq("__blk", "__e"))
+        val shortVol = joinVolume(
+          l.filter(length(col("__ls")) <= shortLen)
+            .withColumn("__b", explode(array(lsb - 1, lsb, lsb + 1))),
+          r.filter(length(col("__rs")) <= shortLen)
+            .withColumn("__b", expr(s"length(__rs) div $band0")),
+          Seq("__blk", "__b"))
+        val total = gramVol.add(shortVol)
+        budget.foreach { b =>
           if (total.compareTo(java.math.BigDecimal.valueOf(b)) > 0)
             throw new IllegalStateException(
               s"Fuzzy.Unblocked: candidate volume $total (gram $gramVol " +
@@ -298,7 +367,8 @@ object Fuzzy {
                 "Fuzzy.editDistanceJoin with a record-linkage block key " +
                 "(stratum, LSH bucket, stable prefix), or raise " +
                 "candidateBudget explicitly if the volume is intended.")
-          (plC, prC)
+        }
+        (plC, prC, Some((gramVol, shortVol)))
       }
     }
     val candGram = pl
@@ -331,6 +401,6 @@ object Fuzzy {
       .filter(col("__d") <= maxDist)
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
         col("__d").cast("long").as("dist"))
-    Build(candGram, candShort, verify, result)
+    Build(candGram, candShort, verify, result, measured)
   }
 }

@@ -75,10 +75,23 @@ object SequencePack {
     * one weight sign, as the concurrency sweep does) may tie.
     */
   def prefixSum(df: DataFrame, orderCol: String, weightCol: String,
-                numParts: Int = 0, outCol: String = "prefix_before"): DataFrame = {
+                numParts: Int = 0, outCol: String = "prefix_before"): DataFrame =
+    prefixSumBy(df, Seq(orderCol), weightCol, numParts, outCol)
+
+  /** [[prefixSum]] over a COMPOSITE order — the order is the
+    * lexicographic (orderCols...) tuple, which callers use to rank by
+    * a non-unique value with a unique tie-break column (the rank
+    * machinery behind [[Layout]]'s quantile coordinates) without
+    * packing both into one long (packing overflows once value·2^30
+    * exceeds the long domain — the round-11 LayoutScale lesson).
+    */
+  def prefixSumBy(df: DataFrame, orderCols: Seq[String], weightCol: String,
+                  numParts: Int = 0,
+                  outCol: String = "prefix_before"): DataFrame = {
+    require(orderCols.nonEmpty, "prefixSumBy needs at least one order column")
     val n = if (numParts > 0) numParts
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = df.repartitionByRange(n, col(orderCol))
+    val parts = df.repartitionByRange(n, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
 
@@ -90,11 +103,54 @@ object SequencePack {
         coalesce(sum(col("__ptotal")).over(wPrefix), lit(0L)))
       .drop("__ptotal")
 
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val start = coalesce(sum(col(weightCol)).over(wLocal), lit(0L)) +
       col("__poffset")
     parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, start.cast("long"))
+      .drop("__pid", "__poffset")
+  }
+
+  /** Per-GROUP exclusive prefix sum: `outCol` = the sum of
+    * strictly-preceding weights in `orderCol` order WITHIN each
+    * `groupCol` value, distributed like [[prefixSum]]. The naive
+    * spelling — `Window.partitionBy(group).orderBy(order)` — funnels
+    * each group through ONE task, and at 100 TB a group (a source, a
+    * table partition) is itself too big for one task. Here the data
+    * range-partitions on (group, order), so a big group spans many
+    * contiguous partitions; the per-(partition, group) totals fold
+    * into per-group exclusive offsets through a bounded window whose
+    * rows number O(partitions + groups) — each range partition's rows
+    * touch at most its boundary groups. The offsets broadcast, which
+    * assumes the GROUP COUNT is bounded (sources, table partitions —
+    * governance grains); a caller with unbounded groups wants the
+    * plain per-group window instead, because then groups are small.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
+                       weightCol: String, numParts: Int = 0,
+                       outCol: String = "prefix_before"): DataFrame = {
+    val n = if (numParts > 0) numParts
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = df.repartitionByRange(n, col(groupCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+
+    val wPrefix = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(weightCol)).as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(sum(col("__ptotal")).over(wPrefix), lit(0L)))
+      .drop("__ptotal")
+
+    val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(col(weightCol)).over(wLocal), lit(0L)) +
+      col("__poffset")
+    parts.join(broadcast(offsets), Seq("__pid", groupCol))
       .withColumn(outCol, start.cast("long"))
       .drop("__pid", "__poffset")
   }

@@ -63,17 +63,29 @@ object Similarity {
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      pairBudget: Long = DefaultBrutePairBudget): DataFrame = {
-    val corpus = vecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
+    var corpus = vecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
     val qs = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     if (pairBudget < Long.MaxValue) {
-      val pairs = BigInt(qs.count()) * BigInt(corpus.count())
-      if (pairs > BigInt(pairBudget))
-        throw new IllegalStateException(
-          s"Similarity.bruteForceTopK: predicted pair volume $pairs " +
-            s"exceeds pairBudget $pairBudget — the query set is not " +
-            "small relative to the corpus. Use lshTopK/ivfTopK (the " +
-            "sublinear paths), or raise pairBudget explicitly if the " +
-            "volume is intended.")
+      // count the QUERY side eagerly (small by contract — it broadcasts
+      // below anyway); the corpus side is the expensive scan, so its
+      // count pass PERSISTS the projected relation and the scoring join
+      // reuses that materialization — the armed breaker costs one
+      // corpus read total, not two (a legitimate small-Q call used to
+      // pay a doubled corpus scan for a check that always passed).
+      val qCount = BigInt(qs.count())
+      if (qCount > 0) {
+        corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = qCount * BigInt(corpus.count())
+        if (pairs > BigInt(pairBudget)) {
+          corpus.unpersist()
+          throw new IllegalStateException(
+            s"Similarity.bruteForceTopK: predicted pair volume $pairs " +
+              s"exceeds pairBudget $pairBudget — the query set is not " +
+              "small relative to the corpus. Use lshTopK/ivfTopK (the " +
+              "sublinear paths), or raise pairBudget explicitly if the " +
+              "volume is intended.")
+        }
+      }
     }
     val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))

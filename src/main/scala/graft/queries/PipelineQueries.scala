@@ -596,6 +596,69 @@ object PipelineQueries extends QueryModule {
       "position, distributed-prefix-sum ranks, 4096-row files, and " +
       "the per-file two-dimensional min/max pruning envelopes")
 
+  /** x14's production default: the SAME Morton curve over RANK-BUCKETED
+    * (exact equi-depth quantile) coordinates instead of `pmod` —
+    * [[graft.operators.Layout.zorderAssignRanked]]. pmod coordinates
+    * only fill the curve when the key domain is dense (x14's envelope
+    * tightening is partly that artifact — Layout's own doc said so);
+    * rank-bucketing makes curve locality follow VALUE ORDER, so the
+    * envelopes keep pruning on sparse/skewed domains (measured:
+    * LayoutSkewProbe, SCALING_r12). Everything stays exact integer
+    * arithmetic — two distributed rank passes for the coordinates, one
+    * for the file assignment — so DuckDB replays coordinates, curve,
+    * ranks and envelopes bit-for-bit via `(row_number()-1)*65536 // n`.
+    */
+  private val zorderRanked = CatalogQuery(
+    "x14b_zorder_ranked",
+    (s: SparkSession, dir: String) => {
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey"), col("l_suppkey"))
+      val uid = li.withColumn("uid", col("l_orderkey") * 8 + col("ln"))
+      graft.operators.Layout.zorderAssignRanked(uid,
+          "l_partkey", "l_suppkey", "uid", rowsPerFile = 4096)
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy(col("file_id"))
+    },
+    Some("""WITH li AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    l_orderkey * 8 + l_linenumber AS uid
+           |  FROM lineitem),
+           |n AS (SELECT count(*) AS n FROM li),
+           |rk AS (
+           |  SELECT l_partkey, l_suppkey, uid,
+           |    row_number() OVER (ORDER BY l_partkey, uid) - 1 AS ra,
+           |    row_number() OVER (ORDER BY l_suppkey, uid) - 1 AS rb
+           |  FROM li),
+           |sp AS (
+           |  SELECT l_partkey, l_suppkey, uid,
+           |    ra * 65536 // n.n AS xa, rb * 65536 // n.n AS xb
+           |  FROM rk, n),
+           |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
+           |                 ((xb | (xb << 8)) & 16711935) AS b1 FROM sp),
+           |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+           |                 ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+           |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+           |                 ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+           |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+           |                 ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+           |zz AS (SELECT *, (a4 | (b4 << 1)) AS z FROM s4),
+           |fid AS (
+           |  SELECT *, CAST((row_number() OVER (ORDER BY z, uid) - 1) // 4096
+           |    AS BIGINT) AS file_id
+           |  FROM zz)
+           |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+           |FROM fid GROUP BY file_id ORDER BY file_id""".stripMargin),
+    doc = "Z-order layout over exact rank-bucketed (equi-depth) 16-bit " +
+      "coordinates — the skew-robust production default: quantile " +
+      "coordinates fill the curve for any key distribution; all three " +
+      "rank passes ride the distributed prefix sum")
+
   /** Small-file compaction plan over the documents corpus: contiguous
     * groups of ~8 KB by running byte total (floor(prefix/budget) —
     * [[SequencePack.withPackAssignment]]'s binning, so a group may
@@ -634,8 +697,51 @@ object PipelineQueries extends QueryModule {
       "a distributed running byte total — the small-file governance " +
       "pass a 100 TB layout runs between ingest and read")
 
+  /** x15 with LOCALITY SCOPE: a real small-file compactor coalesces
+    * WITHIN a partition/source, never across it — merging files across
+    * a pruning boundary would hand every scoped read a mixed file and
+    * undo the partitioning. Groups come from a per-source running byte
+    * total over [[SequencePack.groupedPrefixSum]] (range partition on
+    * (source, doc_id); per-group offsets fold through an
+    * O(partitions + groups) side plan — a huge source still spans many
+    * tasks, unlike the naive per-source window). Output stays
+    * O(groups); the oracle replays the per-source running total.
+    */
+  private val compactionScoped = CatalogQuery(
+    "x15b_compaction_scoped",
+    (s: SparkSession, dir: String) => {
+      val files = Tables(s, dir).documents.select(col("doc_id"),
+        col("source"), octet_length(col("text")).cast("long").as("bytes"))
+      SequencePack.groupedPrefixSum(files, "source", "doc_id", "bytes",
+          outCol = "start_b")
+        .withColumn("group_id", expr("start_b div 8192L"))
+        .groupBy(col("source"), col("group_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("group_id"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS bytes
+           |  FROM documents),
+           |p AS (
+           |  SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY source
+           |    ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS start_b
+           |  FROM f)
+           |SELECT source, CAST(start_b // 8192 AS BIGINT) AS group_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "Source-scoped compaction plan: ~8 KB contiguous groups that " +
+      "never merge across the source pruning boundary — per-source " +
+      "running byte totals via the grouped distributed prefix sum")
+
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
       tokenBudget, epochs, weighted, splitLeakage, curriculum, card,
-      zorder, compaction)
+      zorder, zorderRanked, compaction, compactionScoped)
 }

@@ -36,6 +36,40 @@ import graft.core.{CatalogQuery, QueryModule, Tables}
   */
 object StreamingQueries extends QueryModule {
 
+  /** Shuffle (and thereby state-store) partition count for the replay
+    * streams. Each replay micro-batch carries a few thousand rows, yet
+    * at session width (local[32] / a cluster's default 200) every
+    * stateful operator schedules a full-width shuffle + state task
+    * wave PER BATCH — measured round 11 as a 3x wall inflation that
+    * scaled with worker-thread count, not the plan (st5 solo: 5.5-6.2s
+    * at local[8] vs 15.3-18.7s at local[32], identical plan;
+    * SCALING_r11 st5_weather_probe). Bounded to 4, st5 runs 4.6-5.4s
+    * and st6 3.4-4.0s solo at local[32] on an idle box — the r10
+    * idle-mode truth. The reference learned the same lesson as
+    * "num_juices = #VMs" tuning (mp3/Report.pdf p.1). On a real
+    * deployment this is per-stream capacity planning: size state
+    * partitions to the per-batch row volume, not the cluster width.
+    */
+  private val ReplayShufflePartitions = 4
+
+  /** Runs `body` (which must START the stream) with the session's
+    * shuffle-partition conf bounded to [[ReplayShufflePartitions]],
+    * restoring the caller's value after the stream FINISHES.
+    * StreamExecution clones the session on its own run thread — which
+    * may start after `start()` returns — so the conf must stay bounded
+    * until `awaitTermination`, and the restore rides the caller's
+    * finally. Safe to mutate here: every replay starts from a fresh
+    * checkpoint (the state partition count is pinned by the first
+    * batch, so no old checkpoint can disagree), and the catalog
+    * builders run serially on the session.
+    */
+  private def boundedReplayConf[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, ReplayShufflePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run an append-mode replay to completion into a uniquely-named
     * memory sink (the sink table is per-query; Bench executes each
     * builder three times per round) and require a genuinely
@@ -55,16 +89,18 @@ object StreamingQueries extends QueryModule {
     // the results, so the checkpoint is deletable the moment the
     // replay stops.
     val ck = graft.core.Scratch.dir(s"graft_ck_$prefix")
-    val q = out.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ck.getAbsolutePath)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try {
-      q.awaitTermination()
-      val batches = q.recentProgress.map(_.batchId).distinct.length
-      require(batches >= minBatches,
-        s"$prefix: replay must run >= $minBatches batches " +
-          s"(maxFilesPerTrigger=1 over the split fixture), got $batches")
-    } finally { q.stop(); graft.core.Scratch.delete(ck) }
+    boundedReplayConf(s) {
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck.getAbsolutePath)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination()
+        val batches = q.recentProgress.map(_.batchId).distinct.length
+        require(batches >= minBatches,
+          s"$prefix: replay must run >= $minBatches batches " +
+            s"(maxFilesPerTrigger=1 over the split fixture), got $batches")
+      } finally { q.stop(); graft.core.Scratch.delete(ck) }
+    }
     s.table(name)
   }
 
@@ -422,19 +458,21 @@ object StreamingQueries extends QueryModule {
       val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
         (batch, id) =>
           batch.write.mode("overwrite").parquet(s"$sink/data/batch_id=$id")
-      val q = daily.writeStream
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", s"$sink/_chk")
-        .foreachBatch(writeBatch)
-        .start()
-      try {
-        q.awaitTermination()
-        val batches = q.recentProgress.map(_.batchId).distinct.length
-        require(batches >= 3,
-          s"st7: replay must run >= 3 batches (maxFilesPerTrigger=1 " +
-            s"over the split fixture), got $batches")
-      } finally q.stop()
+      boundedReplayConf(s) {
+        val q = daily.writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$sink/_chk")
+          .foreachBatch(writeBatch)
+          .start()
+        try {
+          q.awaitTermination()
+          val batches = q.recentProgress.map(_.batchId).distinct.length
+          require(batches >= 3,
+            s"st7: replay must run >= 3 batches (maxFilesPerTrigger=1 " +
+              s"over the split fixture), got $batches")
+        } finally q.stop()
+      }
       val fin = s.read.parquet(s"$sink/data")
       val byDay = Window.partitionBy(col("day"))
         .orderBy(col("n_events").desc, col("event_type"))
@@ -826,8 +864,182 @@ object StreamingQueries extends QueryModule {
       "replays merge + timer rules analytically and the late sentinel " +
       "must die at the watermark before faking a member")
 
+  /** The membership merge's two branches st11 CANNOT fire — under the
+    * oracle gate. In st11 members go permanently silent at their
+    * horizon, so (a) `detector.go:198-204`'s subtlest rule — a
+    * higher-counter heartbeat RESURRECTING a falsely-Failed entry
+    * verbatim — and (b) the never-add-Failed guard
+    * (`detector.go:206-210`) plus the Failed-onto-Failed skip were
+    * spec-only. This derivation plants all three:
+    *
+    *  - cohort R (user_id % 10 == 9): heartbeats before day 5, then
+    *    SILENCE through day 20, then resumption. The failure timer
+    *    fires at the batch-2 watermark (W1 ≈ day 10 − 1 h; silence
+    *    > 5 d > the 3 d timeout), marking the entry Failed — then the
+    *    batch-3 heartbeats carry higher counters and must resurrect it
+    *    ("updated" events resume; a merge that refuses counters from a
+    *    Failed entry drops them all and flips the row red);
+    *  - cohort F (user_id % 10 == 5): heartbeats before day 10, then a
+    *    planted HIGHER-COUNTER FAILED heartbeat (gossip of a failure)
+    *    at day 21 — applied onto an Alive entry it marks it Failed
+    *    ("failed" at the planted time), onto an already-Failed entry
+    *    (members whose last heartbeat was old enough to time out at
+    *    W1) the Failed-onto-Failed rule SKIPS it silently; the entry
+    *    then ages out at the final flush;
+    *  - phantoms (member_id = user_id + 1e8, health = Failed from
+    *    first contact, every batch): the never-add guard must emit
+    *    NOTHING for them — one phantom "joined" flips the hash.
+    *
+    * Batch 2 is empty by construction (no cohort heartbeats land in
+    * [day 10, day 20)), so the watermark HOLDS at W1 across batches 2
+    * and 3 — failure fires at W1, the resurrection data arrives while
+    * the watermark still reads W1, and every remaining timer fires at
+    * the final no-data flush (W3 = max event time − 1 h). The oracle
+    * replays merge + both timer generations analytically from those
+    * two watermark values. The replay's three-weeks-late sentinel
+    * (user 999999999 % 10 == 9 → cohort R's early window, arriving in
+    * batch 3) must still die at the watermark before faking a member.
+    *
+    * Reference anchor: `mp3/src/detector.go:163-227`.
+    */
+  private val streamMembershipResurrect = CatalogQuery(
+    "st11b_membership_resurrection",
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val F = 259200000L // failAfter: 3 days
+      val C = 432000000L // cleanupAfter: 5 more days
+      val Day5 = 1704499200000L
+      val Day10 = 1704931200000L
+      val Day20 = 1705795200000L
+      val P = 1705881600000L // planted Failed-gossip time: day 21
+      def base() = eventsStream(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("tsms"))
+      def hb(memberId: org.apache.spark.sql.Column,
+             counter: org.apache.spark.sql.Column,
+             health: Int, at: org.apache.spark.sql.Column) = Seq(
+        memberId.cast("int").as("memberId"),
+        concat(lit("10.0.0."), memberId.cast("string")).as("ip"),
+        counter.as("heartbeatCount"),
+        lit(health).as("health"),
+        at.as("eventTimeMs"))
+      val sec = (col("tsms") / 1000).cast("long")
+      val r9 = base()
+        .filter(pmod(col("user_id"), lit(10)) === 9 &&
+          (col("tsms") < Day5 || col("tsms") >= Day20))
+        .select(hb(col("user_id"), sec,
+          graft.streaming.Membership.Alive, col("tsms")): _*)
+      val f5 = base()
+        .filter(pmod(col("user_id"), lit(10)) === 5 && col("tsms") < Day10)
+        .select(hb(col("user_id"), sec,
+          graft.streaming.Membership.Alive, col("tsms")): _*)
+      val planted = base()
+        .filter(pmod(col("user_id"), lit(10)) === 5 && col("tsms") >= Day20)
+        .select(hb(col("user_id"), lit(P / 1000),
+          graft.streaming.Membership.Failed, lit(P)): _*)
+      val phantom = base()
+        .filter(pmod(col("user_id"), lit(10)) === 5 && col("tsms") < Day10)
+        .select(hb(col("user_id") + 100000000L, sec,
+          graft.streaming.Membership.Failed, col("tsms")): _*)
+      val hbs = r9.unionByName(f5).unionByName(planted).unionByName(phantom)
+        .as[graft.streaming.Membership.Heartbeat]
+      val ev = graft.streaming.Membership.updates(hbs,
+        failAfterMs = F, cleanupAfterMs = C, watermarkDelay = "1 hour")
+      runReplay(s, ev.toDF(), "graft_st11b_")
+        .select(col("memberId").as("member_id"), col("kind"),
+          col("heartbeatCount").as("hb_count"), col("health"),
+          col("atMs").as("at_ms"))
+        .orderBy(col("member_id"), col("at_ms"), col("kind"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT CAST(user_id AS INT) AS uid,
+           |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tsms
+           |  FROM events),
+           |hb AS (
+           |  SELECT uid AS member_id, tsms, tsms // 1000 AS sec, 0 AS health
+           |  FROM ev WHERE uid % 10 = 9
+           |    AND (tsms < 1704499200000 OR tsms >= 1705795200000)
+           |  UNION ALL
+           |  SELECT uid, tsms, tsms // 1000, 0
+           |  FROM ev WHERE uid % 10 = 5 AND tsms < 1704931200000
+           |  UNION ALL
+           |  SELECT uid, 1705881600000, 1705881600, 1
+           |  FROM ev WHERE uid % 10 = 5 AND tsms >= 1705795200000
+           |  UNION ALL
+           |  SELECT uid + 100000000, tsms, tsms // 1000, 1
+           |  FROM ev WHERE uid % 10 = 5 AND tsms < 1704931200000),
+           |wm AS (
+           |  SELECT (SELECT max(tsms) FROM hb WHERE tsms < 1704931200000)
+           |           - 3600000 AS w1,
+           |         (SELECT max(tsms) FROM hb) - 3600000 AS w3),
+           |app AS (
+           |  -- LWW stale-skip: the first arrival of each (member, sec)
+           |  -- applies; phantoms (first contact Failed) never add
+           |  SELECT member_id, sec, min(tsms) AS tsms
+           |  FROM hb WHERE member_id < 100000000 AND health = 0
+           |  GROUP BY member_id, sec),
+           |emit AS (
+           |  SELECT member_id,
+           |    CASE WHEN row_number() OVER (PARTITION BY member_id
+           |           ORDER BY tsms) = 1
+           |         THEN 'joined' ELSE 'updated' END AS kind,
+           |    sec AS hb_count, 0 AS health, tsms AS at_ms
+           |  FROM app),
+           |m AS (
+           |  SELECT member_id,
+           |    max(CASE WHEN tsms < 1704931200000 THEN tsms END) AS lasta,
+           |    max(CASE WHEN tsms >= 1705795200000 THEN tsms END) AS lastb,
+           |    bool_or(tsms < 1704931200000) AS hasa,
+           |    bool_or(tsms >= 1705795200000) AS hasb
+           |  FROM app GROUP BY member_id),
+           |pl AS (SELECT DISTINCT member_id FROM hb
+           |       WHERE health = 1 AND member_id < 100000000),
+           |t AS (
+           |  SELECT m.*, wm.w1, wm.w3,
+           |    (pl.member_id IS NOT NULL) AS hasp,
+           |    (m.hasa AND wm.w1 - m.lasta > 259200000) AS f1
+           |  FROM m CROSS JOIN wm
+           |  LEFT JOIN pl ON pl.member_id = m.member_id),
+           |t2 AS (
+           |  SELECT *,
+           |    -- the member's terminal-Failed timestamp, if any: timer
+           |    -- fail never resurrected, or planted gossip applied
+           |    -- onto an Alive entry (onto Failed it is SKIPPED, so
+           |    -- the state keeps lasta)
+           |    CASE WHEN f1 AND NOT hasb THEN lasta
+           |         WHEN (NOT f1) AND hasp AND hasa THEN 1705881600000
+           |    END AS fail_ts,
+           |    COALESCE(lastb, lasta) AS last_alive
+           |  FROM t),
+           |timers AS (
+           |  -- failure timeout at the batch-2 checkpoint (watermark w1)
+           |  SELECT member_id, 'failed' AS kind, lasta // 1000 AS hb_count,
+           |         1 AS health, w1 AS at_ms
+           |  FROM t2 WHERE f1
+           |  UNION ALL
+           |  -- planted higher-counter Failed gossip onto an Alive entry
+           |  SELECT member_id, 'failed', 1705881600, 1, 1705881600000
+           |  FROM t2 WHERE hasp AND hasa AND NOT f1
+           |  UNION ALL
+           |  -- final flush (w3): still-alive members fail on silence
+           |  SELECT member_id, 'failed', last_alive // 1000, 1, w3
+           |  FROM t2 WHERE fail_ts IS NULL AND w3 - last_alive > 259200000
+           |  UNION ALL
+           |  -- final flush: Failed entries age out past fail+cleanup
+           |  SELECT member_id, 'removed', fail_ts // 1000, 1, w3
+           |  FROM t2 WHERE fail_ts IS NOT NULL AND w3 - fail_ts > 691200000),
+           |allev AS (SELECT * FROM emit UNION ALL SELECT * FROM timers)
+           |SELECT member_id, kind, CAST(hb_count AS BIGINT) AS hb_count,
+           |       CAST(health AS INT) AS health, CAST(at_ms AS BIGINT) AS at_ms
+           |FROM allev ORDER BY member_id, at_ms, kind""".stripMargin),
+    doc = "Membership resurrection + never-add-Failed under the oracle: " +
+      "a cohort fails at the batch-2 watermark then RESURRECTS via " +
+      "higher-counter batch-3 heartbeats; planted Failed gossip marks " +
+      "Alive entries Failed but is skipped onto already-Failed ones; " +
+      "first-contact-Failed phantoms must emit nothing")
+
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
       streamAttribution, streamDau, streamTrending, streamMotif,
-      streamOhlc, streamConcurrency, streamMembership)
+      streamOhlc, streamConcurrency, streamMembership,
+      streamMembershipResurrect)
 }

@@ -823,6 +823,426 @@ object GraftSql {
         |  -sc[0].neg AS score
         |FROM s ORDER BY doc""".stripMargin,
 
+    // ---- round 12: the temporal / as-of family — precisely what an
+    // analytics user types as SQL (the reference's user surface is its
+    // query CLI). Spark has no ASOF JOIN syntax, so the twins spell
+    // the SAME union + window-carry plan the DataFrame forms ship
+    // (one shuffle, growing frames — never an inequality join); the
+    // other rows are direct translations. SqlParitySpec asserts every
+    // temporal catalog query carries a twin. ----
+
+    // backward as-of: union both sides, carry the last right-side row
+    // forward as ONE struct (wholesale-row semantics, internal nulls
+    // preserved) over the (t, side)-ordered growing frame
+    "a1_asof_click_error" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS err_ts, value FROM events
+        |      WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT user_id, click_ts AS __t, 1 AS __side, event_id, click_ts,
+        |         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, err_ts, 0, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS TIMESTAMP), err_ts, value
+        |  FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('ts', r_ts, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM u)
+        |SELECT event_id, user_id, click_ts,
+        |       cb.ts AS last_error_ts, cb.val AS last_error_value
+        |FROM w WHERE __side = 1 ORDER BY event_id""".stripMargin,
+
+    // forward as-of: same carry, time-DESCENDING growing frame (the
+    // O(rows) spelling; a [current, unbounded following] frame
+    // re-aggregates per row)
+    "a1b_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS err_ts, value FROM events
+        |      WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT user_id, click_ts AS __t, 1 AS __side, event_id, click_ts,
+        |         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, err_ts, 0, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS TIMESTAMP), err_ts, value
+        |  FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('ts', r_ts, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t DESC, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        |  FROM u)
+        |SELECT event_id, user_id, click_ts,
+        |       cf.ts AS next_error_ts, cf.val AS next_error_value
+        |FROM w WHERE __side = 1 ORDER BY event_id""".stripMargin,
+
+    // nearest as-of: both carries over ONE union, the closer candidate
+    // picked in integral micros, exact ties resolving backward
+    "a1c_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS err_ts, value FROM events
+        |      WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT user_id, click_ts AS __t, 1 AS __side, event_id, click_ts,
+        |         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, err_ts, 0, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS TIMESTAMP), err_ts, value
+        |  FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('rt', __t, 'ts', r_ts, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('rt', __t, 'ts', r_ts, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t DESC, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        |  FROM u),
+        |p AS (
+        |  SELECT *,
+        |    CASE WHEN cb IS NULL THEN 9223372036854775807L
+        |         ELSE unix_micros(__t) - unix_micros(cb.rt) END AS db,
+        |    CASE WHEN cf IS NULL THEN 9223372036854775807L
+        |         ELSE unix_micros(cf.rt) - unix_micros(__t) END AS df
+        |  FROM w WHERE __side = 1)
+        |SELECT event_id, user_id, click_ts,
+        |  CASE WHEN db <= df THEN cb.ts ELSE cf.ts END AS near_error_ts,
+        |  CASE WHEN db <= df THEN cb.val ELSE cf.val END AS near_error_value
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    // tolerance as-of: the same backward carry, stale matches (older
+    // than 2 h before the click) nulled by a pure projection
+    "a1d_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS err_ts, value FROM events
+        |      WHERE event_type = 'error'),
+        |u AS (
+        |  SELECT user_id, click_ts AS __t, 1 AS __side, event_id, click_ts,
+        |         CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, err_ts, 0, CAST(NULL AS BIGINT),
+        |         CAST(NULL AS TIMESTAMP), err_ts, value
+        |  FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('ts', r_ts, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM u)
+        |SELECT event_id, user_id, click_ts,
+        |  CASE WHEN cb.ts >= click_ts - INTERVAL 2 HOURS THEN cb.ts END
+        |    AS last_error_ts,
+        |  CASE WHEN cb.ts >= click_ts - INTERVAL 2 HOURS THEN cb.val END
+        |    AS last_error_value
+        |FROM w WHERE __side = 1 ORDER BY event_id""".stripMargin,
+
+    // typed JSON extraction: declare-then-extract (one parse), never
+    // per-use get_json_object re-parsing
+    "a3_json_props" ->
+      """WITH j AS (
+        |  SELECT event_type, from_json(props, 'k BIGINT').k AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n_with_k,
+        |  round(avg(k), 4) AS avg_k, sum(k) AS sum_k
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // interval-follow attribution as the banded EQUI-join (each view
+    // probes its bucket + the next; exact predicate post-filters) —
+    // the inequality-join spelling plans as a nested loop
+    "a4_interval_follow" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS lt
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id AS rk, unix_micros(ts) AS rt,
+        |         unix_micros(ts) - pmod(unix_micros(ts), 1800000000L) AS b
+        |  FROM events WHERE event_type = 'click'),
+        |l AS (
+        |  SELECT user_id, event_id, lt, explode(array(
+        |      lt - pmod(lt, 1800000000L),
+        |      lt - pmod(lt, 1800000000L) + 1800000000L)) AS b
+        |  FROM v)
+        |SELECT l.user_id, l.event_id, count(c.rt) AS n_follow
+        |FROM l LEFT JOIN c
+        |  ON l.b = c.b AND l.user_id = c.rk
+        |  AND c.rt > l.lt AND c.rt <= l.lt + 1800000000L
+        |GROUP BY l.user_id, l.event_id
+        |ORDER BY l.event_id""".stripMargin,
+
+    // LOCF resampling: per-key step-aligned grid (exact pmod ceil/floor
+    // in epoch seconds) + the a1 backward carry
+    "a5_grid_resample" ->
+      """WITH bounds AS (
+        |  SELECT user_id, min(unix_micros(ts) div 1000000) AS lo,
+        |         max(unix_micros(ts) div 1000000) AS hi
+        |  FROM events GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, timestamp_seconds(g) AS grid_ts
+        |  FROM (SELECT user_id, lo + pmod(-lo, 21600) AS g0,
+        |               hi - pmod(hi, 21600) AS g1 FROM bounds)
+        |  LATERAL VIEW explode(CASE WHEN g0 <= g1
+        |      THEN sequence(g0, g1, 21600L)
+        |      ELSE CAST(array() AS ARRAY<BIGINT>) END) t AS g),
+        |u AS (
+        |  SELECT user_id, grid_ts AS __t, 1 AS __side, grid_ts,
+        |         CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM grid
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, CAST(NULL AS TIMESTAMP), event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('eid', r_eid, 'val', r_val) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM u)
+        |SELECT user_id, grid_ts, cb.eid AS asof_event_id,
+        |       cb.val AS asof_value
+        |FROM w WHERE __side = 1
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
+    // linear interpolation to the grid: both carries over one union,
+    // exact integer micro-value / milli-delta arithmetic, truncating div
+    "a5b_grid_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, floor(value * 1000000) AS vm FROM events),
+        |bounds AS (
+        |  SELECT user_id, min(unix_micros(ts) div 1000000) AS lo,
+        |         max(unix_micros(ts) div 1000000) AS hi
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, timestamp_seconds(g) AS grid_ts
+        |  FROM (SELECT user_id, lo + pmod(-lo, 21600) AS g0,
+        |               hi - pmod(hi, 21600) AS g1 FROM bounds)
+        |  LATERAL VIEW explode(CASE WHEN g0 <= g1
+        |      THEN sequence(g0, g1, 21600L)
+        |      ELSE CAST(array() AS ARRAY<BIGINT>) END) t AS g),
+        |u AS (
+        |  SELECT user_id, grid_ts AS __t, 1 AS __side,
+        |         CAST(NULL AS BIGINT) AS vm
+        |  FROM grid
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, vm FROM ev),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('rt', __t, 'vm', vm) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    last_value(CASE WHEN __side = 0
+        |        THEN named_struct('rt', __t, 'vm', vm) END, true)
+        |      OVER (PARTITION BY user_id ORDER BY __t DESC, __side
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        |  FROM u),
+        |d AS (
+        |  SELECT user_id, __t AS grid_ts, cb.vm AS vb, cf.vm AS vf,
+        |    unix_micros(__t) div 1000 AS tg,
+        |    unix_micros(cb.rt) div 1000 AS tb,
+        |    unix_micros(cf.rt) div 1000 AS tf
+        |  FROM w WHERE __side = 1)
+        |SELECT user_id, grid_ts,
+        |  CASE WHEN tf = tb THEN vb
+        |       ELSE vb + (vf - vb) * (tg - tb) div (tf - tb) END
+        |    AS interp_micro
+        |FROM d ORDER BY user_id, grid_ts""".stripMargin,
+
+    // rolling 7-day distinct actives via contribution expansion (no
+    // engine windows COUNT(DISTINCT) over a frame); trailing phantom
+    // days past the data clipped by the observed-day max
+    "a6_rolling_active_users" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT to_date(ts) AS d, user_id AS u FROM events),
+        |c AS (
+        |  SELECT pos, day, u FROM pairs
+        |  LATERAL VIEW posexplode(sequence(d, date_add(d, 6))) t AS pos, day),
+        |g AS (
+        |  SELECT day, count(DISTINCT u) AS wau,
+        |    max(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS observed
+        |  FROM c GROUP BY day),
+        |m AS (
+        |  SELECT *, max(CASE WHEN observed = 1 THEN day END) OVER () AS maxd
+        |  FROM g)
+        |SELECT day, wau FROM m WHERE day <= maxd ORDER BY day""".stripMargin,
+
+    // cohort retention: first-active week as a running min over the
+    // user partition — no self-join, monotonically coarsening grains
+    "a7_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', to_date(ts)) AS DATE) AS w
+        |  FROM events),
+        |c AS (SELECT *, min(w) OVER (PARTITION BY u) AS cohort_w FROM weeks)
+        |SELECT cohort_w,
+        |  CAST(floor(datediff(w, cohort_w) / 7) AS BIGINT) AS week_no,
+        |  count(DISTINCT u) AS n_users
+        |FROM c GROUP BY cohort_w, week_no
+        |ORDER BY cohort_w, week_no""".stripMargin,
+
+    // time-weighted average: one lead pass, exact integral cents·micros
+    // sums (DECIMAL(38,0) numerator), explicit floor(x + 0.5) rounding
+    "a8_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, unix_micros(ts) AS us, event_id AS tie,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |l AS (
+        |  SELECT k, us, c,
+        |    lead(us, 1) OVER (PARTITION BY k ORDER BY us, tie) AS nxt
+        |  FROM e),
+        |g AS (
+        |  SELECT k, sum(CAST(c AS DECIMAL(38,0)) * (nxt - us)) AS numd,
+        |    sum(nxt - us) AS den
+        |  FROM l WHERE nxt IS NOT NULL GROUP BY k),
+        |f AS (
+        |  SELECT k, CAST(numd AS BIGINT) AS num, den
+        |  FROM g WHERE den > 0)
+        |SELECT k AS user_id, num, den,
+        |  CAST(floor(num / den * 10000 + 0.5d) AS BIGINT) AS twap_micro
+        |FROM f ORDER BY user_id""".stripMargin,
+
+    // join-free ordered funnel: each step's first-qualifying time is a
+    // whole-partition window min referencing the previous step
+    "a9_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, ts AS t, event_type AS ty FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN ty = 'view' THEN t END)
+        |         OVER (PARTITION BY k) AS st1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN ty = 'click' AND t > st1 THEN t END)
+        |         OVER (PARTITION BY k) AS st2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t > st2 THEN t END)
+        |         OVER (PARTITION BY k) AS st3 FROM s2),
+        |g AS (SELECT k, max(st1) AS ts_step1, max(st2) AS ts_step2,
+        |             max(st3) AS ts_step3
+        |      FROM s3 GROUP BY k)
+        |SELECT k AS user_id, ts_step1, ts_step2, ts_step3,
+        |  CAST(CASE WHEN ts_step3 IS NOT NULL THEN 3
+        |            WHEN ts_step2 IS NOT NULL THEN 2
+        |            WHEN ts_step1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps_completed
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    // Tukey fences in exact eighth-micro-units: one percentile
+    // aggregate, O(types) fence relation broadcast, single scan
+    "a10_value_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type,
+        |    CAST(percentile(v, 0.25) * 4 AS BIGINT) AS q25,
+        |    CAST(percentile(v, 0.75) * 4 AS BIGINT) AS q75
+        |  FROM ev GROUP BY event_type)
+        |SELECT /*+ BROADCAST(f) */ ev.event_id, ev.event_type,
+        |       ev.v AS value_micro
+        |FROM ev JOIN f ON ev.event_type = f.event_type
+        |WHERE ev.v * 8 < f.q25 * 2 - (f.q75 - f.q25) * 3
+        |   OR ev.v * 8 > f.q75 * 2 + (f.q75 - f.q25) * 3
+        |ORDER BY ev.event_id""".stripMargin,
+
+    // rolling z-test vs the trailing 20-event baseline as one exact
+    // integer window inequality in DECIMAL(38,0)
+    "a11_rolling_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type, v,
+        |    sum(CAST(v AS DECIMAL(38,0))) OVER win AS s,
+        |    sum(CAST(v AS DECIMAL(38,0)) * v) OVER win AS q,
+        |    count(1) OVER win AS n
+        |  FROM ev
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, v AS value_micro,
+        |  (s - ((s % n + n) % n)) div n AS mean_micro
+        |FROM w
+        |WHERE n = 20
+        |  AND (CAST(n AS DECIMAL(38,0)) * v - s)
+        |      * (CAST(n AS DECIMAL(38,0)) * v - s)
+        |      > 9 * (CAST(n AS DECIMAL(38,0)) * q - s * s)
+        |ORDER BY event_id""".stripMargin,
+
+    // contiguous motif count: two leads over one key-shuffle window,
+    // zero-count users explicit
+    "a12_motif_sequence" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, ts AS t, event_id AS tie, event_type AS ty
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lead(ty, 1) OVER win AS t1, lead(ty, 2) OVER win AS t2
+        |  FROM e WINDOW win AS (PARTITION BY k ORDER BY t, tie))
+        |SELECT k AS user_id, count(1) AS n_events,
+        |  count(CASE WHEN ty = 'view' AND t1 = 'click'
+        |             AND t2 = 'purchase' THEN 1 END) AS n_motifs
+        |FROM l GROUP BY k ORDER BY user_id""".stripMargin,
+
+    // OHLC bars: open/close via min/max over the order-isomorphic
+    // packed (ts, id) DECIMAL — one HashAggregate, no window sort;
+    // values recovered by unique-id equi-joins
+    "a13_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT event_type AS k, date_trunc('hour', ts) AS bucket_ts,
+        |    value AS v,
+        |    CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000000L
+        |      + event_id AS pk
+        |  FROM events),
+        |agg AS (
+        |  SELECT k, bucket_ts, count(1) AS n_events,
+        |    max(v) AS high, min(v) AS low,
+        |    CAST(min(pk) % 10000000000L AS BIGINT) AS oid,
+        |    CAST(max(pk) % 10000000000L AS BIGINT) AS cid
+        |  FROM b GROUP BY k, bucket_ts)
+        |SELECT agg.k AS event_type, agg.bucket_ts, agg.n_events,
+        |  o.value AS open, agg.high, agg.low, c.value AS close
+        |FROM agg
+        |JOIN events o ON o.event_id = agg.oid
+        |JOIN events c ON c.event_id = agg.cid
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+
+    // peak concurrency: the ±1 boundary sweep as a global running sum
+    // (semantic twin — the DataFrame form's distributed prefix sum is
+    // the 100 TB plan; same note as x4/x14), starts before ends at a
+    // tie via the packed parity key
+    "a14_peak_concurrency" ->
+      """WITH s AS (
+        |  SELECT user_id, session_window(ts, '30 minutes') AS w
+        |  FROM events GROUP BY user_id, session_window(ts, '30 minutes')),
+        |sess AS (SELECT w.start AS st, w.`end` - INTERVAL 30 MINUTES AS en
+        |         FROM s),
+        |bd AS (SELECT st AS t, 1L AS delta FROM sess
+        |       UNION ALL SELECT en, -1L FROM sess),
+        |r AS (
+        |  SELECT t, delta,
+        |    coalesce(sum(delta) OVER (
+        |      ORDER BY unix_micros(t) * 2
+        |        + CASE WHEN delta < 0 THEN 1L ELSE 0L END
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS pb
+        |  FROM bd)
+        |SELECT to_date(t) AS day,
+        |  max(pb + greatest(delta, 0L)) AS peak_concurrent,
+        |  sum(CASE WHEN delta = 1 THEN 1L ELSE 0L END) AS n_starts,
+        |  sum(CASE WHEN delta = -1 THEN 1L ELSE 0L END) AS n_ends
+        |FROM r GROUP BY to_date(t) ORDER BY day""".stripMargin,
+
     // Gopher-style repetition signals: in-row word features plus the
     // per-doc 2-gram aggregate cascade
     "t6_repetition" ->

@@ -202,4 +202,40 @@ class FuzzySpec extends SparkSpecBase {
     assert(st.verifyCandidates >= st.outputPairs)
     assert(st.outputPairs > 0, "fixture must produce pairs to be meaningful")
   }
+
+  test("auto-waved blocked join: the predicted-volume trigger trips past " +
+    "the ceiling, waves partition the output exactly, and a roomy " +
+    "ceiling stays single-wave") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(717)
+    def word() = (0 until 4 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val ls = (1L to 80L).map(i => i -> word())
+    val rs = (101L to 180L).map(i => i -> word())
+    def withBlk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("blk", substring(col("s"), 1, 1))
+    def auto(ceiling: Long): (Set[(Long, Long, Long)], Int) = {
+      var waves = -1
+      val got = Fuzzy.editDistanceJoinAutoWaved(withBlk(ls.toDF("id", "s")),
+          withBlk(rs.toDF("id", "s")), "id", "id", "s", "s", "blk", "blk",
+          maxDist = 2, waveCandidateCeiling = ceiling,
+          onWaves = w => waves = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (got, waves)
+    }
+    val whole = runBlocked(ls, rs, 2)
+    assert(whole.nonEmpty)
+    // roomy ceiling: no waving, same answer
+    val (one, w1) = auto(Long.MaxValue / 2)
+    assert(w1 == 1 && one == whole)
+    // tiny ceiling: the trigger must trip, and the waved union must be
+    // bit-identical to the whole join (blocks are atomic across waves)
+    val (waved, wN) = auto(50L)
+    assert(wN > 1, s"expected the auto-wave trigger to trip, got $wN")
+    assert(waved == whole)
+    // the cap bounds a pathological prediction
+    val (capped, wCap) = auto(1L)
+    assert(wCap <= 64 && capped == whole)
+  }
 }

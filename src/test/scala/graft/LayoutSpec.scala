@@ -74,4 +74,65 @@ class LayoutSpec extends SparkSpecBase {
       .toMap
     assert(got == expected)
   }
+
+  test("zorderAssign fails loudly on a uid outside the 2^30 packing domain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 1L, 1L), ((1L << 30), 2L, 2L)).toDF("uid", "p", "q")
+    val e = intercept[Exception] {
+      Layout.zorderAssign(df, col("p"), col("q"), "uid", 4).collect()
+    }
+    // Spark wraps raise_error in SparkRuntimeException; the message
+    // must carry the operator's own diagnosis, not a bent curve
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside packing domain")),
+      s"expected the packing-domain diagnosis, got: ${messages(e)}")
+  }
+
+  test("rankBucket16 is the exact equi-depth quantile coordinate, " +
+    "skew-immune where pmod scatters") {
+    val s = spark
+    import s.implicits._
+    // sparse quadratic domain: i^2 spans [0, 1e6) with growing gaps
+    val rows = (0L until 1000L).map(i => (i, i * i))
+    val df = rows.toDF("uid", "v")
+    val got = Layout.rankBucket16(df, "v", "uid", n = 1000L, outCol = "c")
+      .select(col("uid"), col("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (uid, _) =>
+      // v = uid^2 is already sorted by uid, so rank = uid exactly
+      assert(got(uid) == uid * 65536L / 1000L, s"uid $uid")
+    }
+    // the coordinate fills [0, 65536) evenly: every 1/16 stripe hit
+    val stripes = got.values.map(_ / 4096).toSet
+    assert(stripes == (0L until 16L).toSet, s"stripes $stripes")
+  }
+
+  test("zorderAssignRanked equals the local reference: quantile " +
+    "coordinates -> morton -> rank div rowsPerFile") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2027)
+    // skewed sparse values on both dimensions
+    val rows = (0L until 400L).map { i =>
+      val a = rnd.nextInt(1000).toLong; (i, a * a, rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("uid", "a", "b")
+    val got = Layout.zorderAssignRanked(df, "a", "b", "uid", 32)
+      .select(col("uid"), col("file_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.length.toLong
+    def rankCoord(key: Seq[(Long, Long)]): Map[Long, Long] =
+      key.sortBy { case (uid, v) => (v, uid) }.zipWithIndex
+        .map { case ((uid, _), r) => uid -> r.toLong * 65536L / n }.toMap
+    val ca = rankCoord(rows.map(r => (r._1, r._2)))
+    val cb = rankCoord(rows.map(r => (r._1, r._3)))
+    val expected = rows.map { case (uid, _, _) =>
+        uid -> refMorton(ca(uid).toInt, cb(uid).toInt)
+      }.sortBy { case (uid, z) => (z, uid) }.zipWithIndex
+      .map { case ((uid, _), rank) => uid -> (rank / 32).toLong }.toMap
+    assert(got == expected)
+  }
 }

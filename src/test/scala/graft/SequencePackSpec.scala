@@ -54,4 +54,29 @@ class SequencePackSpec extends SparkSpecBase {
     assert(windows.exists(_.contains("__pid")),
       s"expected a __pid-partitioned window in:\n$plan")
   }
+
+  private def grouped(numParts: Int) = {
+    val s = spark
+    import s.implicits._
+    // 3 groups with interleaved ids and 0-weight rows
+    val rows = (0L until 211L).map(i =>
+      (i, s"src${i % 3}", (i * 11 + 5) % 37))
+    SequencePack.groupedPrefixSum(rows.toDF("id", "g", "w"),
+        "g", "id", "w", numParts = numParts, outCol = "pb")
+      .select($"id", $"g", $"w", $"pb")
+      .as[(Long, String, Long, Long)]
+      .collect().sortBy(_._1)
+  }
+
+  test("groupedPrefixSum equals the per-group sequential exclusive " +
+    "prefix sum and is partition-count invariant") {
+    val rows = grouped(numParts = 5)
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { case (_, g, w, pb) =>
+      assert(pb == acc.getOrElse(g, 0L), s"group $g")
+      acc(g) = acc.getOrElse(g, 0L) + w
+    }
+    assert(grouped(numParts = 1).toSeq == rows.toSeq)
+    assert(grouped(numParts = 7).toSeq == rows.toSeq)
+  }
 }

@@ -31,6 +31,15 @@ class SqlParitySpec extends SparkSpecBase {
     assert(bad.isEmpty, s"pipeline SQL texts naming no catalog query: $bad")
   }
 
+  test("every temporal catalog query has a SQL twin") {
+    // the as-of / sessionization / funnel family is precisely what an
+    // analytics user types as SQL — none may lack a twin
+    val temporal = graft.queries.TemporalQueries.queries.map(_.name).toSet
+    val twinned = GraftSql.texts.keySet ++ GraftSql.pipelineTexts.keySet
+    val missing = temporal -- twinned
+    assert(missing.isEmpty, s"temporal catalog queries without SQL twins: $missing")
+  }
+
   /** Canonical form mirroring the driver's compare: columns sorted by
     * name (types kept), rows value-stringified and sorted.
     */

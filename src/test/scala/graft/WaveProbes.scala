@@ -199,3 +199,72 @@ object D12WaveProbe {
     spark.stop()
   }
 }
+
+/** Round-12 probe for the AUTO-waved blocked fuzzy join
+  * (Fuzzy.editDistanceJoinAutoWaved): same 30x-shaped tagged population
+  * as D12WaveProbe, but the operator decides the wave count itself from
+  * the predicted candidate volume. Emits the prediction-driven wave
+  * count, per-wave shuffle scratch vs the whole join, and asserts pair
+  * conservation in-run — the SCALING_r12 row for VERDICT r11 ask 5.
+  * Usage: Test/runMain graft.FuzzyAutoWaveProbe [mult] [ceiling] [sfDir]
+  */
+object FuzzyAutoWaveProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(30)
+    val ceiling = args.drop(1).headOption.map(_.toLong)
+      .getOrElse(graft.operators.Fuzzy.DefaultWaveCandidateCeiling)
+    val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t = graft.core.Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory(s"d12auto_$mult").toString
+    WaveProbes.taggedDocs(t, mult).write.mode("overwrite").parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+    val base0 = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+    val rr = pmod(col("doc_id"), lit(4))
+    val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
+      substring(col("fp"), 11, 1000))
+    val t2 = concat(substring(t1, 1, 12), lit("y"), substring(t1, 14, 1000))
+    val t3 = concat(substring(t2, 1, 15), lit("x"), substring(t2, 17, 1000))
+    val typos0 = base0.select(col("doc_id").as("typo_key"),
+      when(rr === 0, col("fp")).when(rr === 1, t1)
+        .when(rr === 2, t2).otherwise(t3).as("typo_name"))
+    val typos = typos0.withColumn("blk",
+      concat(substring(col("typo_name"), 1, 8), lit("#"),
+        expr("typo_key div 1000000")))
+    val base = base0.withColumn("blk",
+      concat(substring(col("fp"), 1, 8), lit("#"),
+        expr("doc_id div 1000000")))
+    val meter = new WaveProbes.ShuffleMeter(spark)
+    // phase A: whole blocked join — the footprint baseline
+    val a0 = meter.settledTotal()
+    val tw0 = System.nanoTime()
+    val wholeCount = graft.operators.Fuzzy.editDistanceJoin(typos, base,
+      "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+      maxDist = 2, q = 3).count()
+    val wholeSec = (System.nanoTime() - tw0) / 1e9
+    val wholeBytes = meter.settledTotal() - a0
+    println(f"""{"op":"fuzzy_auto_wave","scale":$mult,"phase":"whole","sec":$wholeSec%.1f,"shuffle_mb":${wholeBytes / 1e6}%.0f,"pairs":$wholeCount}""")
+    // phase B: the auto-waved operator at the given ceiling — waves run
+    // SEQUENTIALLY inside the call (eager per-wave localCheckpoint), so
+    // the post-call shuffle total divided by the wave count bounds the
+    // mean per-wave scratch; the wave max is what the probe's per-wave
+    // baseline (phase A / waves from D12WaveProbe) already established
+    spark.catalog.clearCache()
+    var waves = -1
+    val b0 = meter.settledTotal()
+    val ta0 = System.nanoTime()
+    val autoDf = graft.operators.Fuzzy.editDistanceJoinAutoWaved(typos, base,
+      "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+      maxDist = 2, q = 3, waveCandidateCeiling = ceiling,
+      onWaves = w => waves = w)
+    val autoCount = autoDf.count()
+    val autoSec = (System.nanoTime() - ta0) / 1e9
+    val autoBytes = meter.settledTotal() - b0
+    require(autoCount == wholeCount,
+      s"auto waves lost pairs: $autoCount != $wholeCount")
+    println(f"""{"op":"fuzzy_auto_wave","scale":$mult,"phase":"auto","ceiling":$ceiling,"waves":$waves,"sec":$autoSec%.1f,"shuffle_mb":${autoBytes / 1e6}%.0f,"pairs":$autoCount,"pairs_equal":true}""")
+    graft.core.Scratch.delete(new java.io.File(tmp))
+    spark.stop()
+  }
+}
