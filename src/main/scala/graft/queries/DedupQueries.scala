@@ -852,10 +852,79 @@ object DedupQueries extends QueryModule {
       "(SCALING_r09 C); oracle is the quadratic levenshtein join " +
       "restricted to same-prefix same-stratum pairs")
 
+  /** d12b's blocked join executed through the AUTO-WAVED entry point
+    * ([[graft.operators.Fuzzy.editDistanceJoinAutoWaved]]) — the waved
+    * execution itself under the oracle gate, not just a probe: the
+    * ceiling is set low (50 candidates, maxWaves = 3) so the
+    * predicted-volume trigger TRIPS at gate scale and the answer is
+    * assembled from sequential block-hash waves (each eagerly
+    * localCheckpointed — wave g's shuffle scratch is released before
+    * wave g+1 runs). Every candidate pair shares its block, so waves
+    * partition the candidate space exactly and the result must be
+    * bit-identical to d12b restricted to the same slice — decided by
+    * the same brute-force DuckDB oracle. maxWaves = 3 bounds the gate
+    * cost (the wave count is a scratch-budget knob, not a correctness
+    * one); the 2000-doc slice keeps the measurement pass + 3 waves a
+    * cheap bench row.
+    */
+  private val fuzzyJoinAutoWaved = CatalogQuery(
+    "d12d_edit_distance_join_autowaved",
+    (s: SparkSession, dir: String) => {
+      val base = Tables(s, dir).documents
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("fp"))
+      val r = pmod(col("doc_id"), lit(4))
+      val t1 = concat(substring(col("fp"), 1, 9), lit("z"),
+        substring(col("fp"), 11, 1000))
+      val t2 = concat(substring(t1, 1, 12), lit("y"),
+        substring(t1, 14, 1000))
+      val t3 = concat(substring(t2, 1, 15), lit("x"),
+        substring(t2, 17, 1000))
+      val typos = base.select(col("doc_id").as("typo_key"),
+        when(r === 0, col("fp")).when(r === 1, t1)
+          .when(r === 2, t2).otherwise(t3).as("typo_name"))
+        .withColumn("blk", substring(col("typo_name"), 1, 8))
+      graft.operators.Fuzzy.editDistanceJoinAutoWaved(
+          typos, base.withColumn("blk", substring(col("fp"), 1, 8)),
+          "typo_key", "doc_id", "typo_name", "fp", "blk", "blk",
+          maxDist = 2, q = 3,
+          waveCandidateCeiling = 50L, maxWaves = 3)
+        .select(col("left_id").as("typo_key"),
+          col("right_id").as("doc_key"), col("dist"))
+        .orderBy(col("typo_key"), col("doc_key"))
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, substr(text,1,40) AS fp FROM documents
+           |  WHERE doc_id < 2000),
+           |t AS (
+           |  SELECT doc_id AS typo_key,
+           |    CASE doc_id % 4
+           |      WHEN 0 THEN fp
+           |      WHEN 1 THEN substr(fp,1,9)||'z'||substr(fp,11)
+           |      WHEN 2 THEN substr(fp,1,9)||'z'||substr(fp,11,2)
+           |                  ||'y'||substr(fp,14)
+           |      ELSE substr(fp,1,9)||'z'||substr(fp,11,2)||'y'
+           |           ||substr(fp,14,2)||'x'||substr(fp,17)
+           |    END AS typo_name
+           |  FROM base)
+           |SELECT t.typo_key, c.doc_id AS doc_key,
+           |  CAST(levenshtein(t.typo_name, c.fp) AS BIGINT) AS dist
+           |FROM t, base c
+           |WHERE substr(t.typo_name,1,8) = substr(c.fp,1,8)
+           |  AND levenshtein(t.typo_name, c.fp) <= 2
+           |ORDER BY typo_key, doc_key""".stripMargin),
+    doc = "Auto-waved blocked edit-distance join: the predicted-" +
+      "candidate-volume trigger trips (ceiling 50, maxWaves 3) and " +
+      "the answer is assembled from sequential bounded-scratch " +
+      "block-hash waves — bit-identical to the blocked join by " +
+      "construction, decided by the brute-force levenshtein oracle " +
+      "restricted to same-block pairs on the 2000-doc slice")
+
   override def queries: Seq[CatalogQuery] =
     Seq(exact, ngram, containment, minhash, simhash, pipeline, incremental,
       decontamination, decontaminationBloom, clusters, dupCoverage,
       canonical, fuzzyJoin, fuzzyJoinBlocked, fuzzyJoinStratified,
+      fuzzyJoinAutoWaved,
       novelty, noveltyIncremental,
       decontaminationNormalized, calibration)
 }

@@ -371,6 +371,71 @@ object StreamingQueries extends QueryModule {
     doc = "Stream-stream attribution join (views x clicks, event-time " +
       "range bounds the state); emits exactly the batch pair set")
 
+  /** st5's LEFT OUTER twin — the join shape whose OUTER rows are
+    * watermark-driven: an unmatched view emits its null-click row only
+    * when the global watermark proves no future click can match it
+    * (v_ts + 30 min below the min of both sides' watermarks — the
+    * range condition is what makes the state watermark derivable, the
+    * same bound that keeps state O(window)). Inner pairs emit
+    * immediately; the null rows emit at state EVICTION, so they
+    * exercise the per-batch eviction machinery plus the availableNow
+    * final flush (watermark advances after the last data batch, the
+    * flush batch evicts and emits the tail — the st11 timer mechanism,
+    * applied to join state). Views whose window is still open at the
+    * final watermark are withheld, and the oracle applies the same
+    * frontier analytically in Spark's truncating ms arithmetic (the
+    * st8 convention). The planted three-weeks-late 'view' must be
+    * dropped at the input watermark — if it leaks it emits a phantom
+    * null row for the sentinel user and flips the hash.
+    */
+  private val streamAttributionOuter = CatalogQuery(
+    "st12_stream_stream_outer_join",
+    (s: SparkSession, dir: String) => {
+      def stream(kind: String, alias: String) = eventsStream(s, dir)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${alias}_user"),
+          col("event_id").as(s"${alias}_id"),
+          col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+      val joined = stream("view", "v").join(stream("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"),
+        "left_outer")
+      runReplay(s, joined, "graft_st12_")
+        .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+          col("c_id").as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           |           FROM events WHERE event_type = 'view'),
+           |c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           |      FROM events WHERE event_type = 'click'),
+           |wm AS (
+           |  SELECT least((SELECT max(epoch_us(ts)) // 1000 FROM v),
+           |               (SELECT max(epoch_us(ts)) // 1000 FROM c))
+           |           - 3600000 AS w),
+           |m AS (
+           |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+           |  FROM v JOIN c ON c.user_id = v.user_id
+           |    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE),
+           |um AS (
+           |  SELECT v.user_id, v.event_id AS view_id,
+           |         CAST(NULL AS BIGINT) AS click_id
+           |  FROM v, wm
+           |  WHERE epoch_us(v.ts) // 1000 + 1800000 < wm.w
+           |    AND NOT EXISTS (SELECT 1 FROM c
+           |          WHERE c.user_id = v.user_id AND c.ts > v.ts
+           |            AND c.ts <= v.ts + INTERVAL 30 MINUTE))
+           |SELECT user_id, view_id, click_id FROM m
+           |UNION ALL SELECT user_id, view_id, click_id FROM um
+           |ORDER BY view_id, click_id""".stripMargin),
+    doc = "Stream-stream LEFT OUTER attribution join: inner pairs emit " +
+      "immediately, unmatched views emit null-click rows at state " +
+      "eviction when the min watermark passes their window (incl. the " +
+      "final-flush tail); oracle = batch pairs + the analytic " +
+      "unmatched frontier in truncating ms arithmetic")
+
   /** CHAINED stateful aggregations in one append-mode stream — the
     * multi-stateful-operator surface (Spark 4): stage 1 aggregates to
     * (day-window, user) grain, stage 2 re-windows stage 1's output via
@@ -1039,7 +1104,7 @@ object StreamingQueries extends QueryModule {
 
   override def queries: Seq[CatalogQuery] =
     Seq(streamClean, streamHourly, streamIndexProbe, streamSessions,
-      streamAttribution, streamDau, streamTrending, streamMotif,
-      streamOhlc, streamConcurrency, streamMembership,
-      streamMembershipResurrect)
+      streamAttribution, streamAttributionOuter, streamDau,
+      streamTrending, streamMotif, streamOhlc, streamConcurrency,
+      streamMembership, streamMembershipResurrect)
 }
