@@ -113,8 +113,12 @@ object Fuzzy {
     * checkpointed prefix relations the count already materialized —
     * the measured path costs nothing extra. Past the ceiling the block
     * keys split into ceil(volume / ceiling) hash classes (capped at
-    * `maxWaves`) and the join executes as SEQUENTIAL per-class waves —
-    * every candidate pair shares its block, so waves partition the
+    * `maxWaves`) and the join executes as SEQUENTIAL per-class waves
+    * that FILTER the same checkpointed prefix + cleaned-input
+    * relations — gram extraction, per-block rarity ranking and the
+    * prefix windows are paid once, and a wave's own cost is exactly
+    * the candidate join + verify it exists to bound. Every candidate
+    * pair shares its block, so waves partition the
     * candidate space exactly (D12WaveProbe: pair counts conserved,
     * max per-wave scratch ~1/waves of the whole footprint). Each wave
     * eagerly materializes via localCheckpoint, so scratch from wave g
@@ -148,12 +152,18 @@ object Fuzzy {
     onWaves(waves)
     if (waves == 1) whole.result
     else {
-      def cls(c: Column) = pmod(xxhash64(c), lit(waves.toLong))
+      // waves FILTER the measurement pass's checkpointed relations —
+      // gram extraction, per-block rarity ranking and the prefix
+      // windows are paid ONCE; a wave's own cost is exactly the
+      // candidate join + verify it exists to bound. Filtering by a
+      // hash class of __blk is exact: prefixes are per-(block, string)
+      // and gram ranks are per-block, so a block's relations are
+      // byte-identical whole or waved.
+      def cls = pmod(xxhash64(col("__blk")), lit(waves.toLong))
       (0 until waves).map { g =>
-        build(left.filter(cls(col(leftBlock)) === g),
-            right.filter(cls(col(rightBlock)) === g),
-            leftId, rightId, leftStr, rightStr, maxDist, q,
-            blk = Some((leftBlock, rightBlock)))
+        assemble(whole.pl.filter(cls === g), whole.pr.filter(cls === g),
+            whole.l.filter(cls === g), whole.r.filter(cls === g),
+            maxDist, q)
           .result
           // EAGER per-wave materialization: wave g's shuffle scratch is
           // gone before wave g+1 starts (the bounded-scratch point);
@@ -243,8 +253,15 @@ object Fuzzy {
     } finally { gram.unpersist(); short.unpersist() }
   }
 
+  /** The pipeline's handles: the candidate/verify/result stages, plus —
+    * for the measured path — the exact stage volumes and the
+    * checkpointed prefix (`pl`/`pr`) and cleaned-input (`l`/`r`)
+    * relations the waved execution re-slices.
+    */
   private final case class Build(candGram: DataFrame, candShort: DataFrame,
                                  verify: DataFrame, result: DataFrame,
+                                 pl: DataFrame, pr: DataFrame,
+                                 l: DataFrame, r: DataFrame,
                                  volume: Option[(java.math.BigDecimal, java.math.BigDecimal)] = None)
 
   private def build(left: DataFrame, right: DataFrame,
@@ -270,14 +287,21 @@ object Fuzzy {
     // (two copies -> only ~half the distinct prefix elements survive),
     // silently breaking losslessness; the output is distinct pairs
     // anyway, so collapsing input duplicates is semantics-preserving
-    val l = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"),
+    val l0 = left.select(col(leftId).as("__lid"), col(leftStr).as("__ls"),
         lBlk.as("__blk"))
       .filter(col("__ls").isNotNull && col("__blk").isNotNull)
       .distinct()
-    val r = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
+    val r0 = right.select(col(rightId).as("__rid"), col(rightStr).as("__rs"),
         rBlk.as("__blk"))
       .filter(col("__rs").isNotNull && col("__blk").isNotNull)
       .distinct()
+    // measured (auto-wave) path: checkpoint the cleaned inputs too, so
+    // the short-fallback legs of every wave reuse one distinct() pass
+    // instead of re-shuffling the inputs per wave. Linear-size, like
+    // the prefix checkpoints.
+    val (l, r) =
+      if (measure) (l0.localCheckpoint(true), r0.localCheckpoint(true))
+      else (l0, r0)
 
     // padded q-gram multiset as (gram, occurrence-ordinal) structs;
     // the ordinal is the count of equal grams at earlier positions,
@@ -371,6 +395,18 @@ object Fuzzy {
         (plC, prC, Some((gramVol, shortVol)))
       }
     }
+    assemble(pl, pr, l, r, maxDist, q).copy(volume = measured)
+  }
+
+  /** The join pipeline's tail, from prefix + cleaned relations to the
+    * exact result — factored so the waved execution can re-slice the
+    * measured checkpoints per hash class without rebuilding gram
+    * extraction and ranking.
+    */
+  private def assemble(pl: DataFrame, pr: DataFrame,
+                       l: DataFrame, r: DataFrame,
+                       maxDist: Int, q: Int): Build = {
+    val shortLen = q * maxDist - q + 1
     val candGram = pl
       .join(pr, Seq("__blk", "__e"))
       .select(col("__lid"), col("__ls"), col("__rid"), col("__rs"))
@@ -401,6 +437,6 @@ object Fuzzy {
       .filter(col("__d") <= maxDist)
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
         col("__d").cast("long").as("dist"))
-    Build(candGram, candShort, verify, result, measured)
+    Build(candGram, candShort, verify, result, pl, pr, l, r)
   }
 }
