@@ -97,12 +97,17 @@ object Bench {
       val f = statLine.split("\\s+").drop(1).take(8).map(_.toLong)
       val box = f.sum - f(3) - f(4) // minus idle, iowait: busy jiffies
       val selfStat = scala.io.Source.fromFile("/proc/self/stat")
-      // fields 14,15 (1-based utime, stime) follow the parenthesised
-      // comm field; split after the last ')' to survive spaces in comm
+      // fields 14-17 (1-based utime, stime, cutime, cstime) follow the
+      // parenthesised comm field; split after the last ')' to survive
+      // spaces in comm. cutime/cstime (reaped children) matter: mj3's
+      // pipe stage spawns awk processes whose CPU is genuinely OURS but
+      // lives outside utime/stime — without them the window reads its
+      // own children as a foreign core and mj3 burned its 3 contention
+      // retries every run on self-caused "contention".
       val self = try {
         val s = selfStat.getLines().next()
         val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-        rest(11).toLong + rest(12).toLong
+        rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong
       } finally selfStat.close()
       (box, self, f(7))
     } catch { case _: Throwable => (0L, 0L, 0L) }
