@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Generate the sf1 (10x sf0.1) validation dataset under target/.
+
+Dev tool only (like check_oracle.py) — the engine never depends on it.
+/root/testdata is read-only and ships sf0.001/0.01/0.1; the round-13
+whole-catalog-at-10x validation needs one more decade, so this derives
+it from sf0.1 deterministically:
+
+  - FACT tables carry the 10x: orders, lineitem, events, documents are
+    10 disjoint replicas with primary keys shifted by a 1e6 stride per
+    replica (foreign keys into the dims unchanged — a customer now has
+    10x orders, a part 10x lineitems, the realistic densification).
+  - DIMENSIONS are held at sf0.1 (region nation customer supplier
+    part): growing part/supplier keys would break the engine's
+    documented data contracts (x14's uid packing needs
+    partkey < 1e5, suppkey < 1e4), and dims-at-rest-while-facts-grow
+    is the usual warehouse decade anyway.
+  - EMBEDDINGS are held at sf0.1's 2000 rows: the driver's own scaling
+    is sub-linear (500 -> 500 -> 2000), and replicating vectors
+    verbatim would plant thousands of extra cosine-1.0 pairs whose
+    LSH escape odds the s3/s7 fixtures were not calibrated for —
+    the s-family's scale evidence lives in the SCALING probes.
+
+Replica-key invariants preserved (checked after write):
+  - lineitem (l_orderkey, l_linenumber, l_partkey, l_suppkey) unique;
+  - event_id unique and < 1e10 (a13/c1 packed-decimal domain);
+  - doc_id unique; d12's doc_id < 2000 slice hits replica 0 only.
+
+Usage: python3 scripts/gen_sf1.py [srcDir] [outDir]
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "target/testdata/sf1"
+
+COPY = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+STRIDE = 1000000
+REPLICAS = 10
+SHIFTED = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet'")
+        print(f"copied {t}")
+    for t, key in SHIFTED.items():
+        cols = [r[0] for r in
+                con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'")
+                .fetchall()]
+        sel = ", ".join(
+            f"{c} + r.range * {STRIDE} AS {c}" if c == key else c
+            for c in cols)
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
+            f"range({REPLICAS}) r ORDER BY {key}) TO '{OUT}/{t}.parquet'")
+        n = con.execute(
+            f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+        print(f"replicated {t}: {n} rows")
+    # invariants the engine's data contracts rely on
+    checks = [
+        ("lineitem 4-tuple unique",
+         f"SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber, "
+         f"l_partkey, l_suppkey)) FROM '{OUT}/lineitem.parquet'", 0),
+        ("event_id unique",
+         f"SELECT count(*) - count(DISTINCT event_id) "
+         f"FROM '{OUT}/events.parquet'", 0),
+        ("event_id < 1e10",
+         f"SELECT count(*) FROM '{OUT}/events.parquet' "
+         f"WHERE event_id >= 10000000000", 0),
+        ("doc_id unique",
+         f"SELECT count(*) - count(DISTINCT doc_id) "
+         f"FROM '{OUT}/documents.parquet'", 0),
+        ("partkey < 1e5 (x14 uid contract)",
+         f"SELECT count(*) FROM '{OUT}/lineitem.parquet' "
+         f"WHERE l_partkey >= 100000", 0),
+        ("suppkey < 1e4 (x14 uid contract)",
+         f"SELECT count(*) FROM '{OUT}/lineitem.parquet' "
+         f"WHERE l_suppkey >= 10000", 0),
+    ]
+    bad = 0
+    for name, sql, want in checks:
+        got = con.execute(sql).fetchone()[0]
+        ok = "ok" if got == want else "FAIL"
+        bad += got != want
+        print(f"check {name}: {got} ({ok})")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

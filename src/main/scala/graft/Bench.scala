@@ -207,10 +207,16 @@ object Bench {
     // >15% divergence from the median). A solo failure is dropped, not
     // promoted to an error — the 3 reported windows already measured.
     val stSolo = names.filter(_.startsWith("st")).map { n =>
-      val hadError = errors.contains(n)
-      val w = timeOnce(n)._1
-      if (w < 0 && !hadError) errors.remove(n)
-      n -> w
+      // a row that already reported an error is SKIPPED: a solo rerun
+      // cannot add a clean reading, and when the rerun also fails,
+      // timeOnce would overwrite the original error text with the solo
+      // failure's (the timed passes' message is the one that matters)
+      if (errors.contains(n)) n -> -1.0
+      else {
+        val w = timeOnce(n)._1
+        if (w < 0) errors.remove(n)
+        n -> w
+      }
     }
     // per query: the 3 least-contended windows (ties: faster wall)
     // carry the reported stats; extra contended windows influence

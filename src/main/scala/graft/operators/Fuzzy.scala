@@ -96,20 +96,40 @@ object Fuzzy {
     build(left, right, leftId, rightId, leftStr, rightStr, maxDist, q,
       blk = Some((leftBlock, rightBlock))).result
 
-  /** Default per-wave candidate ceiling for [[editDistanceJoinAutoWaved]]:
-    * ~5e7 candidate pairs of ~40-char strings ≈ a few GB of verify-join
-    * shuffle scratch per wave — the D12WaveProbe regime where 4 waves
-    * bounded per-wave scratch at 0.096× the 952 MB whole-join footprint.
+  /** Default per-wave SCRATCH budget for [[editDistanceJoinAutoWaved]],
+    * in bytes: the candidate ceiling is DERIVED from it via the
+    * measured bytes-per-candidate of the actual inputs, because a
+    * fixed candidate count is only right for one string population —
+    * 5e7 pairs of 40-char strings is a few GB, 5e7 pairs of 400-char
+    * strings is ten times that, and on a real cluster the right bound
+    * is a function of per-executor shuffle scratch, not a constant.
+    * 6 GiB reproduces the calibrated behavior on this box: at the
+    * D12WaveProbe population (~40-char strings → ~120 B/candidate) it
+    * derives a ~5.4e7 ceiling, the regime where 4 waves bounded
+    * per-wave scratch at 0.096× the 952 MB whole-join footprint.
     */
-  val DefaultWaveCandidateCeiling: Long = 50000000L
+  val DefaultWaveScratchBudgetBytes: Long = 6L << 30
+
+  /** Bytes a candidate pair occupies beyond its two strings in the
+    * verify-stage shuffle: two 8-byte ids plus unsafe-row framing.
+    */
+  private val PairOverheadBytes = 40.0
 
   /** [[editDistanceJoin]] that decides its own wave count from the
     * PREDICTED candidate volume — the g2 auto-waving pattern applied to
     * the blocked fuzzy join, so the 952 MB → 10× scratch-headroom
     * decision is the operator's, not a human's. The prediction is the
     * breaker's exact linear-cost count (Σ per join key of |L|·|R| over
-    * the prefix relations + the short-length classes, in DECIMAL);
-    * below `waveCandidateCeiling` the join runs whole, REUSING the
+    * the prefix relations + the short-length classes, in DECIMAL).
+    * The per-wave ceiling defaults to DERIVED-FROM-ENVIRONMENT:
+    * `waveScratchBudgetBytes` (per-wave shuffle scratch the execution
+    * environment affords) divided by the MEASURED bytes-per-candidate
+    * of these inputs — average string lengths from one bounded agg
+    * over the already-checkpointed cleaned relations, plus id/row
+    * overhead — so the same operator waves a 40-char corpus at ~5e7
+    * candidates and a 400-char corpus ten times sooner. Pass
+    * `waveCandidateCeiling > 0` to pin the ceiling explicitly (specs,
+    * replays). Below the ceiling the join runs whole, REUSING the
     * checkpointed prefix relations the count already materialized —
     * the measured path costs nothing extra. Past the ceiling the block
     * keys split into ceil(volume / ceiling) hash classes (capped at
@@ -124,7 +144,14 @@ object Fuzzy {
     * eagerly materializes via localCheckpoint, so scratch from wave g
     * is released before wave g+1 shuffles; the returned frame is the
     * union of the materialized waves. Per-block gram rarity is
-    * unchanged by waving (blocks are atomic within a wave), so the
+    * unchanged by waving (blocks are atomic within a wave), and the
+    * union dedups at the same (id, string) pair grain as the whole
+    * join's verify-stage distinct — under MULTI-BLOCK blocking (the
+    * same record blocked into several keys, a standard linkage
+    * technique) a pair matching in two blocks that hash to different
+    * waves would otherwise emit twice. That distinct runs over the
+    * OUTPUT-sized union of verified survivors, never the candidates,
+    * so it cannot reintroduce the scratch the waves bound — and the
     * output is bit-identical to the whole join.
     *
     * `onWaves` observes the decision (specs assert the trip; callers
@@ -135,15 +162,32 @@ object Fuzzy {
                                 leftStr: String, rightStr: String,
                                 leftBlock: String, rightBlock: String,
                                 maxDist: Int, q: Int = 2,
-                                waveCandidateCeiling: Long = DefaultWaveCandidateCeiling,
+                                waveCandidateCeiling: Long = 0L,
+                                waveScratchBudgetBytes: Long = DefaultWaveScratchBudgetBytes,
                                 maxWaves: Int = 64,
                                 onWaves: Int => Unit = _ => ()): DataFrame = {
-    require(waveCandidateCeiling > 0 && maxWaves >= 1)
+    require(waveCandidateCeiling >= 0 && waveScratchBudgetBytes > 0 &&
+      maxWaves >= 1)
     val whole = build(left, right, leftId, rightId, leftStr, rightStr,
       maxDist, q, blk = Some((leftBlock, rightBlock)), measure = true)
     val (gramVol, shortVol) = whole.volume.get
     val total = gramVol.add(shortVol)
-    val ceil = java.math.BigDecimal.valueOf(waveCandidateCeiling)
+    val ceiling =
+      if (waveCandidateCeiling > 0) waveCandidateCeiling
+      else {
+        // measured bytes/candidate: a verify-stage row carries both
+        // strings plus ids and row framing. One bounded agg per side
+        // over the ALREADY-CHECKPOINTED cleaned relations (the
+        // measurement pass materialized them — this costs a scan of
+        // O(N) checkpointed rows, no shuffle). Empty side → 0 avg.
+        val avgL = whole.l
+          .agg(coalesce(avg(length(col("__ls"))), lit(0.0))).head.getDouble(0)
+        val avgR = whole.r
+          .agg(coalesce(avg(length(col("__rs"))), lit(0.0))).head.getDouble(0)
+        val bytesPerCandidate = math.max(avgL + avgR + PairOverheadBytes, 1.0)
+        math.max((waveScratchBudgetBytes / bytesPerCandidate).toLong, 1L)
+      }
+    val ceil = java.math.BigDecimal.valueOf(ceiling)
     val waves =
       if (total.compareTo(ceil) <= 0) 1
       else if (total.compareTo(ceil.multiply(
@@ -164,12 +208,24 @@ object Fuzzy {
         assemble(whole.pl.filter(cls === g), whole.pr.filter(cls === g),
             whole.l.filter(cls === g), whole.r.filter(cls === g),
             maxDist, q)
-          .result
+          // resultKeyed (not result): the verified survivors WITH their
+          // strings, so the cross-wave distinct below dedups at exactly
+          // the whole join's verify grain (__lid, __ls, __rid, __rs) —
+          // __d is a function of the strings, so carrying it is free
+          .resultKeyed
           // EAGER per-wave materialization: wave g's shuffle scratch is
           // gone before wave g+1 starts (the bounded-scratch point);
           // localCheckpoint, never persist (flat LogicalRDD plan)
           .localCheckpoint(true)
       }.reduce(_ unionAll _)
+        // cross-wave dedup: under multi-block blocking the same pair can
+        // verify in two blocks hashing to different waves; the whole
+        // join's single verify-stage distinct collapses those, so the
+        // waved union must too. Output-sized (dist <= maxDist survivors
+        // only), never candidate-sized.
+        .distinct()
+        .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
+          col("__d").cast("long").as("dist"))
     }
   }
 
@@ -259,7 +315,8 @@ object Fuzzy {
     * relations the waved execution re-slices.
     */
   private final case class Build(candGram: DataFrame, candShort: DataFrame,
-                                 verify: DataFrame, result: DataFrame,
+                                 verify: DataFrame, resultKeyed: DataFrame,
+                                 result: DataFrame,
                                  pl: DataFrame, pr: DataFrame,
                                  l: DataFrame, r: DataFrame,
                                  volume: Option[(java.math.BigDecimal, java.math.BigDecimal)] = None)
@@ -432,11 +489,14 @@ object Fuzzy {
     val verify = candGram.unionAll(candShort)
       .distinct()
       .filter(abs(length(col("__ls")) - length(col("__rs"))) <= maxDist)
-    val result = verify
+    // resultKeyed keeps the strings so the waved execution can dedup
+    // ACROSS waves at this same grain before projecting them away
+    val resultKeyed = verify
       .withColumn("__d", levenshtein(col("__ls"), col("__rs")))
       .filter(col("__d") <= maxDist)
+    val result = resultKeyed
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
         col("__d").cast("long").as("dist"))
-    Build(candGram, candShort, verify, result, pl, pr, l, r)
+    Build(candGram, candShort, verify, resultKeyed, result, pl, pr, l, r)
   }
 }

@@ -130,10 +130,24 @@ object SequencePack {
     */
   def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
                        weightCol: String, numParts: Int = 0,
-                       outCol: String = "prefix_before"): DataFrame = {
+                       outCol: String = "prefix_before"): DataFrame =
+    groupedPrefixSumBy(df, groupCol, Seq(orderCol), weightCol, numParts,
+      outCol)
+
+  /** [[groupedPrefixSum]] over a COMPOSITE within-group order — the
+    * grouped analogue of [[prefixSumBy]]. [[Layout.rankBucket16Pair]]
+    * rides this to rank BOTH z-order dimensions in ONE shuffled pass
+    * over a skinny (dim, value, uid) relation, where dim is the group.
+    */
+  def groupedPrefixSumBy(df: DataFrame, groupCol: String,
+                         orderCols: Seq[String], weightCol: String,
+                         numParts: Int = 0,
+                         outCol: String = "prefix_before"): DataFrame = {
+    require(orderCols.nonEmpty, "groupedPrefixSumBy needs an order column")
     val n = if (numParts > 0) numParts
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = df.repartitionByRange(n, col(groupCol), col(orderCol))
+    val parts = df
+      .repartitionByRange(n, (groupCol +: orderCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
 
@@ -146,7 +160,7 @@ object SequencePack {
       .drop("__ptotal")
 
     val wLocal = Window.partitionBy(col("__pid"), col(groupCol))
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val start = coalesce(sum(col(weightCol)).over(wLocal), lit(0L)) +
       col("__poffset")

@@ -65,6 +65,7 @@ object Similarity {
                      pairBudget: Long = DefaultBrutePairBudget): DataFrame = {
     var corpus = vecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("v"))
     val qs = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    var corpusPersisted = false
     if (pairBudget < Long.MaxValue) {
       // count the QUERY side eagerly (small by contract — it broadcasts
       // below anyway); the corpus side is the expensive scan, so its
@@ -75,6 +76,7 @@ object Similarity {
       val qCount = BigInt(qs.count())
       if (qCount > 0) {
         corpus = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        corpusPersisted = true
         val pairs = qCount * BigInt(corpus.count())
         if (pairs > BigInt(pairBudget)) {
           corpus.unpersist()
@@ -90,10 +92,23 @@ object Similarity {
     val scored = corpus.join(broadcast(qs), col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"), cosine(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val topk = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
+    if (!corpusPersisted) topk
+    else {
+      // the breaker persisted the corpus for its count; release it here
+      // rather than leak a MEMORY_AND_DISK entry the caller has no
+      // handle to unpersist. The result must therefore materialize
+      // EAGERLY (O(Q·k) rows — localCheckpoint, the repo's
+      // flat-lineage convention) before the unpersist, or the lazy
+      // plan would recompute the corpus projection it was meant to
+      // reuse.
+      val mat = topk.localCheckpoint(true)
+      corpus.unpersist()
+      mat
+    }
   }
 
   /** Fixed-seed random hyperplanes: `tables` independent signatures of

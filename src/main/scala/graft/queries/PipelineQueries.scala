@@ -541,80 +541,47 @@ object PipelineQueries extends QueryModule {
       "per-doc signals, one fingerprint aggregate whose >=2-owner " +
       "survivors join back as an O(dup-fps) marker; O(strata) output")
 
-  /** Z-ordered layout plan over lineitem's (partkey, suppkey): Morton
-    * codes (exact shift/mask bit interleave — [[Layout.mortonZ]]),
-    * rank by the distributed prefix sum, fixed 4096-row files, and the
-    * per-file min/max envelopes a parquet reader would prune on. The
-    * envelopes ARE the deliverable: a single-key sort gives the second
-    * column full-range envelopes in every file, while this layout
-    * bounds both dimensions per file — the oracle replays the curve,
-    * the ranks and the envelopes bit-for-bit.
+  /** Z-ordered layout plan over lineitem's (partkey, suppkey) — THE
+    * CATALOG DEFAULT IS THE RANK-BUCKETED CURVE: both dimensions are
+    * exact equi-depth quantile 16-bit coordinates
+    * ([[graft.operators.Layout.zorderAssignRanked]] — one folded
+    * skinny rank pass for both dims), Morton-interleaved (exact
+    * shift/mask bit interleave), ranked by the distributed prefix sum
+    * into fixed 4096-row files, with the per-file min/max envelopes a
+    * parquet reader would prune on. Rank bucketing is the default
+    * because it is the variant that survives REAL keys: pmod
+    * coordinates only fill the curve when the domain is dense, and on
+    * a sparse domain their envelopes stop pruning entirely
+    * (LayoutSkewProbe: 99.66% average envelope vs 16.3% ranked —
+    * SCALING_r12). Everything stays exact integer arithmetic, so
+    * DuckDB replays coordinates (`(row_number()-1)*65536 // n`),
+    * curve, ranks and envelopes bit-for-bit.
     */
+  /** The z-order rows' per-row unique key. The synthetic lineitem's
+    * (l_orderkey, l_linenumber) is NOT unique (TESTDATA is TPC-H-ish,
+    * not TPC-H: sf0.01 has 60000 rows over 45832 such pairs), but the
+    * full (orderkey, linenumber, partkey, suppkey) tuple is — so the
+    * uid packs all four with decimal multipliers wide enough for every
+    * shipped scale factor (suppkey < 10^4, partkey < 10^5, both by
+    * data contract; the oracle replays the same arithmetic in BIGINT).
+    * zorderAssign ranks the composite (z, uid) order directly, so the
+    * ~10^16 uid magnitude needs no bit-packing headroom.
+    */
+  private def lineitemUid(s: SparkSession, dir: String) =
+    Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_partkey"), col("l_suppkey"))
+      .withColumn("uid",
+        (col("l_orderkey") * 8 + col("ln")) * lit(1000000000L) +
+          col("l_partkey") * 10000 + col("l_suppkey"))
+
+  private val uidSql =
+    "(l_orderkey * 8 + l_linenumber) * 1000000000 + l_partkey * 10000 + l_suppkey"
+
   private val zorder = CatalogQuery(
     "x14_zorder_layout",
     (s: SparkSession, dir: String) => {
-      val li = Tables(s, dir).lineitem.select(
-        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-        col("l_partkey"), col("l_suppkey"))
-      // l_linenumber <= 7, so orderkey*8+ln is unique and < 2^30 at
-      // catalog scale (the zorderAssign packing domain)
-      val uid = li.withColumn("uid", col("l_orderkey") * 8 + col("ln"))
-      graft.operators.Layout.zorderAssign(uid,
-          pmod(col("l_partkey"), lit(65536L)),
-          pmod(col("l_suppkey"), lit(65536L)),
-          "uid", rowsPerFile = 4096)
-        .groupBy(col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
-          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
-        .orderBy(col("file_id"))
-    },
-    Some("""WITH sp AS (
-           |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           |    CAST(l_partkey AS BIGINT) % 65536 AS xa,
-           |    CAST(l_suppkey AS BIGINT) % 65536 AS xb
-           |  FROM lineitem),
-           |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
-           |                 ((xb | (xb << 8)) & 16711935) AS b1 FROM sp),
-           |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
-           |                 ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
-           |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
-           |                 ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
-           |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
-           |                 ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
-           |zz AS (SELECT *, (a4 | (b4 << 1)) AS z FROM s4),
-           |rk AS (
-           |  SELECT *, CAST((row_number() OVER (
-           |      ORDER BY z, l_orderkey * 8 + l_linenumber) - 1) // 4096
-           |    AS BIGINT) AS file_id
-           |  FROM zz)
-           |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
-           |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
-           |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
-           |FROM rk GROUP BY file_id ORDER BY file_id""".stripMargin),
-    doc = "Z-order (Morton) layout plan: exact bit-interleaved curve " +
-      "position, distributed-prefix-sum ranks, 4096-row files, and " +
-      "the per-file two-dimensional min/max pruning envelopes")
-
-  /** x14's production default: the SAME Morton curve over RANK-BUCKETED
-    * (exact equi-depth quantile) coordinates instead of `pmod` —
-    * [[graft.operators.Layout.zorderAssignRanked]]. pmod coordinates
-    * only fill the curve when the key domain is dense (x14's envelope
-    * tightening is partly that artifact — Layout's own doc said so);
-    * rank-bucketing makes curve locality follow VALUE ORDER, so the
-    * envelopes keep pruning on sparse/skewed domains (measured:
-    * LayoutSkewProbe, SCALING_r12). Everything stays exact integer
-    * arithmetic — two distributed rank passes for the coordinates, one
-    * for the file assignment — so DuckDB replays coordinates, curve,
-    * ranks and envelopes bit-for-bit via `(row_number()-1)*65536 // n`.
-    */
-  private val zorderRanked = CatalogQuery(
-    "x14b_zorder_ranked",
-    (s: SparkSession, dir: String) => {
-      val li = Tables(s, dir).lineitem.select(
-        col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
-        col("l_partkey"), col("l_suppkey"))
-      val uid = li.withColumn("uid", col("l_orderkey") * 8 + col("ln"))
+      val uid = lineitemUid(s, dir)
       graft.operators.Layout.zorderAssignRanked(uid,
           "l_partkey", "l_suppkey", "uid", rowsPerFile = 4096)
         .groupBy(col("file_id"))
@@ -623,9 +590,9 @@ object PipelineQueries extends QueryModule {
           min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
         .orderBy(col("file_id"))
     },
-    Some("""WITH li AS (
+    Some(s"""WITH li AS (
            |  SELECT l_partkey, l_suppkey,
-           |    l_orderkey * 8 + l_linenumber AS uid
+           |    $uidSql AS uid
            |  FROM lineitem),
            |n AS (SELECT count(*) AS n FROM li),
            |rk AS (
@@ -654,10 +621,62 @@ object PipelineQueries extends QueryModule {
            |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
            |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
            |FROM fid GROUP BY file_id ORDER BY file_id""".stripMargin),
-    doc = "Z-order layout over exact rank-bucketed (equi-depth) 16-bit " +
-      "coordinates — the skew-robust production default: quantile " +
-      "coordinates fill the curve for any key distribution; all three " +
-      "rank passes ride the distributed prefix sum")
+    doc = "Z-order (Morton) layout plan over exact rank-bucketed " +
+      "(equi-depth) 16-bit coordinates — the skew-robust default: " +
+      "quantile coordinates fill the curve for any key distribution; " +
+      "both dimension ranks fold into one skinny distributed pass and " +
+      "the file assignment rides the distributed prefix sum")
+
+  /** The pmod DIFFERENTIAL TWIN of x14: the same Morton curve over
+    * `pmod(key, 65536)` coordinates. Kept as the contrast row — pmod
+    * is cheaper (no rank passes) and bit-exactly replayable, but only
+    * fills the curve when the key domain is dense; on a sparse domain
+    * its envelopes cover 99.66% of the value range (pruning dead,
+    * LayoutSkewProbe) while x14's ranked coordinates keep pruning.
+    * NOT the layout a production table should copy — x14 is.
+    */
+  private val zorderPmod = CatalogQuery(
+    "x14b_zorder_pmod",
+    (s: SparkSession, dir: String) => {
+      val uid = lineitemUid(s, dir)
+      graft.operators.Layout.zorderAssign(uid,
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L)),
+          "uid", rowsPerFile = 4096)
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+          min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+        .orderBy(col("file_id"))
+    },
+    Some(s"""WITH sp AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    $uidSql AS uid,
+           |    CAST(l_partkey AS BIGINT) % 65536 AS xa,
+           |    CAST(l_suppkey AS BIGINT) % 65536 AS xb
+           |  FROM lineitem),
+           |s1 AS (SELECT *, ((xa | (xa << 8)) & 16711935) AS a1,
+           |                 ((xb | (xb << 8)) & 16711935) AS b1 FROM sp),
+           |s2 AS (SELECT *, ((a1 | (a1 << 4)) & 252645135) AS a2,
+           |                 ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+           |s3 AS (SELECT *, ((a2 | (a2 << 2)) & 858993459) AS a3,
+           |                 ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+           |s4 AS (SELECT *, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+           |                 ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+           |zz AS (SELECT *, (a4 | (b4 << 1)) AS z FROM s4),
+           |rk AS (
+           |  SELECT *, CAST((row_number() OVER (
+           |      ORDER BY z, uid) - 1) // 4096
+           |    AS BIGINT) AS file_id
+           |  FROM zz)
+           |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+           |FROM rk GROUP BY file_id ORDER BY file_id""".stripMargin),
+    doc = "pmod-coordinate Z-order twin of x14, kept as the contrast " +
+      "row: cheaper (no rank passes) but its envelopes die on sparse " +
+      "key domains — x14's ranked coordinates are the default a " +
+      "production table should copy")
 
   /** Small-file compaction plan over the documents corpus: contiguous
     * groups of ~8 KB by running byte total (floor(prefix/budget) —
@@ -743,5 +762,5 @@ object PipelineQueries extends QueryModule {
   override def queries: Seq[CatalogQuery] =
     Seq(mix, pack, saltedAgg, shuffle, sourceCap, trainingSet, chunks,
       tokenBudget, epochs, weighted, splitLeakage, curriculum, card,
-      zorder, zorderRanked, compaction, compactionScoped)
+      zorder, zorderPmod, compaction, compactionScoped)
 }

@@ -271,6 +271,98 @@ object SimilarityQueries extends QueryModule {
       "s4 at-rest IVF cells (soft nassign=3 assignment), greedy min-id " +
       "exemplar keep rule, exact against the brute-force oracle")
 
+  /** s8: the s2/s4 rank-1 checks widened into a RECALL CALIBRATION
+    * CURVE — per perturbation strength (0.01/0.02/0.03 per-component,
+    * cosine ≈ 0.998/0.994/0.986 from the source), both ANN paths' full
+    * recall@1 arithmetic as catalog rows. The oracle computes the
+    * EXACT brute-force top-1 per perturbed query (always the planted
+    * source — every strength sits far above the ~0.5 noise floor) and
+    * replays the identical (method, strength, n_queries, n_hits,
+    * recall_ppm) aggregation, so equality holds iff BOTH indexes
+    * recover the true neighbor for EVERY query at EVERY strength:
+    * recall@1 = 100% on separable fixtures is now a red/green oracle
+    * fact, not a code-comment claim (seed-pinned hyperplanes +
+    * quantizer + fixed data make it a fixed outcome, the s2/s3/s4
+    * convention). A weaker index config (fewer tables, lower nprobe)
+    * fails loudest at the strongest perturbation — exactly how an
+    * index regression should surface. The strength ladder stops at
+    * 0.03 (cos 0.986) because that is where the 8×12 LSH config's
+    * escape probability stays comfortably in guaranteed-hit territory
+    * per the S-curve ((1-θ/π)^12 over 8 tables ≈ 3e-3 escape); at
+    * 0.04 (cos 0.97, s2's single-strength draw) the measured sf0.1
+    * outcome is already 9/10 — a real escape, not noise — so a
+    * 100%-recall oracle row there would pin hash luck, not quality.
+    */
+  private val recallCalibration = CatalogQuery(
+    "s8_ann_recall_calibration",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // per-strength perturbed query sets (ids offset by centi·10^6 so
+      // strengths never collide; same lateral-alias phase convention
+      // as `perturbed` — the oracle mirrors the offset form)
+      def perturbedAt(centi: Int) =
+        e.filter(col("vec_id") < 10)
+          .select((col("vec_id") + centi * 1000000L).as("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              (x, i) => x + lit(centi / 100.0) * sin(col("vec_id") * 7 + i))
+              .as("embedding"))
+      val path = graft.operators.IvfIndex.ensure(s, dir, e, nlist = 16, maxIter = 5)
+      val runs = for {
+        centi <- Seq(1, 2, 3)
+        (method, top) <- Seq(
+          "lsh" -> Similarity.lshTopK(e, perturbedAt(centi), k = 5),
+          "ivf" -> graft.operators.IvfIndex.probeTopK(s, path,
+            perturbedAt(centi), k = 5, nprobe = 4))
+      } yield top.filter(col("rank") === 1)
+        .select(lit(method).as("method"),
+          lit(centi.toLong).as("strength_centi"),
+          col("qid"), col("neighbor_id"))
+      runs.reduce(_ unionAll _)
+        .groupBy(col("method"), col("strength_centi"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("qid") % 1000000L, 1L)
+            .otherwise(0L)).as("n_hits"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div n_queries"))
+        .orderBy(col("method"), col("strength_centi"))
+    },
+    Some("""WITH strengths AS (SELECT unnest([1, 2, 3]) AS m),
+           |q AS (
+           |  SELECT m, vec_id + m * 1000000 AS qid,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      (x,i) -> x + (m/100.0)
+           |        * sin((vec_id + m * 1000000)*7 + (i-1))) AS qv
+           |  FROM embeddings, strengths WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT m, qid, e.vec_id AS nid,
+           |    list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+           |  FROM q, embeddings e),
+           |top1 AS (
+           |  SELECT m, qid, nid,
+           |    row_number() OVER (PARTITION BY m, qid
+           |                       ORDER BY cos DESC, nid) AS rnk
+           |  FROM scored),
+           |hits AS (
+           |  SELECT m, qid,
+           |    CASE WHEN nid = qid % 1000000 THEN 1 ELSE 0 END AS hit
+           |  FROM top1 WHERE rnk = 1),
+           |per AS (
+           |  SELECT 'lsh' AS method, m, count(*) AS n_queries,
+           |         sum(hit) AS n_hits
+           |  FROM hits GROUP BY m
+           |  UNION ALL
+           |  SELECT 'ivf', m, count(*), sum(hit) FROM hits GROUP BY m)
+           |SELECT method, CAST(m AS BIGINT) AS strength_centi,
+           |  CAST(n_queries AS BIGINT) AS n_queries,
+           |  CAST(n_hits AS BIGINT) AS n_hits,
+           |  CAST(n_hits * 1000000 // n_queries AS BIGINT) AS recall_ppm
+           |FROM per ORDER BY method, strength_centi""".stripMargin),
+    doc = "ANN recall@1 calibration curve: LSH and IVF rank-1 recall " +
+      "vs the exact brute-force top-1 at three planted perturbation " +
+      "strengths (cos ~0.998/0.994/0.986), aggregated as exact ppm " +
+      "arithmetic the oracle replays — index quality as a hash-checked " +
+      "catalog fact")
+
   override def queries: Seq[CatalogQuery] =
-    Seq(brute, lsh, nearDup, ivf, quant, centroids, semantic)
+    Seq(brute, lsh, nearDup, ivf, quant, centroids, semantic,
+      recallCalibration)
 }

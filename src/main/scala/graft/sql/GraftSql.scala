@@ -526,15 +526,28 @@ object GraftSql {
         |FROM j JOIN st ON j.source = st.source CROSS JOIN n
         |ORDER BY j.source""".stripMargin,
 
-    // z-order layout as pure SQL: the Morton shift/mask cascade is
-    // plain integer arithmetic, and the rank a global window (semantic
-    // twin — the DataFrame form's distributed prefix sum is the 100 TB
-    // plan; same note as x4)
+    // z-order layout as pure SQL: exact equi-depth rank coordinates
+    // (the catalog's skew-robust default), the Morton shift/mask
+    // cascade as plain integer arithmetic, and the ranks as global
+    // windows (semantic twin — the DataFrame form's folded skinny
+    // rank pass + distributed prefix sum is the 100 TB plan; same
+    // note as x4). uid packs the full unique 4-tuple.
     "x14_zorder_layout" ->
-      """WITH sp AS (
-        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |    pmod(l_partkey, 65536L) AS xa, pmod(l_suppkey, 65536L) AS xb
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (l_orderkey * 8 + l_linenumber) * 1000000000L
+        |      + l_partkey * 10000 + l_suppkey AS uid
         |  FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM li),
+        |rk0 AS (
+        |  SELECT l_partkey, l_suppkey, uid,
+        |    row_number() OVER (ORDER BY l_partkey, uid) - 1 AS ra,
+        |    row_number() OVER (ORDER BY l_suppkey, uid) - 1 AS rb
+        |  FROM li),
+        |sp AS (
+        |  SELECT l_partkey, l_suppkey, uid,
+        |    (ra * 65536L) DIV n.n AS xa, (rb * 65536L) DIV n.n AS xb
+        |  FROM rk0 CROSS JOIN n),
         |s1 AS (SELECT *, ((xa | shiftleft(xa, 8)) & 16711935L) AS a1,
         |                 ((xb | shiftleft(xb, 8)) & 16711935L) AS b1 FROM sp),
         |s2 AS (SELECT *, ((a1 | shiftleft(a1, 4)) & 252645135L) AS a2,
@@ -545,8 +558,7 @@ object GraftSql {
         |                 ((b3 | shiftleft(b3, 1)) & 1431655765L) AS b4 FROM s3),
         |zz AS (SELECT *, (a4 | shiftleft(b4, 1)) AS z FROM s4),
         |rk AS (
-        |  SELECT *, CAST((row_number() OVER (
-        |      ORDER BY z, l_orderkey * 8 + l_linenumber) - 1) DIV 4096
+        |  SELECT *, CAST((row_number() OVER (ORDER BY z, uid) - 1) DIV 4096
         |    AS BIGINT) AS file_id
         |  FROM zz)
         |SELECT file_id, count(*) AS n_rows,
@@ -1273,7 +1285,122 @@ object GraftSql {
         |  coalesce(gs.dup_2gram_ratio, 0.0d) AS dup_2gram_ratio,
         |  coalesce(gs.top_2gram_ratio, 0.0d) AS top_2gram_ratio
         |FROM base b LEFT JOIN gs ON gs.doc = b.doc
-        |ORDER BY b.doc""".stripMargin
+        |ORDER BY b.doc""".stripMargin,
+
+    // ---- round 13: the p-family — the REFERENCE'S OWN query set,
+    // which SURVEY §2.10 literally writes as SQL (wordcount explode +
+    // GROUP BY, the wine per-occurrence token count, the two-phase
+    // Condorcet CTE, rank-before-filter grep) — and the c-family
+    // changelog/CDC shapes (compact-latest, SCD2 intervals,
+    // delete-aware compaction), classic warehouse window SQL. ----
+
+    "p1_wordcount" ->
+      """SELECT word, count(1) AS n_occurrences
+        |FROM (SELECT explode(split(text, '\\s+')) AS word FROM documents)
+        |WHERE word != ''
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    // the wine shape: the filter prunes rows BEFORE the explode, and
+    // occurrences (not matching rows) are what count
+    "p2_wine_token_count" ->
+      """SELECT source, count(1) AS n_occurrences
+        |FROM (SELECT source, explode(split(text, '\\s+')) AS word
+        |      FROM documents WHERE lang = 'en')
+        |WHERE word = 'hash'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // two-phase Condorcet: per-pair majority (ties to the smaller
+    // candidate), then the global tally with the wins = n-1 winner
+    // threshold and the max-wins fallback set
+    "p3_condorcet" ->
+      """WITH cand AS (SELECT CAST(id AS INT) AS c FROM range(5)),
+        |prefs AS (
+        |  SELECT a.c AS ca, b.c AS cb,
+        |    CASE WHEN ((o_orderkey * (a.c + 1)) % 101
+        |               < (o_orderkey * (b.c + 1)) % 101)
+        |           OR ((o_orderkey * (a.c + 1)) % 101
+        |               = (o_orderkey * (b.c + 1)) % 101 AND a.c < b.c)
+        |         THEN 1 ELSE 0 END AS vote
+        |  FROM orders, cand a, cand b WHERE a.c < b.c),
+        |pair_winners AS (
+        |  SELECT CASE WHEN sum(vote) >= count(1) - sum(vote)
+        |              THEN ca ELSE cb END AS w
+        |  FROM prefs GROUP BY ca, cb),
+        |wins AS (
+        |  SELECT c AS candidate, count(w) AS n_wins
+        |  FROM cand LEFT JOIN pair_winners ON w = c GROUP BY c)
+        |SELECT CAST(candidate AS BIGINT) AS candidate, n_wins,
+        |  n_wins = max(n_wins) OVER () AS in_top_set,
+        |  n_wins = 4 AS is_condorcet_winner
+        |FROM wins ORDER BY candidate""".stripMargin,
+
+    // grep with ORIGINAL line numbers: the rank is computed BEFORE the
+    // regex filter (SURVEY §3.1 — positions in the unfiltered file)
+    "p4_grep" ->
+      """SELECT source, line_no, text FROM (
+        |  SELECT source, text,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS line_no
+        |  FROM documents)
+        |WHERE text RLIKE 'join (a|the) (big|small)'
+        |ORDER BY source, line_no""".stripMargin,
+
+    // the file-grain row's table-grain twin: p4b greps a materialized
+    // per-source text directory via wholeTextFiles; its SQL twin is
+    // the same rank-then-filter relation the oracle replays — the two
+    // layouts must agree line-for-line
+    "p4b_grep_files" ->
+      """SELECT source, line_no, text FROM (
+        |  SELECT source, text,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS line_no
+        |  FROM documents)
+        |WHERE text RLIKE 'join (a|the) (big|small)'
+        |ORDER BY source, line_no""".stripMargin,
+
+    // compact-latest as the window spelling (the DataFrame form ships
+    // the packed-max HashAggregate — O(keys) through the shuffle; this
+    // twin is the specification it must equal)
+    "c1_compact_latest" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // SCD2: collapse to state transitions (null-safe lag compare),
+    // stamp [valid_from, valid_to) via lead, open interval is_current
+    "c2_scd2_intervals" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |tr AS (SELECT * FROM t WHERE rn = 1 OR NOT (event_type <=> prev))
+        |SELECT user_id, event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS BIGINT) AS is_current
+        |FROM tr
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // delete-tombstone CDC: the tombstone filter applies AFTER the
+    // latest-record selection — a key whose last word is a delete is
+    // absent; filtering deletes first would wrongly resurrect it
+    "c3_compact_deletes" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND op != 'delete' ORDER BY user_id""".stripMargin
   )
 }
 

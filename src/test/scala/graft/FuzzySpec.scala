@@ -238,4 +238,71 @@ class FuzzySpec extends SparkSpecBase {
     val (capped, wCap) = auto(1L)
     assert(wCap <= 64 && capped == whole)
   }
+
+  test("environment-derived wave ceiling: a tiny scratch-byte budget " +
+    "trips waving via the measured bytes-per-candidate, a roomy one " +
+    "stays single-wave, and the answer never changes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(818)
+    def word() = (0 until 4 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val ls = (1L to 80L).map(i => i -> word())
+    val rs = (101L to 180L).map(i => i -> word())
+    def withBlk(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("blk", substring(col("s"), 1, 1))
+    def auto(budgetBytes: Long): (Set[(Long, Long, Long)], Int) = {
+      var waves = -1
+      val got = Fuzzy.editDistanceJoinAutoWaved(withBlk(ls.toDF("id", "s")),
+          withBlk(rs.toDF("id", "s")), "id", "id", "s", "s", "blk", "blk",
+          maxDist = 2, waveScratchBudgetBytes = budgetBytes,
+          onWaves = w => waves = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (got, waves)
+    }
+    val whole = runBlocked(ls, rs, 2)
+    // the default 6 GiB budget derives a ceiling far above this
+    // fixture's candidate volume: single wave
+    val (one, w1) = auto(Fuzzy.DefaultWaveScratchBudgetBytes)
+    assert(w1 == 1 && one == whole)
+    // ~5 KB budget / ~50 B-per-candidate strings => ceiling ~100,
+    // below the fixture's candidate volume: the trigger must trip
+    val (waved, wN) = auto(5000L)
+    assert(wN > 1, s"expected the byte-budget trigger to trip, got $wN")
+    assert(waved == whole)
+  }
+
+  test("auto-waved join under MULTI-BLOCK blocking emits each pair once " +
+    "as a BAG: a pair matching in two blocks hashing to different waves " +
+    "must dedup exactly like the whole join's verify-stage distinct") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(929)
+    def word() = (0 until 4 + rnd.nextInt(6))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // every record blocked into ALL of 8 block keys (the multi-block
+    // linkage shape: a record appears under several blocking passes),
+    // so each matching pair co-occurs in 8 blocks that spread across
+    // wave hash classes
+    val blocks = (0 until 8).map(b => s"b$b")
+    val ls = (1L to 40L).map(i => i -> word())
+    val rs = (101L to 140L).map(i => i -> word())
+    def withBlks(rows: Seq[(Long, String)]) =
+      rows.flatMap { case (i, w) => blocks.map(b => (i, w, b)) }
+        .toDF("id", "s", "blk")
+    def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    val whole = bag(Fuzzy.editDistanceJoin(withBlks(ls), withBlks(rs),
+      "id", "id", "s", "s", "blk", "blk", maxDist = 2))
+    assert(whole.nonEmpty && whole.values.forall(_ == 1),
+      "the whole blocked join must already dedup multi-block pairs")
+    var waves = -1
+    val waved = bag(Fuzzy.editDistanceJoinAutoWaved(withBlks(ls),
+      withBlks(rs), "id", "id", "s", "s", "blk", "blk", maxDist = 2,
+      waveCandidateCeiling = 50L, onWaves = w => waves = w))
+    assert(waves > 1, s"fixture must actually trip the wave trigger, got $waves")
+    assert(waved == whole,
+      "waved union must be bag-identical to the whole join")
+  }
 }

@@ -9,12 +9,14 @@ import graft.core.GraftSession
   * distributed prefix sum, so per-row cost should stay flat while
   * rows scale 30x.
   *
-  * uid stays INSIDE the 2^30 packing contract at every scale: the base
-  * uid (orderkey*8 + linenumber, < 4.8e6 at sf0.1) is re-densified per
-  * replica with an 8e6 stride, so 30x tops out near 2.4e8 — the
+  * uid is re-densified per replica with an 8e6 stride (base
+  * orderkey*8 + linenumber < 4.8e6 at sf0.1). Historical note: the
   * round-11 version offset ORDERKEYS by 1e7 per replica, pushing 30x
-  * uids to ~2.3e9 and silently spilling uid bits into z (the advisor
-  * catch; zorderAssign now raise_errors on exactly that).
+  * uids to ~2.3e9 and silently spilling uid bits into the then
+  * z<<30|uid packed rank key (the advisor catch); zorderAssign has
+  * since dropped the packing for a composite (z, uid) prefix-sum
+  * order, so uid magnitude no longer matters — the stride is kept
+  * only so the probe series stays comparable across rounds.
   */
 object LayoutScale {
   def main(args: Array[String]): Unit = {

@@ -75,20 +75,55 @@ class LayoutSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
-  test("zorderAssign fails loudly on a uid outside the 2^30 packing domain") {
+  test("zorderAssign handles uids far beyond any bit-packing budget: the " +
+    "composite (z, uid) rank never folds uid bits into the curve") {
     val s = spark
     import s.implicits._
-    val df = Seq((0L, 1L, 1L), ((1L << 30), 2L, 2L)).toDF("uid", "p", "q")
-    val e = intercept[Exception] {
-      Layout.zorderAssign(df, col("p"), col("q"), "uid", 4).collect()
-    }
-    // Spark wraps raise_error in SparkRuntimeException; the message
-    // must carry the operator's own diagnosis, not a bent curve
+    // uids at ~10^16 (the x14 4-tuple packing's magnitude) — the old
+    // z<<30|uid packed key would silently bend the curve here; the
+    // composite-order rank must stay exact
+    val rnd = new scala.util.Random(2029)
+    val rows = (0L until 300L).map(i =>
+      (i * 1000000000000L + rnd.nextInt(1000000),
+        rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = rows.toDF("uid", "p", "q")
+    val got = Layout.zorderAssign(df, col("p"), col("q"), "uid", 32)
+      .select(col("uid"), col("file_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows
+      .map { case (uid, p, q) => uid -> refMorton(p.toInt, q.toInt) }
+      .sortBy { case (uid, z) => (z, uid) }
+      .zipWithIndex
+      .map { case ((uid, _), rank) => uid -> (rank / 32).toLong }
+      .toMap
+    assert(got == expected)
+  }
+
+  test("rankBucket16Pair fails loudly when uid collides across rows that " +
+    "differ on a dimension, and collapses FULLY identical duplicates") {
+    val s = spark
+    import s.implicits._
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("outside packing domain")),
-      s"expected the packing-domain diagnosis, got: ${messages(e)}")
+    // colliding uid 7 with different a-values: must raise, not misassign
+    val bad = Seq((7L, 10L, 1L), (7L, 20L, 1L), (8L, 30L, 2L))
+      .toDF("uid", "a", "b")
+    val e = intercept[Exception] {
+      Layout.rankBucket16Pair(bad, "a", "b", "uid", 3L, "ca", "cb").collect()
+    }
+    assert(messages(e).exists(_.contains("not unique")),
+      s"expected the uid-collision diagnosis, got: ${messages(e)}")
+    // identical duplicate rows (TESTDATA sf0.001 has one such lineitem
+    // pair) collapse onto one shared coordinate instead of failing
+    val dup = Seq((7L, 10L, 1L), (7L, 10L, 1L), (8L, 30L, 2L))
+      .toDF("uid", "a", "b")
+    val got = Layout.rankBucket16Pair(dup, "a", "b", "uid", 3L, "ca", "cb")
+      .select(col("uid"), col("ca"), col("cb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 3)
+    assert(got.filter(_._1 == 7L).distinct.length == 1,
+      "identical duplicates must share one coordinate pair")
   }
 
   test("rankBucket16 is the exact equi-depth quantile coordinate, " +
@@ -134,5 +169,41 @@ class LayoutSpec extends SparkSpecBase {
       }.sortBy { case (uid, z) => (z, uid) }.zipWithIndex
       .map { case ((uid, _), rank) => uid -> (rank / 32).toLong }.toMap
     assert(got == expected)
+  }
+
+  test("rankBucket16Pair (one folded skinny pass) is bit-identical to " +
+    "two separate rankBucket16 passes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(2028)
+    // duplicate values on both dims so the uid tie-break matters
+    val rows = (0L until 600L).map(i =>
+      (i, rnd.nextInt(40).toLong, rnd.nextInt(7).toLong * 1000000L))
+    val df = rows.toDF("uid", "a", "b")
+    val n = rows.length.toLong
+    def m(got: org.apache.spark.sql.DataFrame) = got
+      .select(col("uid"), col("ca"), col("cb"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val folded = m(Layout.rankBucket16Pair(df, "a", "b", "uid", n, "ca", "cb"))
+    val twoPass = m(Layout.rankBucket16(
+      Layout.rankBucket16(df, "a", "uid", n, "ca"), "b", "uid", n, "cb"))
+    assert(folded == twoPass)
+    assert(folded.size == rows.size)
+  }
+
+  test("rankBucket16 fails loudly when the caller-supplied n undercounts " +
+    "the frame (the coordinate would silently leave [0, 65536))") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, i)).toDF("uid", "v")
+    val e = intercept[Exception] {
+      // stale count: n=50 but 100 rows -> top ranks reach coord 131070
+      Layout.rankBucket16(df, "v", "uid", n = 50L, outCol = "c").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("outside [0, 65536)")),
+      s"expected the undercount diagnosis, got: ${messages(e)}")
   }
 }

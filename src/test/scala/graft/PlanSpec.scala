@@ -68,8 +68,18 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("s1 brute force IS the deliberate exception: broadcast nested loop") {
-    // brute-force top-k: tiny query set × corpus, declared O(Q·N) baseline
-    assert(plan("s1_cosine_topk").contains("BroadcastNestedLoopJoin"))
+    // brute-force top-k: tiny query set × corpus, declared O(Q·N)
+    // baseline. The catalog row eagerly materializes (the breaker's
+    // corpus persist is released before returning, so the returned
+    // plan is a checkpoint scan); inspect the unbudgeted path, which
+    // returns the join plan itself.
+    val dir = sf("sf0.001")
+    val e = graft.core.Tables(spark, dir).embeddings
+    val df = graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      k = 5, pairBudget = Long.MaxValue)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
   }
 
   test("a1 as-of join plans as a window, never an inequality join") {

@@ -40,6 +40,18 @@ class SqlParitySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"temporal catalog queries without SQL twins: $missing")
   }
 
+  test("every reference-parity and changelog catalog query has a SQL twin") {
+    // the p-family IS the reference's query set (SURVEY §2.10 writes
+    // p1/p2/p3 as SQL; p4's rank-before-filter line numbering is §3.1)
+    // and the c-family is textbook warehouse window SQL — none may
+    // lack a twin
+    val families = (graft.queries.Parity.queries ++
+      graft.queries.ChangelogQueries.queries).map(_.name).toSet
+    val twinned = GraftSql.texts.keySet ++ GraftSql.pipelineTexts.keySet
+    val missing = families -- twinned
+    assert(missing.isEmpty, s"p/c-family catalog queries without SQL twins: $missing")
+  }
+
   /** Canonical form mirroring the driver's compare: columns sorted by
     * name (types kept), rows value-stringified and sorted.
     */

@@ -211,8 +211,9 @@ object D12WaveProbe {
 object FuzzyAutoWaveProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(30)
-    val ceiling = args.drop(1).headOption.map(_.toLong)
-      .getOrElse(graft.operators.Fuzzy.DefaultWaveCandidateCeiling)
+    // 0 = let the operator derive the ceiling from its scratch-byte
+    // budget (the production default since round 13)
+    val ceiling = args.drop(1).headOption.map(_.toLong).getOrElse(0L)
     val dir = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
