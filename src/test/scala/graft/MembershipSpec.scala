@@ -141,4 +141,54 @@ class MembershipSpec extends SparkSpecBase {
       assert(kinds(2).head == "joined" && kinds(2).contains("failed"))
     } finally q.stop()
   }
+
+  test("ST4 live mode: a REAL rate source under unbounded wall-clock " +
+    "triggers — a silenced member is failure-detected and removed by " +
+    "event-time timeouts firing between data batches") {
+    val s = spark
+    import s.implicits._
+    // Every other st surface replays files/MemoryStreams with
+    // deterministic processAllAvailable barriers. This is the one run
+    // under GENUINELY unbounded triggers — micro-batch boundaries and
+    // timeout firings land wherever the wall clock puts them, the
+    // schedule the reference's continuous ticker produces
+    // (mp3/src/detector.go:234-269). Member 0's heartbeats STOP after
+    // ~1s of ticks (value >= 100), so its fail and cleanup deadlines
+    // can only fire from event-time timeouts in batches that carry no
+    // member-0 data. Deadlines are event-time (rate timestamps), so a
+    // slow box stretches the wall, never the logic; the 120s cap is
+    // the CI budget guard.
+    val members = 4
+    val ticks = s.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+    val live = ticks.filter(!($"value" % members === 0 && $"value" >= 100))
+    val events = Membership.updates(
+      Membership.tickHeartbeats(live, members),
+      failAfterMs = 1500, cleanupAfterMs = 1500,
+      watermarkDelay = "1 second")
+    val q = events.writeStream.format("memory")
+      .queryName("live_member_events").outputMode("append").start()
+    try {
+      def got = s.table("live_member_events").as[MemberEvent].collect().toSeq
+      val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+      while (System.nanoTime() < deadline &&
+             !got.exists(e => e.memberId == 0 && e.kind == "removed"))
+        Thread.sleep(500)
+      val kinds = got.groupBy(_.memberId).view
+        .mapValues(_.sortBy(_.atMs).map(_.kind).toList).toMap
+      (0 until members).foreach(m =>
+        assert(kinds.get(m).exists(_.head == "joined"),
+          s"member $m never joined: $kinds"))
+      // the silenced member's terminal transitions — producible here
+      // only by timeouts firing between data batches
+      assert(kinds(0).containsSlice(List("failed", "removed")),
+        s"member 0 lifecycle: ${kinds(0)}")
+      // survivors heartbeat every ~40ms of event time, far inside the
+      // 1s watermark delay — a spurious failure here means the timeout
+      // clamp or deadline arithmetic regressed
+      (1 until members).foreach(m =>
+        assert(!kinds(m).contains("failed"),
+          s"member $m spuriously failed: ${kinds(m)}"))
+    } finally q.stop()
+  }
 }
