@@ -58,9 +58,41 @@ def main():
         cols = [r[0] for r in
                 con.execute(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'")
                 .fetchall()]
-        sel = ", ".join(
-            f"{c} + r.range * {STRIDE} AS {c}" if c == key else c
-            for c in cols)
+
+        def col_sel(c):
+            if c == key:
+                return f"{c} + r.range * {STRIDE} AS {c}"
+            if t == "documents" and c == "text":
+                # replica r>0 rotates vowels (mod 5) and digits (mod 10)
+                # through translate(): a bijection per replica, so each
+                # replica keeps the ORIGINAL corpus's internal dup/
+                # near-dup structure while replicas share almost no
+                # shingles. Verbatim replication would be a corpus no
+                # reality produces — every doc duplicated exactly 10x —
+                # and it breaks the d6/d16 oracles' documented
+                # enumeration assumption (every >=0.8 pair shares a
+                # df<=100 shingle) by inflating every shingle df 10x,
+                # while the engine's df-insensitive MinHash bands still
+                # (correctly) see the pairs.
+                vow, dig = "aeiou", "0123456789"
+                cases = " ".join(
+                    f"WHEN {r} THEN translate(text, '{vow}{dig}', "
+                    f"'{vow[r % 5:] + vow[:r % 5]}{dig[r:] + dig[:r]}')"
+                    for r in range(REPLICAS))
+                return f"CASE r.range {cases} END AS text"
+            if t == "events" and c == "ts":
+                # replica r shifted by r*10 microseconds: sf0.1's ts are
+                # globally unique with >=140us gaps, so this keeps every
+                # timestamp unique WITHOUT changing any session/window/
+                # day semantics. Exact-duplicate timestamps would create
+                # degenerate order ties the engine/oracle contracts
+                # never promise to break identically (LOCF picks, the
+                # concurrency sweep, sessionize counts — observed as
+                # a2/a5/a14 mismatches on the unshifted draft).
+                return (f"CAST(ts AS TIMESTAMP) + "
+                        f"to_microseconds(r.range * 10) AS ts")
+            return c
+        sel = ", ".join(col_sel(c) for c in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
             f"range({REPLICAS}) r ORDER BY {key}) TO '{OUT}/{t}.parquet'")
@@ -81,6 +113,9 @@ def main():
         ("doc_id unique",
          f"SELECT count(*) - count(DISTINCT doc_id) "
          f"FROM '{OUT}/documents.parquet'", 0),
+        ("event ts unique (order-tie determinism)",
+         f"SELECT count(*) - count(DISTINCT ts) "
+         f"FROM '{OUT}/events.parquet'", 0),
         ("partkey < 1e5 (x14 uid contract)",
          f"SELECT count(*) FROM '{OUT}/lineitem.parquet' "
          f"WHERE l_partkey >= 100000", 0),

@@ -41,6 +41,18 @@ def canon(cols, rows):
 def compare_one(name, sf_dir, out_dir):
     import duckdb
     con = duckdb.connect()
+    # resource posture for the heavy iterative oracles (unrolled
+    # PageRank / k-core chains): fewer threads = fewer concurrent
+    # operator buffers, insertion order is irrelevant (canon() re-sorts
+    # rows anyway), and spill goes to a dedicated dir on the big
+    # partition — the default posture ran the g1b/g5 replays out of
+    # temp space at the 10x scale.
+    import os
+    tmp = os.path.join(out_dir, "_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -138,9 +138,11 @@ object StreamingQueries extends QueryModule {
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1)))
       val cleaned = graft.streaming.StreamingCorpusClean.clean(
         src, "text", "ts", horizon = "1 hour", minQuality = 0.5)
-      // the replay's batch-2 sentinel (a duplicate of the min-id doc)
-      // only stays out of these counts if the dedup state SURVIVED two
-      // batch boundaries — the oracle never sees it
+      // the replay's batch-3 sentinel (a duplicate of split 2's LAST
+      // doc) only stays out of these counts if the dedup state
+      // SURVIVED the batch boundary — the oracle never sees it; the
+      // split-2-tail anchoring keeps the fixture valid at any corpus
+      // id span (StreamReplay.ensureDocs)
       runReplay(s, cleaned, "graft_st1_")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))

@@ -25,14 +25,15 @@ import graft.operators.IndexCache
   *     query red. It equally catches a silent fall-back to single-batch
   *     execution (one batch ⇒ watermark still 0 when the row arrives ⇒
   *     it aggregates and emits).
-  *   - documents: a byte-identical DUPLICATE of the min-id document,
-  *     re-keyed to [[SentinelMinId]]+1, arriving two batches after its
-  *     original. Working cross-batch dedup state DROPS it as a
-  *     duplicate (st1's 1h TTL cannot evict within its 500s event-time
-  *     span — duplicate groups span up to 3.6k doc_ids at sf0.1, so
-  *     the TTL must outlive the replay and the watermark legitimately
-  *     never advances there); state that fails to survive a batch
-  *     boundary lets the copy through and flips st1's lang counts red.
+  *   - documents: a byte-identical DUPLICATE of split 2's LAST
+  *     document, re-keyed to [[SentinelMinId]]+1, arriving one batch
+  *     after its original. Working cross-batch dedup state DROPS it
+  *     as a duplicate — and because the original sits at the batch-2
+  *     event-time frontier, its fingerprint state is inside the dedup
+  *     horizon when batch 3 runs at ANY corpus id span (the watermark
+  *     lags one batch), so the fixture is scale-free; state that
+  *     fails to survive the boundary lets the copy through and flips
+  *     st1's lang counts red.
   *
   * Splits are by fixed event-time cuts (events: Jan 11 / Jan 21 2024,
   * the driver generator's 30-day span; documents: doc_id thirds), so
@@ -95,24 +96,37 @@ object StreamReplay {
     }
 
   /** Replay dir for `<dir>/documents.parquet`: 3 doc_id-ordered
-    * splits, plus a duplicate of the min-id document re-keyed past
-    * [[SentinelMinId]] in the last split (its synthesized event time,
-    * doc_id+1 seconds, is far in the future — never late, so only the
-    * dedup state can remove it).
+    * splits, plus a duplicate of the LAST document of split 2 re-keyed
+    * past [[SentinelMinId]] in the last split (its synthesized event
+    * time, doc_id+1 seconds, is far in the future — never late, so
+    * only the dedup state can remove it). Duplicating split 2's tail —
+    * not the global min-id document — is what makes the fixture
+    * SCALE-FREE: the copy arrives exactly one batch after its
+    * original, and the original's fingerprint state (written at event
+    * time ~c2) is alive when batch 3 processes at ANY id span, because
+    * the watermark then is max-ts(batch 2) − horizon ≈ c2 − horizon <
+    * c2 + horizon. The previous min-id form needed the state to
+    * outlive TWO boundaries, which silently bounded the fixture to
+    * corpora whose whole id span fits inside the dedup horizon — the
+    * 10× validation corpus (events spanning ~10^7 seconds of doc_id
+    * event time) evicted it legitimately and the sentinel leaked by
+    * design, not by bug.
     */
   def ensureDocs(spark: SparkSession, dir: String): String =
-    IndexCache.ensure("graft-replay-docs", s"$dir/documents.parquet", "r1",
+    IndexCache.ensure("graft-replay-docs", s"$dir/documents.parquet", "r2",
       marker = "_REPLAY_OK") { scratch =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (minId, maxId) = (r.getLong(0), r.getLong(1))
       val (c1, c2) = (minId + (maxId - minId) / 3, minId + 2 * (maxId - minId) / 3)
-      val dupOfFirst = docs.filter(col("doc_id") === minId)
+      val tailOfSplit2 = docs.filter(col("doc_id") <= c2)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      val dupOfTail = docs.filter(col("doc_id") === tailOfSplit2)
         .withColumn("doc_id", lit(SentinelMinId + 1))
       writeSplits(scratch, Seq(
         docs.filter(col("doc_id") <= c1),
         docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
-        docs.filter(col("doc_id") > c2).unionByName(dupOfFirst)))
+        docs.filter(col("doc_id") > c2).unionByName(dupOfTail)))
     }
 
   /** Write each split as ONE parquet file named `<k>.parquet` with

@@ -78,7 +78,7 @@ class StreamReplaySpec extends SparkSpecBase {
       "multi-batch execution must DROP the late row")
   }
 
-  test("the duplicate document sentinel is dropped across two batch boundaries") {
+  test("the duplicate document sentinel is dropped across the batch boundary") {
     val replay = StreamReplay.ensureDocs(spark, dir)
     val src = spark.readStream
       .schema(spark.read.parquet(replay).schema)
@@ -92,12 +92,19 @@ class StreamReplaySpec extends SparkSpecBase {
     try q.awaitTermination() finally q.stop()
     val out = spark.table(name)
     assert(out.filter(col("doc_id") > StreamReplay.SentinelMinId).count() == 0,
-      "the batch-2 duplicate must be dropped by state that survived " +
-        "two batch boundaries")
-    // and the original it duplicates did survive
-    val minId = spark.read.parquet(s"$dir/documents.parquet")
-      .agg(min(col("doc_id"))).head().getLong(0)
-    assert(out.filter(col("doc_id") === minId).count() == 1)
+      "the batch-3 duplicate must be dropped by state that survived " +
+        "the batch boundary")
+    // and the text it duplicates (split 2's last doc) survives exactly
+    // once — keyed by text, not id, in case that doc is itself a
+    // duplicate of an earlier one (then ITS id was deduped too and the
+    // one surviving copy carries the earlier id)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val c2 = r.getLong(0) + 2 * (r.getLong(1) - r.getLong(0)) / 3
+    val srcText = docs.filter(col("doc_id") <= c2)
+      .orderBy(col("doc_id").desc).limit(1)
+      .head().getAs[String]("text")
+    assert(out.filter(col("text") === srcText).count() == 1)
   }
 
   test("st7 foreachBatch file sink equals the batch trending twin") {
