@@ -63,21 +63,34 @@ def main():
             if c == key:
                 return f"{c} + r.range * {STRIDE} AS {c}"
             if t == "documents" and c == "text":
-                # replica r>0 rotates vowels (mod 5) and digits (mod 10)
-                # through translate(): a bijection per replica, so each
-                # replica keeps the ORIGINAL corpus's internal dup/
-                # near-dup structure while replicas share almost no
-                # shingles. Verbatim replication would be a corpus no
-                # reality produces — every doc duplicated exactly 10x —
-                # and it breaks the d6/d16 oracles' documented
-                # enumeration assumption (every >=0.8 pair shares a
-                # df<=100 shingle) by inflating every shingle df 10x,
-                # while the engine's df-insensitive MinHash bands still
-                # (correctly) see the pairs.
-                vow, dig = "aeiou", "0123456789"
+                # replica r>0 rotates vowels (mod 5), a 10-consonant
+                # band and digits (both mod 10) through translate(): a
+                # bijection per replica, so each replica keeps the
+                # ORIGINAL corpus's internal dup/near-dup structure
+                # while replicas share almost no shingles. Verbatim
+                # replication would be a corpus no reality produces —
+                # every doc duplicated exactly 10x — and it breaks the
+                # d6/d16 oracles' documented enumeration assumption
+                # (every >=0.8 pair shares a df<=100 shingle) by
+                # inflating every shingle df 10x, while the engine's
+                # df-insensitive MinHash bands still (correctly) see
+                # the pairs. The consonant band is what makes all 10
+                # replicas pairwise distinct on ANY real text — with
+                # vowels-plus-digits only, digit-free docs collided
+                # across replicas 5 apart (r % 5 wraps).
+                # every letter band rotates (lowercase, UPPERCASE, and
+                # the p-z tail): d16 case-folds before matching, so an
+                # unrotated uppercase or p-z run would be rotation-
+                # immune and leak cross-replica 8-gram matches
+                bands = [("aeiou", 5), ("AEIOU", 5), ("bcdfghklmn", 10),
+                         ("BCDFGHKLMN", 10), ("pqrstvwxyz", 10),
+                         ("PQRSTVWXYZ", 10), ("0123456789", 10)]
+                frm = "".join(b for b, _ in bands)
+
+                def rot(r):
+                    return "".join(b[r % m:] + b[:r % m] for b, m in bands)
                 cases = " ".join(
-                    f"WHEN {r} THEN translate(text, '{vow}{dig}', "
-                    f"'{vow[r % 5:] + vow[:r % 5]}{dig[r:] + dig[:r]}')"
+                    f"WHEN {r} THEN translate(text, '{frm}', '{rot(r)}')"
                     for r in range(REPLICAS))
                 return f"CASE r.range {cases} END AS text"
             if t == "events" and c == "ts":
@@ -116,6 +129,10 @@ def main():
         ("event ts unique (order-tie determinism)",
          f"SELECT count(*) - count(DISTINCT ts) "
          f"FROM '{OUT}/events.parquet'", 0),
+        ("no cross-replica duplicate texts (oracle df assumption)",
+         f"SELECT count(*) FROM (SELECT md5(text), "
+         f"count(DISTINCT doc_id // {STRIDE}) cr "
+         f"FROM '{OUT}/documents.parquet' GROUP BY 1 HAVING cr > 1)", 0),
         ("partkey < 1e5 (x14 uid contract)",
          f"SELECT count(*) FROM '{OUT}/lineitem.parquet' "
          f"WHERE l_partkey >= 100000", 0),

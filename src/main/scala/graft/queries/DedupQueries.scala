@@ -444,8 +444,14 @@ object DedupQueries extends QueryModule {
     "d16_normalized_decontamination",
     (s, dir) => {
       val (train, eval) = evalSplit(s, dir)
+      // plant id = max(doc_id)+1, DERIVED: a hardcoded id above the
+      // shipped sf ranges silently lands inside a bigger corpus's id
+      // space (the 10x validation corpus reaches 9e6), where the
+      // oracle's id-threshold eval split would reclassify the plant
+      // as training and the planted contamination vanishes
+      val plantId = docs(s, dir).agg(max(col("doc_id"))).head.getLong(0) + 1
       val plant = docs(s, dir).filter(col("doc_id") === 7)
-        .select(lit(9000001L).as("doc_id"),
+        .select(lit(plantId).as("doc_id"),
           concat(lit("<p>"), upper(col("text")), lit("</p>")).as("text"),
           col("lang"), col("source"), col("n_chars"))
       Dedup.contaminationReportNormalized(train, eval.unionByName(plant),
@@ -455,7 +461,8 @@ object DedupQueries extends QueryModule {
     Some("""WITH allrows AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
-           |  SELECT 9000001, '<p>' || upper(text) || '</p>'
+           |  SELECT (SELECT max(doc_id) + 1 FROM documents),
+           |         '<p>' || upper(text) || '</p>'
            |  FROM documents WHERE doc_id = 7),
            |norm AS (
            |  SELECT doc_id, lower(trim(regexp_replace(
