@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -520,43 +521,79 @@ object Multimodal {
         expr("transform(sequence(0, int(ceil(size(bits) / 8.0)) - 1), " +
           "b -> aggregate(slice(bits, b * 8 + 1, 8), 0, (a, v) -> a * 2 + v))"))
 
+  /** Default per-wave matched-pair work ceiling for
+    * [[ahashNearDupPairs]]. Unlike Fuzzy's scratch-byte budget, the
+    * single-join design below never MATERIALIZES candidates — pairs
+    * stream through a codegen'd probe — so the budget bounds per-stage
+    * probe WORK (and with it straggler exposure and AQE's skew-split
+    * granularity), not shuffle bytes. 2^28 ≈ 2.7e8 pairs is a few
+    * seconds of codegen'd popcount per core.
+    */
+  val DefaultPairWorkCeiling: Long = 1L << 28
+
   /** Image near-duplicate pairs by perceptual hash: all (a < b) pairs
     * whose aHash fingerprints differ in at most `maxDist` of the L
     * bits — brightness-shifted copies land at distance 0, small local
     * edits at the handful of bits their pixels flip, unrelated images
     * at ~L/2.
     *
-    * Scale shape (the d4 block-LSH pattern): candidates come from an
-    * equi-join on (block index, block value) — by pigeonhole a pair
-    * within `maxDist` < #blocks hamming must agree on at least one
-    * whole 8-bit block, so the bucket join is LOSSLESS for the
-    * threshold, never a cross join; the exact hamming verify runs only
-    * on bucket collisions. At production corpus sizes the knob is the
-    * thumbnail size L (more bits → more blocks → finer buckets), a
-    * parameter, not a plan change.
+    * Scale shape, hardened for the hot-bucket failure mode (round-13
+    * sf1 measured the previous candidate-materializing plan at 34×
+    * wall for 10× rows):
+    *
+    *  1. IDENTICAL fingerprints collapse to one representative before
+    *     any join. A real corpus's hot bucket is overwhelmingly exact
+    *     repetition (flat/uniform thumbnails, re-encoded copies): those
+    *     rows now cost one rep each, and their quadratic pair set is
+    *     emitted combinatorially at OUTPUT scale (distance 0 within a
+    *     fingerprint group needs no verify at all).
+    *  2. Candidates come from ONE self-join of the rep bucket relation
+    *     on (block index, block value) — by pigeonhole a pair within
+    *     `maxDist` < #blocks hamming must agree on at least one whole
+    *     8-bit block, so the bucket join is LOSSLESS for the threshold.
+    *     The packed fingerprint words ride along as SCALAR long columns
+    *     (word count is a plan-time constant read via one bounded
+    *     metadata collect), so the exact hamming verify is a codegen'd
+    *     `bit_count(a ^ b)` sum evaluated as the join residual — no
+    *     per-pair higher-order functions, no candidate materialization,
+    *     and the only distinct runs over SURVIVORS (≤ #blocks dups per
+    *     pair), never candidates.
+    *  3. Predict-then-wave budget breaker (the Fuzzy pattern): the
+    *     exact matched-pair volume Σ C(bucket,2) is pre-counted in
+    *     DECIMAL from linear-cost bucket stats; past `pairWorkCeiling`
+    *     the bucket keys split into hash classes executed as SEQUENTIAL
+    *     waves (each localCheckpoint'ed so a wave's shuffle scratch is
+    *     released before the next starts), capped at `maxWaves`.
+    *     `onWaves` observes the decision for specs.
+    *
+    * At production corpus sizes the remaining knob is thumbnail size L
+    * (more bits → more blocks → finer buckets), a parameter, not a
+    * plan change.
     */
   def ahashNearDupPairs(df: DataFrame, idCol: String, pixelCol: String,
-                        maxDist: Int = 7): DataFrame = {
+                        maxDist: Int = 7,
+                        pairWorkCeiling: Long = DefaultPairWorkCeiling,
+                        maxWaves: Int = 64,
+                        onWaves: Int => Unit = _ => ()): DataFrame = {
+    require(pairWorkCeiling > 0 && maxWaves >= 1)
     // Losslessness needs maxDist < #blocks, i.e. at least 8·(maxDist+1)
     // pixels; thumbnail length is data, so the precondition is enforced
     // in-plan (the c1 assert_true pattern), failing the job loudly
     // instead of silently missing pairs on too-short fingerprints.
     //
-    // The fingerprint relation is PERSISTED, and that is load-bearing
-    // twice over: (1) it is read three times (bucket explode + both
-    // verify sides), and without the materialization barrier Catalyst's
-    // project-collapsing inlines the whole per-pixel aHash tree into
-    // every consumer — re-deriving each doc's fingerprint PER CANDIDATE
-    // PAIR (the t2/x12 re-evaluated-lambda trap, measured 557s vs ~2s
-    // at sf0.1); (2) the verify carries one packed word per 32 bits
-    // (`bit_count(x ^ y)` per word — codegen'd popcount), not the
-    // per-element int array a per-element lambda fold would walk.
-    // 32-bit slices, NOT 64: a 64-bit pack's fold a*2+v must wrap
+    // The keyed fingerprint relation is PERSISTED, and that is
+    // load-bearing: it is read four times (rep buckets, member
+    // expansion ×2, intra-group pairs), and without the materialization
+    // barrier Catalyst's project-collapsing inlines the whole per-pixel
+    // aHash tree into every consumer — re-deriving each doc's
+    // fingerprint PER CONSUMER ROW (the t2/x12 re-evaluated-lambda
+    // trap, measured 557s vs ~2s at sf0.1).
+    // 32-bit pack slices, NOT 64: a 64-bit pack's fold a*2+v must wrap
     // through the int64 sign bit on its last step, which throws
     // ARITHMETIC_OVERFLOW in any ANSI session (Spark 4's default,
     // pinned off only inside GraftSession); 32 bits per int64 word
     // keeps every intermediate ≤ 2^32 and XOR/popcount is identical.
-    val fp = aHash(df, idCol, pixelCol)
+    val keyed = aHash(df, idCol, pixelCol)
       .withColumn("bits",
         when(assert_true(size(col("bits")) >= lit(8 * (maxDist + 1)),
           lit(s"thumbnail too short for lossless maxDist=$maxDist"))
@@ -565,22 +602,107 @@ object Multimodal {
         expr("transform(sequence(0, int(ceil(size(bits) / 32.0)) - 1), " +
           "w -> aggregate(slice(bits, w * 32 + 1, 32), 0L, " +
           "(a, v) -> a * 2L + v))"))
-      .select(col(idCol), col("blocks"), col("words"))
+      // fingerprint-group representative: min id over the exact packed
+      // fingerprint — one shuffle, yields both the rep relation
+      // (id = rep) and the member→rep map for expansion
+      .withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy(col("words"))))
+      .select(col(idCol), col("blocks"), col("words"), col("__rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = fp.select(col(idCol).as("id"),
-      posexplode(col("blocks")).as(Seq("bpos", "bval")))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.bpos") === col("y.bpos") && col("x.bval") === col("y.bval") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+
+    val empty = keyed.limit(0)
+      .select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
+        lit(0L).as("hamming"))
+    // plan-time word count (bounded 1-row metadata collect — the
+    // IvfIndex convention): lets the verify carry scalar long columns
+    // instead of arrays, keeping the hot loop in whole-stage codegen
+    val nWordsRow = keyed.select(size(col("words")).as("n")).limit(1)
+      .collect()
+    if (nWordsRow.isEmpty) return empty
+    val nWords = nWordsRow.head.getInt(0)
+
+    val wordCols = (0 until nWords)
+      .map(i => element_at(col("words"), i + 1).as(s"__w$i"))
+    val buckets = keyed.filter(col(idCol) === col("__rep"))
+      .select(col("__rep").as("__r") +: wordCols :+
+        posexplode(col("blocks")).as(Seq("__bpos", "__bval")): _*)
+
+    // exact pre-count of matched-pair volume from linear-cost bucket
+    // stats (never the pairs themselves), in DECIMAL so a 100 TB
+    // misuse cannot overflow the prediction it exists to bound
+    val predicted = buckets.groupBy(col("__bpos"), col("__bval")).count()
+      .agg(coalesce(
+        sum((col("count").cast("decimal(38,0)") * (col("count") - 1))
+          .cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("v"))
+      .head.getDecimal(0).toBigInteger
+      .divide(java.math.BigInteger.TWO)
+    val ceilBig = java.math.BigInteger.valueOf(pairWorkCeiling)
+    val waves =
+      if (predicted.compareTo(ceilBig) <= 0) 1
+      else if (predicted.compareTo(
+        ceilBig.multiply(java.math.BigInteger.valueOf(maxWaves.toLong)))
+        >= 0) maxWaves
+      else {
+        val Array(q, r) = predicted.divideAndRemainder(ceilBig)
+        (q.intValueExact + (if (r.signum == 0) 0 else 1))
+      }
+    onWaves(waves)
+
+    val xb = buckets.toDF(buckets.columns.map(_ + "a").toIndexedSeq: _*)
+    val yb = buckets.toDF(buckets.columns.map(_ + "b").toIndexedSeq: _*)
+    val hamming = (0 until nWords)
+      .map(i => expr(s"bit_count(__w${i}a ^ __w${i}b)"))
+      .reduce(_ + _).cast("long")
+    def joinClass(xs: DataFrame, ys: DataFrame): DataFrame =
+      xs.join(ys,
+          col("__bposa") === col("__bposb") &&
+            col("__bvala") === col("__bvalb") &&
+            col("__ra") < col("__rb"))
+        .withColumn("__h", hamming)
+        .filter(col("__h") <= maxDist)
+        .select(col("__ra"), col("__rb"), col("__h"))
+    val repPairs = (if (waves == 1) joinClass(xb, yb)
+    else {
+      // waves partition the BUCKET KEY space, so each matched pair is
+      // probed in exactly the wave its (bpos, bval) hashes to; the
+      // cross-wave union still needs the survivor-grain distinct below
+      // because a pair agreeing on blocks in two waves verifies twice —
+      // same grain as the single-wave duplicate-per-agreeing-block
+      def cls(p: Column, v: Column) =
+        pmod(xxhash64(p, v), lit(waves.toLong))
+      (0 until waves).map { g =>
+        joinClass(
+          xb.filter(cls(col("__bposa"), col("__bvala")) === g),
+          yb.filter(cls(col("__bposb"), col("__bvalb")) === g))
+          // EAGER per-wave materialization: wave g's shuffle scratch is
+          // released before wave g+1 probes (survivor-sized, never
+          // candidate-sized)
+          .localCheckpoint(true)
+      }.reduce(_ unionAll _)
+    })
+      // survivors only: ≤ #blocks duplicates per pair, output-scale
       .distinct()
-    cand
-      .join(fp.select(col(idCol).as("doc_a"), col("words").as("__wa")), "doc_a")
-      .join(fp.select(col(idCol).as("doc_b"), col("words").as("__wb")), "doc_b")
-      .withColumn("hamming",
-        expr("aggregate(zip_with(__wa, __wb, (x, y) -> bit_count(x ^ y)), " +
-          "0, (a, v) -> a + v)").cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+    val members = keyed.select(col("__rep"), col(idCol))
+    // cross-group pairs: every member pair inherits its reps' exact
+    // hamming (members share their rep's fingerprint verbatim)
+    val cross = repPairs
+      .join(members.select(col("__rep").as("__ra"), col(idCol).as("__ia")),
+        "__ra")
+      .join(members.select(col("__rep").as("__rb"), col(idCol).as("__ib")),
+        "__rb")
+      .select(least(col("__ia"), col("__ib")).as("doc_a"),
+        greatest(col("__ia"), col("__ib")).as("doc_b"),
+        col("__h").as("hamming"))
+    // intra-group pairs: identical fingerprints, distance 0 by
+    // construction — no verify, output-bound
+    val intra = members.select(col("__rep").as("__r"), col(idCol).as("__ia"))
+      .join(members.select(col("__rep").as("__r"), col(idCol).as("__ib")),
+        "__r")
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("doc_a"), col("__ib").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(intra)
   }
 }

@@ -20,6 +20,19 @@ object Relational extends QueryModule {
 
   private def t(s: SparkSession, dir: String) = Tables(s, dir)
 
+  /** Order-independent money sum. Per-row arithmetic stays in double
+    * (IEEE multiply is bit-identical across engines); each row value is
+    * then fixed to DECIMAL(28,6) and summed exactly, so the aggregate
+    * no longer depends on partition count or reduction order. Cast back
+    * to double for a stable output schema. Round-13 sf1 finding:
+    * round(sum(double), 2) diverged from the DuckDB oracle by one cent
+    * at 6M lineitems — the classic float-association instability that
+    * rounding converts into a hard hash mismatch. Oracle/twin SQL uses
+    * the matching CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE).
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
   /** TPC-H Q1-shaped pricing summary: single scan, partial (map-side)
     * aggregation into 6 groups — shuffle is O(groups), not O(rows).
     * At 100 TB: still one pass; the filter and the 7-column projection
@@ -35,20 +48,20 @@ object Relational extends QueryModule {
         .filter($"l_shipdate" <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_discount"), 6).as("avg_disc"),
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_base_price,
-           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           | round(avg(l_quantity), 4) AS avg_qty,
-           | round(avg(l_discount), 6) AS avg_disc,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+           | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -89,12 +102,12 @@ object Relational extends QueryModule {
         .join(broadcast(tt.nation), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
     Some("""SELECT n_name,
-           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            | count(*) AS n_items
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey
@@ -116,13 +129,13 @@ object Relational extends QueryModule {
         .join(broadcast(tt.part.filter($"p_size" > 10)), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-          round(sum($"l_quantity"), 2).as("total_qty"))
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          dsum($"l_quantity").as("total_qty"))
         .orderBy($"p_brand")
     },
     Some("""SELECT p_brand,
-           | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           | round(sum(l_quantity), 2) AS total_qty
+           | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE p_size > 10
            |GROUP BY p_brand
@@ -204,15 +217,16 @@ object Relational extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir).lineitem
         .filter($"l_suppkey" <= 3)
-        .withColumn("running_qty", round(sum($"l_quantity").over(w), 2))
+        .withColumn("running_qty",
+          sum($"l_quantity".cast("decimal(28,6)")).over(w).cast("double"))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
         .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-           | round(sum(l_quantity) OVER (
+           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
            |   PARTITION BY l_suppkey
            |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
            |FROM lineitem
            |WHERE l_suppkey <= 3
            |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin))
@@ -288,12 +302,12 @@ object Relational extends QueryModule {
       t(s, dir).orders
         .rollup($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("total_price"))
+          dsum($"o_totalprice").as("total_price"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
     Some("""SELECT o_orderstatus, o_orderpriority,
            | count(*) AS n_orders,
-           | round(sum(o_totalprice), 2) AS total_price
+           | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
            |FROM orders
            |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
@@ -341,12 +355,12 @@ object Relational extends QueryModule {
       t(s, dir).events
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum($"value"), 2).as("total_value"))
+          dsum($"value").as("total_value"))
         .orderBy($"hour", $"event_type")
     },
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
            | count(*) AS n_events,
-           | round(sum(value), 2) AS total_value
+           | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
            |FROM events
            |GROUP BY 1, 2
            |ORDER BY 1, 2""".stripMargin))
@@ -368,10 +382,11 @@ object Relational extends QueryModule {
           $"o_totalprice".as("amount"))
       opened.union(urgent)
         .groupBy($"kind")
-        .agg(count(lit(1)).as("n"), round(sum($"amount"), 2).as("total_amount"))
+        .agg(count(lit(1)).as("n"), dsum($"amount").as("total_amount"))
         .orderBy($"kind")
     },
-    Some("""SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
+    Some("""SELECT kind, count(*) AS n,
+           | CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE) AS total_amount
            |FROM (
            |  SELECT o_custkey, 'opened' AS kind, o_totalprice AS amount FROM orders
            |  UNION ALL
@@ -607,7 +622,7 @@ object Relational extends QueryModule {
           $"o_orderstatus", $"o_orderpriority")
         .agg(grouping_id().as("gid"),
           count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("total_price"))
+          dsum($"o_totalprice").as("total_price"))
         .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
           $"o_orderpriority".asc_nulls_first)
     },
@@ -615,7 +630,7 @@ object Relational extends QueryModule {
            | CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority)
            |   AS BIGINT) AS gid,
            | count(*) AS n_orders,
-           | round(sum(o_totalprice), 2) AS total_price
+           | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
            |FROM orders
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            |ORDER BY gid, o_orderstatus NULLS FIRST,

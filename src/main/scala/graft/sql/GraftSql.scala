@@ -84,11 +84,11 @@ object GraftSql {
   val texts: ListMap[String, String] = ListMap(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -103,7 +103,7 @@ object GraftSql {
 
     "q3_revenue_by_nation" ->
       """SELECT /*+ BROADCAST(nation) */ n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -114,8 +114,8 @@ object GraftSql {
 
     "q4_brand_revenue_broadcast" ->
       """SELECT /*+ BROADCAST(part) */ p_brand,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | round(sum(l_quantity), 2) AS total_qty
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size > 10
         |GROUP BY p_brand
@@ -144,10 +144,10 @@ object GraftSql {
 
     "q8_running_revenue_by_supplier" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | round(sum(l_quantity) OVER (
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
         |   PARTITION BY l_suppkey
         |   ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem
         |WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
@@ -176,7 +176,7 @@ object GraftSql {
     "q10_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
         | count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -196,13 +196,14 @@ object GraftSql {
     "q12_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events,
-        | round(sum(value), 2) AS total_value
+        | CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
     "q13_union_order_events" ->
-      """SELECT kind, count(*) AS n, round(sum(amount), 2) AS total_amount
+      """SELECT kind, count(*) AS n,
+        | CAST(sum(CAST(amount AS DECIMAL(28,6))) AS DOUBLE) AS total_amount
         |FROM (
         |  SELECT o_custkey, 'opened' AS kind, o_totalprice AS amount FROM orders
         |  UNION ALL
@@ -293,7 +294,7 @@ object GraftSql {
     "q19_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, grouping_id() AS gid,
         | count(1) AS n_orders,
-        | round(sum(o_totalprice), 2) AS total_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

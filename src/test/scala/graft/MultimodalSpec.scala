@@ -341,6 +341,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(ex.getMessage != null)
   }
 
+  test("planted hot bucket trips the predict-then-wave breaker; waved " +
+    "output identical to unwaved") {
+    // 0/255 pixels make bits directly controllable: with k ones (k<64),
+    // bit_j = 1 iff p_j = 255. Every image shares block 0 (bit 0 set)
+    // — one hot (bpos=0, bval) bucket holding ALL fingerprints — while
+    // the other 56 bits are random (~28 apart pairwise), so the bucket
+    // is hot with DISTINCT fingerprints: exactly the flat-region
+    // failure mode the rep-collapse alone cannot absorb.
+    val rnd = new scala.util.Random(19)
+    val imgs = (0 until 40).map { i =>
+      val tail = Seq.fill(56)(rnd.nextBoolean())
+      (i.toLong,
+        (Seq(true) ++ Seq.fill(7)(false) ++ tail)
+          .map(b => if (b) 255L else 0L))
+    }
+    val s = spark
+    import s.implicits._
+    val bits = imgs.map { case (id, px) => id -> refBits(px) }.toMap
+    val brute = (for {
+      a <- imgs.map(_._1); b <- imgs.map(_._1) if a < b
+      d = bits(a).zip(bits(b)).count(t => t._1 != t._2) if d <= 7
+    } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+    var wavesSeen = 0
+    val waved = Multimodal.ahashNearDupPairs(imgs.toDF("id", "px"),
+        "id", "px", maxDist = 7, pairWorkCeiling = 10L, maxWaves = 4,
+        onWaves = wavesSeen = _)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the hot bucket alone predicts C(40,2) = 780 pairs >> ceiling 10,
+    // past maxWaves x ceiling => pinned at maxWaves
+    assert(wavesSeen == 4, s"expected the breaker to trip, got $wavesSeen")
+    assert(waved == brute)
+    var single = 0
+    val whole = pairsOf(imgs) // default ceiling: must stay one wave
+    Multimodal.ahashNearDupPairs(imgs.toDF("id", "px"), "id", "px",
+      maxDist = 7, onWaves = single = _).count()
+    assert(single == 1)
+    assert(whole == brute)
+  }
+
   test("aHash pair plan has no cartesian product") {
     val s = spark
     import s.implicits._
