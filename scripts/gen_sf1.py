@@ -146,6 +146,27 @@ def main():
         ok = "ok" if got == want else "FAIL"
         bad += got != want
         print(f"check {name}: {got} ({ok})")
+    # Dataset fingerprint manifest — the staleness guard. The round-13
+    # sweep compared engine outputs computed against generator-v2 data
+    # with oracle runs against regenerated v3 data (22 false reds);
+    # sf1_validate.py had no provenance binding to notice. The engine
+    # runner (QCheck) copies this file into its out_dir, and
+    # sf1_validate.py REFUSES to compare when the two disagree.
+    # Content hash = order-independent sum of per-row hashes over every
+    # column (cheap, catches any value change incl. text rotation).
+    import json
+    import time
+    manifest = {"generator_version": 3,
+                "generated_unix": int(time.time()),
+                "src": SRC, "tables": {}}
+    for t in COPY + list(SHIFTED):
+        rows, h = con.execute(
+            f"SELECT count(*), sum(hash(t)) "
+            f"FROM '{OUT}/{t}.parquet' t").fetchone()
+        manifest["tables"][t] = {"rows": rows, "hash": str(h)}
+    with open(f"{OUT}/MANIFEST.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"manifest -> {OUT}/MANIFEST.json")
     sys.exit(1 if bad else 0)
 
 

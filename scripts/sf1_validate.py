@@ -98,6 +98,27 @@ def main():
         return
     sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 1800.0
+    # Staleness guard: the engine runner copies the sf dir's dataset
+    # fingerprint (written by gen_sf1.py) into out_dir at dump time.
+    # If either side lacks it, or they disagree, the engine outputs
+    # were NOT computed against this data — comparing would reproduce
+    # the round-13 mixed-generation artifact (22 false reds). Refuse.
+    try:
+        sf_man = json.load(open(f"{sf_dir}/MANIFEST.json"))
+    except Exception:
+        sys.exit(f"REFUSING: {sf_dir}/MANIFEST.json missing/unreadable "
+                 f"- regenerate with scripts/gen_sf1.py")
+    try:
+        out_man = json.load(open(f"{out_dir}/MANIFEST.json"))
+    except Exception:
+        sys.exit(f"REFUSING: {out_dir}/MANIFEST.json missing/unreadable "
+                 f"- engine outputs predate the manifest guard; re-run "
+                 f"the QCheck dump against {sf_dir}")
+    if sf_man != out_man:
+        sys.exit("REFUSING: dataset fingerprint mismatch between "
+                 f"{sf_dir} and {out_dir} - engine outputs were "
+                 "computed against different data (the round-13 "
+                 "staleness trap). Regenerate + re-dump in one session.")
     spark_secs = (json.load(open(sys.argv[5]))
                   if len(sys.argv) > 5 else {})
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -141,7 +162,7 @@ def main():
     with open(artifact, "w") as f:
         json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_bad,
                    "n_oracle_timeout": n_to, "timeout_sec": timeout,
-                   "queries": results}, f, indent=1)
+                   "manifest": sf_man, "queries": results}, f, indent=1)
     print(f"== {n_ok} ok, {n_bad} failed, {n_to} oracle-timeout "
           f"-> {artifact} ==")
     sys.exit(0 if n_bad == 0 else 1)

@@ -139,12 +139,24 @@ object Layout {
     * between FULLY identical rows is allowed and collapses them onto
     * one shared coordinate (interchangeable rows, interchangeable
     * slots — the quantile is off by at most the duplicate count).
+    * NB: on such fully-identical duplicates the folded pass is NOT
+    * bit-identical to two sequential [[rankBucket16]] passes — the
+    * fold collapses both rows onto the shared max-rank coordinate
+    * where two passes would assign distinct adjacent coordinates; the
+    * rows are interchangeable so either layout is valid, but the
+    * two-pass-equivalence contract holds only for unique uids. A NULL
+    * uid fails loudly in-plan (it would otherwise silently drop the
+    * row at the pivot join), consistent with the collision check.
     */
   def rankBucket16Pair(df: DataFrame, aCol: String, bCol: String,
                        uidCol: String, n: Long,
                        outA: String, outB: String): DataFrame = {
     require(n > 0, s"n must be the positive total row count, got $n")
-    val skinny = df.select(col(uidCol).as("__u"),
+    val skinny = df.select(
+        when(assert_true(col(uidCol).isNotNull,
+          lit(s"Layout.rankBucket16Pair: NULL $uidCol — the uid keys " +
+            "the rank pivot; a null row would silently vanish at the " +
+            "coordinate join")).isNull, col(uidCol)).as("__u"),
         posexplode(array(col(aCol), col(bCol))))
       .withColumnRenamed("pos", "__dim")
       .withColumnRenamed("col", "__v")

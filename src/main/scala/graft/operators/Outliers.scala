@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust univariate outlier detection — Tukey's IQR fences, the
@@ -22,12 +23,24 @@ import org.apache.spark.sql.functions._
   * hazard. No rounding tolerance, no ulp luck: the hash compare is
   * exact by construction.
   *
-  * Shape at 100 TB: one hash aggregate builds the per-key quartiles
-  * (Spark's percentile buffer is a per-group value-count map — bounded
-  * by DISTINCT metric values per key, which micro-truncation caps),
-  * the fence relation is O(keys) rows and broadcasts for free, and the
-  * scan that applies the fence is a single codegen'd pass — no window,
-  * no per-key sort of the full data, no second shuffle of the events.
+  * Shape at 100 TB: quartiles come from RANK SELECTION, not a
+  * value-count aggregation buffer — one sort-shuffle ranks the values
+  * per key (UnsafeRow sort, spillable), a codegen'd filter keeps only
+  * the ≤ 4 rows sitting AT the exact quartile ranks, and a tiny
+  * aggregate reconstructs the quarter-integer quartiles from them.
+  * (The first cut used Spark's `percentile`, whose per-group buffer is
+  * a value-count hash map merged single-threaded per key: with a
+  * continuous metric, micro-truncation leaves ~n distinct values, and
+  * the round-13 sf1 sweep measured that plan at 15× wall for 10× rows.
+  * A sort ranks the same rows at a fraction of the constant and spills
+  * instead of growing a map.) The fence relation is O(keys) rows and
+  * broadcasts for free, and the scan that applies the fence is a
+  * single codegen'd pass. Exact per-key quantiles keep an inherent
+  * per-key serial component (the merge of that key's sorted runs);
+  * with very few keys that is the parallelism floor — at 100 TB the
+  * knob is pre-aggregating equal values per (key, v) before the sort,
+  * which micro-truncation makes effective exactly when the value
+  * domain saturates.
   */
 object Outliers {
 
@@ -44,12 +57,31 @@ object Outliers {
     val ev = df.select(
       (keepCols.map(col) :+ col(keyCol) :+
         floor(col(valueCol) * lit(1000000L)).cast("long").as("v")): _*)
-    // exact quarter-integer quartiles, scaled ×4 onto BIGINT
-    val fences = ev.groupBy(col(keyCol))
-      .agg(expr("percentile(v, array(0.25, 0.75))").as("pp"))
-      .select(col(keyCol),
-        (element_at(col("pp"), 1) * lit(4)).cast("long").as("q25"),
-        (element_at(col("pp"), 2) * lit(4)).cast("long").as("q75"))
+    // exact quarter-integer quartiles by rank selection, scaled ×4 onto
+    // BIGINT: the type-7 quartile sits at 0-based position h = p·(n−1),
+    // so 4·q = 4·v[⌊h⌋] + (4h mod 4)·(v[⌊h⌋+1] − v[⌊h⌋]) — pure int64
+    // arithmetic on the two ranked neighbours. Ties in v make any
+    // row_number tiebreak equivalent (equal ranks hold equal values),
+    // and ⌈h⌉ ≤ n−1 always (p < 1), so the hi neighbour exists.
+    val wk = Window.partitionBy(col(keyCol))
+    val ranked = ev.select(col(keyCol), col("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("rn", row_number().over(wk.orderBy(col("v"))).cast("long")
+        - lit(1L))
+      .withColumn("n", count(lit(1)).over(wk))
+    val h25lo = floor((col("n") - 1) / 4)
+    val h75lo = floor((col("n") - 1) * 3 / 4)
+    def at(rank: org.apache.spark.sql.Column) =
+      max(when(col("rn") === rank, col("v")))
+    val fences = ranked
+      .filter(col("rn") === h25lo || col("rn") === h25lo + 1 ||
+        col("rn") === h75lo || col("rn") === h75lo + 1)
+      .groupBy(col(keyCol))
+      .agg(
+        (at(h25lo) * 4 + ((max(col("n")) - 1) % 4) *
+          (at(least(h25lo + 1, col("n") - 1)) - at(h25lo))).as("q25"),
+        (at(h75lo) * 4 + (((max(col("n")) - 1) * 3) % 4) *
+          (at(least(h75lo + 1, col("n") - 1)) - at(h75lo))).as("q75"))
     ev.join(broadcast(fences), keyCol)
       .filter(
         col("v") * 8 < col("q25") * 2 - (col("q75") - col("q25")) * 3 ||

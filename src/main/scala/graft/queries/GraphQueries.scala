@@ -485,7 +485,21 @@ object GraphQueries extends QueryModule {
       "m as a 1-row broadcast — no collect, no cartesian; oracle " +
       "replays LPA AND the modularity bookkeeping end-to-end")
 
+  /** DuckDB inlines CTEs referenced more than once by default, and
+    * every unrolled-iteration oracle here references its predecessor
+    * several times (scalar-total subqueries, degree joins) — so the
+    * inlined replay is EXPONENTIAL in rounds. At sf0.01 that hides
+    * inside the noise; the round-13 sf1 sweep measured g1b at 23
+    * minutes before exhausting temp disk, and g5 at 284 s. Pinning
+    * every CTE with AS MATERIALIZED makes the replay linear in rounds
+    * with identical results. Safe as a blanket rewrite because in this
+    * module's oracle texts ` AS (` appears only at CTE heads (casts
+    * are `AS BIGINT`, windows are `OVER (`).
+    */
+  private def materializedCtes(q: CatalogQuery): CatalogQuery =
+    q.copy(oracle = q.oracle.map(_.replace(" AS (", " AS MATERIALIZED (")))
+
   override def queries: Seq[CatalogQuery] =
     Seq(pagerank, pagerankConserving, triangles, trianglesWaved, bfs,
-      sssp, kcore, lpa, modularityQ)
+      sssp, kcore, lpa, modularityQ).map(materializedCtes)
 }

@@ -29,15 +29,18 @@ object SimilarityQueries extends QueryModule {
     * offset by 1_000_000 to keep the pairing explicit.
     */
   private def perturbed(e: org.apache.spark.sql.DataFrame) =
-    // NB: the first select item aliases its output "vec_id", and Spark's
-    // implicit LATERAL column alias resolution (default-on since 3.4)
-    // makes the sin() below read THAT alias, not the input column — so
-    // the perturbation phase is (vec_id + 1000000)*7 + i. Harmless for
-    // a planted-noise formula, but the DuckDB oracles must (and do)
-    // replicate the offset form exactly.
-    e.select((col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding").cast("array<double>"),
-        (x, i) => x + lit(0.04) * sin(col("vec_id") * 7 + i)).as("embedding"))
+    // The perturbation phase is the OFFSET id: (vec_id + 1000000)*7+i,
+    // and the DuckDB oracles replicate that form exactly. The offset id
+    // is MATERIALIZED by its own select before the sin() references it
+    // — the first cut computed both in one select and leaned on Spark's
+    // implicit lateral-column-alias resolution, whose precedence
+    // (alias vs base relation) is version-sensitive; two chained
+    // selects make the phase explicit under any resolver.
+    e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + lit(0.04) * sin(col("vec_id") * 7 + i))
+          .as("embedding"))
 
   private val brute = CatalogQuery(
     "s1_cosine_topk",
@@ -298,11 +301,13 @@ object SimilarityQueries extends QueryModule {
     (s, dir) => {
       val e = emb(s, dir)
       // per-strength perturbed query sets (ids offset by centi·10^6 so
-      // strengths never collide; same lateral-alias phase convention
-      // as `perturbed` — the oracle mirrors the offset form)
+      // strengths never collide; same explicit offset-phase convention
+      // as `perturbed` — materialize the offset id, then perturb)
       def perturbedAt(centi: Int) =
         e.filter(col("vec_id") < 10)
           .select((col("vec_id") + centi * 1000000L).as("vec_id"),
+            col("embedding"))
+          .select(col("vec_id"),
             transform(col("embedding").cast("array<double>"),
               (x, i) => x + lit(centi / 100.0) * sin(col("vec_id") * 7 + i))
               .as("embedding"))

@@ -124,6 +124,16 @@ class LayoutSpec extends SparkSpecBase {
     assert(got.length == 3)
     assert(got.filter(_._1 == 7L).distinct.length == 1,
       "identical duplicates must share one coordinate pair")
+    // NULL uid: must raise in-plan, never silently drop the row at the
+    // coordinate join
+    val withNull = Seq((Some(7L), 10L, 1L), (None, 20L, 2L))
+      .toDF("uid", "a", "b")
+    val eNull = intercept[Exception] {
+      Layout.rankBucket16Pair(withNull, "a", "b", "uid", 2L, "ca", "cb")
+        .collect()
+    }
+    assert(messages(eNull).exists(_.contains("NULL uid")),
+      s"expected the null-uid diagnosis, got: ${messages(eNull)}")
   }
 
   test("rankBucket16 is the exact equi-depth quantile coordinate, " +

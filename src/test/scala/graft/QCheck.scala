@@ -31,6 +31,13 @@ object QCheck {
       names.filter(SparkEntry.oracleSql.contains)
         .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
         .mkString("{", ", ", "}"))
+    // provenance binding: carry the dataset fingerprint the outputs
+    // were computed against, so sf1_validate.py can refuse a
+    // mixed-generation compare (the round-13 staleness trap)
+    val manifest = Paths.get(s"$sfDir/MANIFEST.json")
+    if (Files.exists(manifest))
+      Files.copy(manifest, Paths.get(s"$outDir/MANIFEST.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
   }
 }
