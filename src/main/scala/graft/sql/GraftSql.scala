@@ -809,6 +809,36 @@ object GraftSql {
         |FROM tr JOIN ev ON tr.s = ev.s
         |GROUP BY tr.doc_id ORDER BY doc""".stripMargin,
 
+    // d11 = d7 behind a Bloom prefilter; the DECLARATIVE text is the
+    // prefilter's semantic equivalent — an EXISTS semi-join keeping
+    // only train shingles that might hit the eval set before the
+    // counting join. The bloom itself is a physical optimization the
+    // SQL leaves to the engine (Spark injects runtime bloom filters on
+    // exactly this shape); the exact-verify join makes the output
+    // bit-identical to d7's either way.
+    "d11_bloom_decontamination" ->
+      """WITH split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+        |f AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS s
+        |  FROM f
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+        |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split)),
+        |hits AS (
+        |  SELECT tr.doc_id, tr.s FROM tr
+        |  WHERE EXISTS (SELECT 1 FROM ev WHERE ev.s = tr.s))
+        |SELECT /*+ BROADCAST(ev) */ h.doc_id AS doc,
+        |  count(*) AS n_shared_shingles,
+        |  count(DISTINCT ev.doc_id) AS n_eval_docs
+        |FROM hits h JOIN ev ON h.s = ev.s
+        |GROUP BY h.doc_id ORDER BY doc""".stripMargin,
+
     // marker-vote language id with the DataFrame form's exact
     // tie-break: sort the (negated score, lang) structs, take the head
     "t3_language_id" ->

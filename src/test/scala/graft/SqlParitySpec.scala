@@ -52,6 +52,19 @@ class SqlParitySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"p/c-family catalog queries without SQL twins: $missing")
   }
 
+  test("the set-shaped dedup rows (exact dedup, decontamination) have " +
+    "SQL twins") {
+    // d1 is GROUP BY + min-keep, d7/d11 are shingle-join/EXISTS SQL —
+    // exactly what a warehouse user types; none may lack a twin. (The
+    // rest of the d-family — iterative clustering, MinHash banding,
+    // budgeted waves — is defensibly non-single-statement SQL.)
+    val twinned = GraftSql.texts.keySet ++ GraftSql.pipelineTexts.keySet
+    val want = Set("d1_exact_dedup", "d7_decontamination",
+      "d11_bloom_decontamination")
+    val missing = want -- twinned
+    assert(missing.isEmpty, s"set-shaped dedup rows without SQL twins: $missing")
+  }
+
   /** Canonical form mirroring the driver's compare: columns sorted by
     * name (types kept), rows value-stringified and sorted.
     */
