@@ -485,6 +485,68 @@ object GraphQueries extends QueryModule {
       "m as a 1-row broadcast — no collect, no cartesian; oracle " +
       "replays LPA AND the modularity bookkeeping end-to-end")
 
+  /** Connected components over the THRESHOLDED co-purchase graph:
+    * parts adjacent when co-bought in ≥ 3 distinct orders — the
+    * support threshold is what makes the row falsifiable (56
+    * components over 119 nodes at sf0.01; the unthresholded graph is
+    * one giant component and a constant-column answer). The engine is
+    * the d8 machinery ([[graft.operators.Dedup.connectedComponents]]):
+    * min-label propagation with pointer jumping, O(log diameter)
+    * rounds to FIXPOINT — so the oracle does not replay the algorithm,
+    * it states the answer (component = min reachable id) as a DuckDB
+    * recursive-CTE reachability closure. Closure size is bounded by
+    * nodes × component size over the DIMENSION-scale part graph
+    * (partkeys are held as facts densify), so the oracle stays
+    * sf1-feasible where an unrolled fact-scale replay would not.
+    *
+    * Scale shape: edge extraction is one co-purchase self-join + hash
+    * aggregate (the g2 projection) with the support filter riding the
+    * aggregate; the component loop shuffles O(nodes + edges) per round
+    * for O(log d) rounds, lineage cut per round by localCheckpoint.
+    */
+  private val componentsQ = CatalogQuery(
+    "g8_connected_components",
+    (s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("i"), col("y.l_partkey").as("j"))
+        .agg(countDistinct(col("x.l_orderkey")).as("n_ord"))
+        .filter(col("n_ord") >= 3)
+        .select(col("i"), col("j"))
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("doc").cast("long").as("id"),
+          col("cluster").cast("long").as("component"))
+        .orderBy(col("id"))
+    },
+    Some("""WITH pairs AS (
+           |  SELECT least(l1.l_partkey, l2.l_partkey) AS a,
+           |         greatest(l1.l_partkey, l2.l_partkey) AS b
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |  WHERE l1.l_partkey <> l2.l_partkey
+           |  GROUP BY 1, 2
+           |  HAVING count(DISTINCT l1.l_orderkey) >= 3),
+           |e AS (SELECT a AS src, b AS dst FROM pairs
+           |      UNION ALL SELECT b, a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |walk AS (
+           |  WITH RECURSIVE w(node, lab) AS (
+           |    SELECT id, id FROM nodes
+           |    UNION
+           |    SELECT e.dst, w.lab FROM w JOIN e ON e.src = w.node)
+           |  SELECT node, min(lab) AS component FROM w GROUP BY node)
+           |SELECT CAST(node AS BIGINT) AS id,
+           |       CAST(component AS BIGINT) AS component
+           |FROM walk ORDER BY id""".stripMargin),
+    doc = "Connected components over the support-thresholded (>= 3 " +
+      "co-orders) co-purchase graph: pointer-jumping min-label " +
+      "propagation to fixpoint; oracle states the answer as a " +
+      "recursive-CTE reachability closure (component = min reachable " +
+      "id) over the dimension-scale part graph")
+
   /** DuckDB inlines CTEs referenced more than once by default, and
     * every unrolled-iteration oracle here references its predecessor
     * several times (scalar-total subqueries, degree joins) — so the
@@ -501,5 +563,5 @@ object GraphQueries extends QueryModule {
 
   override def queries: Seq[CatalogQuery] =
     Seq(pagerank, pagerankConserving, triangles, trianglesWaved, bfs,
-      sssp, kcore, lpa, modularityQ).map(materializedCtes)
+      sssp, kcore, lpa, modularityQ, componentsQ).map(materializedCtes)
 }
