@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
-"""Render SCALING_r13_sf1.json + a same-harness sf0.1 wall file into
+"""Render a SCALING_r*_sf1.json + a same-harness sf0.1 wall file into
 the per-query 10x wall table, naming every super-linear row.
 
-Usage: python3 scripts/sf1_report.py SCALING_r13_sf1.json \
+Usage: python3 scripts/sf1_report.py SCALING_r14_sf1.json \
            /tmp/sf01_spark_secs.json [> report.md]
 """
 import json

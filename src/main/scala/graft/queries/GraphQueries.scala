@@ -485,36 +485,44 @@ object GraphQueries extends QueryModule {
       "m as a 1-row broadcast — no collect, no cartesian; oracle " +
       "replays LPA AND the modularity bookkeeping end-to-end")
 
-  /** Connected components over the THRESHOLDED co-purchase graph:
-    * parts adjacent when co-bought in ≥ 3 distinct orders — the
-    * support threshold is what makes the row falsifiable (56
-    * components over 119 nodes at sf0.01; the unthresholded graph is
-    * one giant component and a constant-column answer). The engine is
-    * the d8 machinery ([[graft.operators.Dedup.connectedComponents]]):
-    * min-label propagation with pointer jumping, O(log diameter)
-    * rounds to FIXPOINT — so the oracle does not replay the algorithm,
-    * it states the answer (component = min reachable id) as a DuckDB
-    * recursive-CTE reachability closure. Closure size is bounded by
-    * nodes × component size over the DIMENSION-scale part graph
-    * (partkeys are held as facts densify), so the oracle stays
-    * sf1-feasible where an unrolled fact-scale replay would not.
+  /** Connected components over the co-purchase graph on a BOUNDED part
+    * slice (l_partkey < 500, support ≥ 2 distinct orders) — the d12
+    * bounded-by-construction contract: the node set is fixed by the
+    * slice no matter how the facts densify, so the ORACLE (a DuckDB
+    * recursive-CTE reachability closure — component = min reachable
+    * id) stays feasible at every scale (≤ 500 × 500 closure rows; 2 s
+    * at sf1), while the EDGE EXTRACTION still scans the full fact
+    * table. A first cut thresholded the unsliced graph at absolute
+    * support ≥ 3: falsifiable at sf0.01 (56 components) but
+    * scale-UNSTABLE — the sf1 replication multiplies co-purchase
+    * counts 10×, saturating the graph to 20k nodes / 1.2M edges whose
+    * giant-component closure is oracle-infeasible, and scaling the
+    * threshold with the order count empties the real sf0.1 data
+    * instead. Support thresholds over densifying facts don't
+    * translate across scales; a bounded slice does.
     *
+    * The engine is the d8 machinery
+    * ([[graft.operators.Dedup.connectedComponents]]): min-label
+    * propagation with pointer jumping, O(log diameter) rounds to
+    * FIXPOINT — the oracle states the answer, not the algorithm.
     * Scale shape: edge extraction is one co-purchase self-join + hash
-    * aggregate (the g2 projection) with the support filter riding the
-    * aggregate; the component loop shuffles O(nodes + edges) per round
-    * for O(log d) rounds, lineage cut per round by localCheckpoint.
+    * aggregate (the g2 projection) with the slice filter PUSHED INTO
+    * BOTH SCANS and the support filter riding the aggregate; the
+    * component loop shuffles O(nodes + edges) per round for O(log d)
+    * rounds, lineage cut per round by localCheckpoint.
     */
   private val componentsQ = CatalogQuery(
     "g8_connected_components",
     (s, dir) => {
       val li = Tables(s, dir).lineitem
+        .filter(col("l_partkey") < 500)
         .select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("x").join(li.as("y"),
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .groupBy(col("x.l_partkey").as("i"), col("y.l_partkey").as("j"))
         .agg(countDistinct(col("x.l_orderkey")).as("n_ord"))
-        .filter(col("n_ord") >= 3)
+        .filter(col("n_ord") >= 2)
         .select(col("i"), col("j"))
       graft.operators.Dedup.connectedComponents(pairs)
         .select(col("doc").cast("long").as("id"),
@@ -527,8 +535,9 @@ object GraphQueries extends QueryModule {
            |  FROM lineitem l1 JOIN lineitem l2
            |    ON l1.l_orderkey = l2.l_orderkey
            |  WHERE l1.l_partkey <> l2.l_partkey
+           |    AND l1.l_partkey < 500 AND l2.l_partkey < 500
            |  GROUP BY 1, 2
-           |  HAVING count(DISTINCT l1.l_orderkey) >= 3),
+           |  HAVING count(DISTINCT l1.l_orderkey) >= 2),
            |e AS (SELECT a AS src, b AS dst FROM pairs
            |      UNION ALL SELECT b, a FROM pairs),
            |nodes AS (SELECT DISTINCT src AS id FROM e),
@@ -541,11 +550,12 @@ object GraphQueries extends QueryModule {
            |SELECT CAST(node AS BIGINT) AS id,
            |       CAST(component AS BIGINT) AS component
            |FROM walk ORDER BY id""".stripMargin),
-    doc = "Connected components over the support-thresholded (>= 3 " +
-      "co-orders) co-purchase graph: pointer-jumping min-label " +
-      "propagation to fixpoint; oracle states the answer as a " +
-      "recursive-CTE reachability closure (component = min reachable " +
-      "id) over the dimension-scale part graph")
+    doc = "Connected components over the co-purchase graph on a " +
+      "bounded part slice (partkey < 500, support >= 2): " +
+      "pointer-jumping min-label propagation to fixpoint; oracle " +
+      "states the answer as a recursive-CTE reachability closure " +
+      "(component = min reachable id), feasible at every scale by the " +
+      "slice bound")
 
   /** DuckDB inlines CTEs referenced more than once by default, and
     * every unrolled-iteration oracle here references its predecessor
