@@ -435,6 +435,28 @@ class PlanSpec extends SparkSpecBase {
     assert(buckets > 1, s"hot key stayed in $buckets bucket(s)")
   }
 
+  test("a10: quartiles come from rank selection, never a percentile " +
+    "value-map aggregate; fences broadcast") {
+    // the round-13 sf1 sweep measured the percentile buffer (per-key
+    // value-count map, merged single-threaded per key) at 15x wall for
+    // 10x rows; the shipped plan ranks once (spillable sort) and keeps
+    // only the quartile-rank rows
+    val p = plan("a10_value_outliers")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"a10 regressed to a percentile aggregate:\n${p.take(800)}")
+    assert(p.contains("Window"), "rank selection needs the window pass")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(keys) fence relation must broadcast")
+  }
+
+  test("m9: hamming verify is scalar popcount riding the bucket join, " +
+    "never a per-pair array lambda or a cartesian") {
+    val p = plan("m9_image_ahash_neardup")
+    assert(p.contains("bit_count"),
+      "scalar packed-word popcount missing from the verify")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val s = spark
     import s.implicits._
