@@ -367,7 +367,40 @@ object SimilarityQueries extends QueryModule {
       "arithmetic the oracle replays — index quality as a hash-checked " +
       "catalog fact")
 
+  /** Product-quantization ANN under the same recall contract as s2/s4:
+    * the corpus compresses to 8 four-bit subspace codes (32× vs the
+    * raw doubles), queries score by ADC (broadcast m×k dot tables, m
+    * lookups per corpus row — no decompression), the top-32 candidates
+    * re-rank EXACTLY, and the emitted rank-1 must equal DuckDB's
+    * brute-force top-1 — so quantization error bounds recall, and the
+    * shared oracle makes that a hash-checked fact exactly as for the
+    * LSH and IVF indexes. The codebooks are seed-pinned k-means
+    * metadata (m·k·D doubles, the IvfIndex sidecar convention); the
+    * emitted cosine comes from the exact re-rank, so centroid float
+    * jitter can never reach the output while the planted-pair margin
+    * (cos ≈ 0.97 vs ~0.3 background) holds.
+    */
+  private val pq = CatalogQuery(
+    "s9_pq_adc_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      // index-at-rest: codebooks + codes build once per data dir (the
+      // s4 convention); the measured path is the ADC serving scan
+      val path = graft.operators.PqIndex.ensure(s, dir, e, m = 8, k = 16)
+      graft.operators.PqIndex.adcTopK(s, path, e,
+          perturbed(e.filter(col("vec_id") < 10)), topK = 5,
+          rerankDepth = 32)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("qid"))
+    },
+    Some(top1Oracle),
+    doc = "Approximate top-5 via product quantization (8 subspaces x " +
+      "16 codewords = 32x compression) scored by ADC lookup tables " +
+      "with exact re-rank of the top 32; emits rank-1, which must " +
+      "equal DuckDB's brute-force top-1 (the s2/s4 shared oracle)")
+
   override def queries: Seq[CatalogQuery] =
     Seq(brute, lsh, nearDup, ivf, quant, centroids, semantic,
-      recallCalibration)
+      recallCalibration, pq)
 }

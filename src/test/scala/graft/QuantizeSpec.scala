@@ -60,4 +60,67 @@ class QuantizeSpec extends SparkSpecBase {
     // 64-dim unit vectors: int8 dot error is well under 0.02 absolute
     pairs.foreach { case (e, a) => assert(math.abs(e - a) < 0.02) }
   }
+
+  // ---- product quantization ----
+
+  test("pqCodebooks shapes m x k x (D/m); pqEncode codes in [0, k)") {
+    val books = Quantize.pqCodebooks(emb, m = 8, k = 4, maxIter = 3)
+    assert(books.size == 8)
+    assert(books.forall(_.size == 4))
+    assert(books.forall(_.forall(_.size == 8))) // 64/8
+    val s = spark
+    import s.implicits._
+    val codes = Quantize.pqEncode(emb, books)
+      .select($"codes").as[Seq[Int]].collect()
+    assert(codes.nonEmpty && codes.forall(_.size == 8))
+    assert(codes.flatten.forall(c => c >= 0 && c < 4))
+  }
+
+  test("ADC is EXACT when every vector is a concatenation of codewords " +
+    "(zero quantization error)") {
+    // corpus = all m-fold concatenations over a tiny codeword set per
+    // subspace; k-means with k = #distinct subvectors recovers the
+    // codewords exactly (each cluster collapses to identical points),
+    // so codes reconstruct losslessly and the ADC score IS the dot —
+    // rank order must equal brute force even before the exact re-rank
+    val s = spark
+    import s.implicits._
+    val words = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val corpus = (for (a <- words; b <- words) yield a ++ b)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = corpus.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2)
+      .select(($"vec_id" + 100L).as("vec_id"), $"embedding")
+    val got = Quantize.pqAdcTopK(df, queries, m = 2, k = 3, topK = 3,
+        rerankDepth = 3, maxIter = 10)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"rank", $"neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(df, queries, k = 3)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"rank", $"neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == brute)
+  }
+
+  test("PqIndex round-trips the codebooks and serves the in-line answer") {
+    val dir = java.nio.file.Files.createTempDirectory("pqspec").toString
+    val e = emb
+    graft.operators.PqIndex.build(e, dir, m = 8, k = 4, maxIter = 3)
+    val back = graft.operators.PqIndex.codebooks(spark, dir)
+    assert(back.size == 8 && back.forall(_.size == 4) &&
+      back.forall(_.forall(_.size == 8)))
+    val queries = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    val served = graft.operators.PqIndex
+      .adcTopK(spark, dir, e, queries, topK = 3, rerankDepth = 16)
+      .collect().map(_.toString).sorted.toSeq
+    // the in-line form retrains with the same seed-pinned k-means on
+    // the same data, so its books — and the served answer — must match
+    val inline = Quantize.pqAdcTopK(e, queries, m = 8, k = 4, topK = 3,
+        rerankDepth = 16, maxIter = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == inline)
+  }
 }
