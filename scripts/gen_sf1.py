@@ -154,10 +154,23 @@ def main():
     # sf1_validate.py REFUSES to compare when the two disagree.
     # Content hash = order-independent sum of per-row hashes over every
     # column (cheap, catches any value change incl. text rotation).
+    # A FAILED generation gets no manifest: a fingerprint over known-bad
+    # data would pass sf1_validate.py's staleness guard and launder the
+    # bad dataset into a "clean" compare. Also remove any stale manifest
+    # from a previous good generation — the data under it just changed.
     import json
     import time
+    if bad:
+        try:
+            os.remove(f"{OUT}/MANIFEST.json")
+        except FileNotFoundError:
+            pass
+        print("invariant checks FAILED - no manifest written "
+              "(sf1_validate.py will refuse this dataset)")
+        sys.exit(1)
     manifest = {"generator_version": 3,
                 "generated_unix": int(time.time()),
+                "checks_ok": True,
                 "src": SRC, "tables": {}}
     for t in COPY + list(SHIFTED):
         rows, h = con.execute(
@@ -167,7 +180,7 @@ def main():
     with open(f"{OUT}/MANIFEST.json", "w") as f:
         json.dump(manifest, f, indent=1)
     print(f"manifest -> {OUT}/MANIFEST.json")
-    sys.exit(1 if bad else 0)
+    sys.exit(0)
 
 
 if __name__ == "__main__":

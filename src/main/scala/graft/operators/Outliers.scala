@@ -23,24 +23,29 @@ import org.apache.spark.sql.functions._
   * hazard. No rounding tolerance, no ulp luck: the hash compare is
   * exact by construction.
   *
-  * Shape at 100 TB: quartiles come from RANK SELECTION, not a
-  * value-count aggregation buffer — one sort-shuffle ranks the values
-  * per key (UnsafeRow sort, spillable), a codegen'd filter keeps only
-  * the ≤ 4 rows sitting AT the exact quartile ranks, and a tiny
-  * aggregate reconstructs the quarter-integer quartiles from them.
-  * (The first cut used Spark's `percentile`, whose per-group buffer is
-  * a value-count hash map merged single-threaded per key: with a
-  * continuous metric, micro-truncation leaves ~n distinct values, and
-  * the round-13 sf1 sweep measured that plan at 15× wall for 10× rows.
-  * A sort ranks the same rows at a fraction of the constant and spills
-  * instead of growing a map.) The fence relation is O(keys) rows and
-  * broadcasts for free, and the scan that applies the fence is a
-  * single codegen'd pass. Exact per-key quantiles keep an inherent
-  * per-key serial component (the merge of that key's sorted runs);
-  * with very few keys that is the parallelism floor — at 100 TB the
-  * knob is pre-aggregating equal values per (key, v) before the sort,
-  * which micro-truncation makes effective exactly when the value
-  * domain saturates.
+  * Shape at 100 TB: quartiles come from RANK SELECTION OVER A
+  * VALUE-COUNT RELATION, not a per-row sort and not a value-count
+  * aggregation buffer. The rows first collapse to (key, v, cnt) via an
+  * ordinary hash aggregate — partial map-side combine, fully parallel,
+  * no per-key anything — and only that relation takes the per-key
+  * window sort that derives ranks. Micro-truncation saturates the
+  * value domain (a bounded-range metric has at most range·10⁶ distinct
+  * micro values), so the (key, v) relation STOPS GROWING with data:
+  * the per-key serial component that is unavoidable for exact
+  * quantiles (one task sorts one key's values) runs over a
+  * data-size-independent input. A rank r is covered by the (key, v)
+  * row whose cumulative count range [cum−cnt, cum−1] contains it, so
+  * the ≤ 4 quartile-neighbour rows fall out of the running sum with no
+  * row-level ranking at all. (History: the first cut used Spark's
+  * `percentile`, whose per-group value-count map merges
+  * single-threaded per key — 15× wall for 10× rows in the round-13 sf1
+  * sweep; the second ranked raw rows with `row_number`, which fixed
+  * the constant but still sorted every row of a key in one task — 12×
+  * at the round-14 sweep, a straggler scale-killer with a ~30-key
+  * domain at 100 TB. The pre-agg removes the data-proportional term
+  * from the serial path entirely.) The fence relation is O(keys) rows
+  * and broadcasts for free, and the scan that applies the fence is a
+  * single codegen'd pass.
   */
 object Outliers {
 
@@ -60,22 +65,28 @@ object Outliers {
     // exact quarter-integer quartiles by rank selection, scaled ×4 onto
     // BIGINT: the type-7 quartile sits at 0-based position h = p·(n−1),
     // so 4·q = 4·v[⌊h⌋] + (4h mod 4)·(v[⌊h⌋+1] − v[⌊h⌋]) — pure int64
-    // arithmetic on the two ranked neighbours. Ties in v make any
-    // row_number tiebreak equivalent (equal ranks hold equal values),
-    // and ⌈h⌉ ≤ n−1 always (p < 1), so the hi neighbour exists.
+    // arithmetic on the two ranked neighbours. Ranks come from the
+    // cumulative count over the (key, v, cnt) pre-aggregate: the row
+    // with running sum `cum` holds ranks [cum−cnt, cum−1], so rank r
+    // is covered iff cum−cnt ≤ r < cum (ties collapse into one row by
+    // construction), and ⌈h⌉ ≤ n−1 always (p < 1), so the hi
+    // neighbour exists.
     val wk = Window.partitionBy(col(keyCol))
     val ranked = ev.select(col(keyCol), col("v"))
       .filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(wk.orderBy(col("v"))).cast("long")
-        - lit(1L))
-      .withColumn("n", count(lit(1)).over(wk))
+      .groupBy(col(keyCol), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wk.orderBy(col("v"))))
+      .withColumn("n", sum(col("cnt")).over(wk))
     val h25lo = floor((col("n") - 1) / 4)
     val h75lo = floor((col("n") - 1) * 3 / 4)
+    def covers(rank: org.apache.spark.sql.Column) =
+      col("cum") - col("cnt") <= rank && rank < col("cum")
     def at(rank: org.apache.spark.sql.Column) =
-      max(when(col("rn") === rank, col("v")))
+      max(when(covers(rank), col("v")))
     val fences = ranked
-      .filter(col("rn") === h25lo || col("rn") === h25lo + 1 ||
-        col("rn") === h75lo || col("rn") === h75lo + 1)
+      .filter(covers(h25lo) || covers(h25lo + 1) ||
+        covers(h75lo) || covers(h75lo + 1))
       .groupBy(col(keyCol))
       .agg(
         (at(h25lo) * 4 + ((max(col("n")) - 1) % 4) *

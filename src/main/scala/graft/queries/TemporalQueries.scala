@@ -479,9 +479,10 @@ object TemporalQueries extends QueryModule {
            |   OR 8*e.v > 2*f.q75 + 3*(f.q75-f.q25)
            |ORDER BY e.event_id""".stripMargin),
     doc = "Per-type Tukey fences (p25/p75 ± 1.5·IQR) in exact " +
-      "eighth-micro-units: one percentile aggregate -> O(types) fence " +
-      "relation broadcast -> single codegen'd scan; no window, no " +
-      "re-shuffle of the events")
+      "eighth-micro-units: hash pre-agg to (type, v, cnt) -> cumulative-" +
+      "count rank selection over the saturated value domain -> O(types) " +
+      "fence relation broadcast -> single codegen'd scan; the per-key " +
+      "sort never touches raw rows")
 
   /** a10's sequential twin: a rolling z-test against the TRAILING
     * 20-event baseline per type — the streaming-shaped anomaly screen

@@ -70,6 +70,53 @@ class OutliersSpec extends SparkSpecBase {
     assert(run(rows) == expected)
   }
 
+  test("pre-agg rank selection == per-row row_number ranking, exactly, " +
+    "under heavy ties (the saturated-domain case the pre-agg exists for)") {
+    // The shipped plan ranks the (key, v, cnt) pre-aggregate via
+    // cumulative counts; this replays the round-14 per-row design
+    // (row_number over raw rows) in-memory and demands bit-equality.
+    // Ties are the load-bearing case: a tied value spans MANY ranks in
+    // the row path but ONE cumulative range in the pre-agg path, and
+    // the quartile neighbours h, h+1 can land inside the same tie run.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 600).map { i =>
+      val key = "k" + (i % 4)
+      // values drawn from a TINY domain (0..9, micro-scale) so ties
+      // dominate and quartile ranks routinely fall mid-run, plus rare
+      // spikes that must flag
+      val v = if (rnd.nextInt(50) == 0) 500.0 + rnd.nextInt(100)
+      else rnd.nextInt(10) * 1e-6
+      (i.toLong, key, v)
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      // the row path, verbatim: sort every row, 0-based ranks, type-7
+      val vs = grp.map(t => math.floor(t._3 * 1e6).toLong).sorted
+      val n = vs.size
+      def q4(num: Long): Long = { // num = 4h for p = num/(4(n-1))
+        val lo = vs((num / 4).toInt)
+        val hi = vs(math.min(num / 4 + (if (num % 4 == 0) 0 else 1), n - 1).toInt)
+        4 * lo + (num % 4) * (hi - lo)
+      }
+      val q25 = q4(n - 1L)
+      val q75 = q4(3 * (n - 1L))
+      grp.filter { t =>
+        val v8 = 8 * math.floor(t._3 * 1e6).toLong
+        v8 < 2 * q25 - 3 * (q75 - q25) || v8 > 2 * q75 + 3 * (q75 - q25)
+      }
+    }.map(t => (t._1, t._2, math.floor(t._3 * 1e6).toLong)).sortBy(_._1)
+    assert(expected.nonEmpty, "fixture must actually flag spikes")
+    assert(run(rows) == expected)
+  }
+
+  test("pre-agg rank selection: single-value and n=1 groups degrade safely") {
+    // n=1: h25 = h75 = 0, IQR = 0, the lone value is its own fence
+    // (never flags); all-equal group: IQR = 0, only unequal rows could
+    // flag and there are none
+    val rows = Seq((0L, "one", 7.0)) ++
+      (1 until 6).map(i => (i.toLong, "flat", 3.0))
+    assert(run(rows).isEmpty)
+  }
+
   // ---- rolling z-score (a11) ----
 
   /** (id, key, ts, value) → flagged (id, key, value_micro, mean_micro). */

@@ -447,6 +447,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "rank selection needs the window pass")
     assert(p.contains("BroadcastHashJoin"),
       "the O(keys) fence relation must broadcast")
+    // the per-key window sort must rank the (key, v, cnt) PRE-AGGREGATE,
+    // never raw rows: micro-truncation saturates the value domain, so
+    // the pre-agg is what removes the data-proportional term from the
+    // single-task-per-key sort (the round-14 12x decade ratio). Guard:
+    // a HashAggregate sits BELOW the Window in the plan tree, and no
+    // row_number survives (ranks come from cumulative counts).
+    val winAt = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winAt)
+    assert(aggBelow > winAt,
+      s"a10's window input is not the (key,v,cnt) pre-aggregate:\n${p.take(1200)}")
+    assert(!p.contains("row_number"),
+      "a10 regressed to per-row ranking (single task sorts every row of a key)")
   }
 
   test("m9: hamming verify is scalar popcount riding the bucket join, " +
