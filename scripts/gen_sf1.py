@@ -26,7 +26,18 @@ Replica-key invariants preserved (checked after write):
   - event_id unique and < 1e10 (a13/c1 packed-decimal domain);
   - doc_id unique; d12's doc_id < 2000 slice hits replica 0 only.
 
-Usage: python3 scripts/gen_sf1.py [srcDir] [outDir]
+Usage: python3 scripts/gen_sf1.py [srcDir] [outDir] [replicas]
+
+replicas defaults to 10 (sf0.1 -> sf1, byte-identical to generator v3);
+replicas=100 derives the TWO-DECADE probe dataset (sf0.1 -> sf10):
+  - the p/q consonant bands rotate by (r%10 + r//10) % 10 so all 100
+    text bijections stay pairwise distinct on any text containing one
+    b-n and one p-z consonant (for r<10 the extra term is 0: the sf1
+    output is unchanged); the cross-replica duplicate-text check still
+    verifies the result;
+  - the event ts shift steps 1us instead of 10us (99 replicas x 1us
+    stays under the 140us minimum inter-event gap, keeping every
+    timestamp unique without touching session/window semantics).
 """
 import os
 import sys
@@ -38,7 +49,9 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "target/testdata/sf1"
 
 COPY = ["region", "nation", "customer", "supplier", "part", "embeddings"]
 STRIDE = 1000000
-REPLICAS = 10
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# keep the max shift under the 140us minimum inter-event gap
+TS_STEP_US = 10 if REPLICAS <= 14 else 1
 SHIFTED = {
     "orders": "o_orderkey",
     "lineitem": "l_orderkey",
@@ -88,7 +101,13 @@ def main():
                 frm = "".join(b for b, _ in bands)
 
                 def rot(r):
-                    return "".join(b[r % m:] + b[:r % m] for b, m in bands)
+                    # p/q bands take an extra r//10 turn so replicas 10
+                    # apart stay distinct bijections (no-op for r<10)
+                    def amt(b, m):
+                        extra = r // 10 if b[0].lower() == "p" else 0
+                        return (r + extra) % m
+                    return "".join(b[amt(b, m):] + b[:amt(b, m)]
+                                   for b, m in bands)
                 cases = " ".join(
                     f"WHEN {r} THEN translate(text, '{frm}', '{rot(r)}')"
                     for r in range(REPLICAS))
@@ -103,7 +122,7 @@ def main():
                 # concurrency sweep, sessionize counts — observed as
                 # a2/a5/a14 mismatches on the unshifted draft).
                 return (f"CAST(ts AS TIMESTAMP) + "
-                        f"to_microseconds(r.range * 10) AS ts")
+                        f"to_microseconds(r.range * {TS_STEP_US}) AS ts")
             return c
         sel = ", ".join(col_sel(c) for c in cols)
         con.execute(
@@ -168,9 +187,9 @@ def main():
         print("invariant checks FAILED - no manifest written "
               "(sf1_validate.py will refuse this dataset)")
         sys.exit(1)
-    manifest = {"generator_version": 3,
+    manifest = {"generator_version": 4,
                 "generated_unix": int(time.time()),
-                "checks_ok": True,
+                "checks_ok": True, "replicas": REPLICAS,
                 "src": SRC, "tables": {}}
     for t in COPY + list(SHIFTED):
         rows, h = con.execute(

@@ -119,8 +119,20 @@ def main():
                  f"{sf_dir} and {out_dir} - engine outputs were "
                  "computed against different data (the round-13 "
                  "staleness trap). Regenerate + re-dump in one session.")
+    if sf_man.get("checks_ok") is False:
+        sys.exit("REFUSING: the generator recorded failed invariant "
+                 "checks for this dataset - regenerate.")
     spark_secs = (json.load(open(sys.argv[5]))
                   if len(sys.argv) > 5 else {})
+    # build/serve split (QCheck writes walls.json next to the dumps):
+    # spark_sec = build-inclusive dump wall, spark_serve_sec = the
+    # second-pass serving wall. Ratio tables must use serve - the
+    # round-14 artifact reported s9's cold PQ index build as a 19.2x
+    # "serving" decade ratio.
+    try:
+        walls = json.load(open(f"{out_dir}/walls.json"))
+    except Exception:
+        walls = {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     n_ok = n_bad = n_to = 0
@@ -145,6 +157,10 @@ def main():
                    "oracle_sec": round(time.time() - t0, 1)}
         if name in spark_secs:
             res["spark_sec"] = spark_secs[name]
+        if name in walls:
+            res["spark_sec"] = walls[name].get("dump_sec",
+                                               res.get("spark_sec"))
+            res["spark_serve_sec"] = walls[name].get("serve_sec")
         results[name] = res
         ok = bool(res["rows_match"] and res["schema_match"]
                   and res["hash_match"])

@@ -36,7 +36,22 @@ import graft.core.GraftSession
   *    share of the foreign figure the HYPERVISOR withheld (burst steal
   *    from co-tenant guests inflates the latency-sensitive st/g
   *    families 1.5-2x while the three 1-second sentinel windows can
-  *    all read idle — measured round 11).
+  *    all read idle — measured round 11);
+  *  - a run-level "weather" verdict (clean | weather_rejected) computed
+  *    from the per-row steal evidence, so a contaminated official
+  *    artifact adjudicates ITSELF instead of needing prose (round 14's
+  *    +10% phantom regression); rows whose every window saw steal are
+  *    re-measured through the same bounded retry loop as foreign-core
+  *    contention;
+  *  - "shared_vs_prev": this run's total over the queries present in
+  *    the PREVIOUS sidecar too, next to that sidecar's total over the
+  *    same set — cross-round flatness as a number, robust to catalog
+  *    growth;
+  *  - the sf1 decade smoke times TWO passes per query: pass 1 absorbs
+  *    one-time index builds (IndexCache at a fresh sf1 fingerprint)
+  *    and cold footers into "sf1_build"; pass 2 is "sf1_wall", the
+  *    SERVING wall the ratios use — matching what the sf0.1 median
+  *    denominators measure (their builds happened in warm-up).
   */
 object Bench {
 
@@ -175,14 +190,23 @@ object Bench {
     // On an idle box this is a no-op; under transient load the
     // headline becomes the least-contended median instead of a number
     // that needs a footnote.
+    // ... and the HYPERVISOR variant: a query whose every window saw
+    // >= 0.5 steal cores has no weather-free measurement either — the
+    // round-14 driver record carried 71 steal-contaminated rows and a
+    // +10% phantom total that only prose could adjudicate. Same retry
+    // mechanism, lower bar (steal is never self-caused).
     val RetryForeignCores = 1.0
+    val RetryStealCores = 0.5
+    def needsRetry(n: String): Boolean =
+      samples(n).map(_._2).min >= RetryForeignCores ||
+        samples(n).map(_._3).min >= RetryStealCores
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     var retryBudget = 45
     names.foreach { n =>
       var tries = 0
       var giveUp = false
       while (!giveUp && allOk(n) && tries < 3 && retryBudget > 0 &&
-             samples(n).map(_._2).min >= RetryForeignCores) {
+             needsRetry(n)) {
         val extra = timeOnce(n)
         tries += 1; retryBudget -= 1
         retried(n) = tries
@@ -263,21 +287,34 @@ object Bench {
     // the ratio denominator is the query's reported sf0.1 median. A
     // missing dataset yields empty maps, never an error — the driver's
     // environment controls whether the decade evidence is available.
+    // TWO timed passes per query: the first lands any one-time
+    // index/materialization build (IndexCache on a fresh sf1
+    // fingerprint — s9's PQ books, s4's IVF centroids, the replay/text
+    // materializations) plus cold file footers; the second is the
+    // SERVING path — the one the sf0.1 median denominators also
+    // measure (their builds happened in warm-up). Ratios computed from
+    // the serve wall: the round-14 artifact carried s9 at "19.2x"
+    // that was entirely cold build, masquerading as a serving
+    // regression. Both walls are emitted so build cost stays visible.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/testdata/sf1")
-    val sf1Walls: Seq[(String, Double)] =
+    val sf1Walls: Seq[(String, (Double, Double))] =
       if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) Seq.empty
       else names
         .filter(n => samples(n).forall(_._1 >= 0))
         .sortBy(n => -walls(n).sorted.apply(1))
         .take(10)
         .map { n =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          val w = try {
-            runOnce(SparkEntry.queries(n), sf1Dir)
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
-          n -> w
+          def once(): Double = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            try {
+              runOnce(SparkEntry.queries(n), sf1Dir)
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => -1.0 }
+          }
+          val build = once()
+          val serve = if (build >= 0) once() else -1.0
+          n -> (build, serve)
         }
     def js(s: String): String =
       "\"" + s.flatMap {
@@ -306,15 +343,56 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sentinelJson = sentinels.map(f3).mkString("[", ",", "]")
     val resMapAll = results.toMap
+    // serve-wall ratios (see sf1Walls): build-inclusive walls kept in
+    // sf1_build for the reader who wants the one-time cost
     val sf1Ratios = sf1Walls.collect {
-      case (n, w) if w >= 0 && resMapAll.getOrElse(n, -1.0) > 0 =>
-        n -> w / resMapAll(n)
+      case (n, (_, serve)) if serve >= 0 && resMapAll.getOrElse(n, -1.0) > 0 =>
+        n -> serve / resMapAll(n)
     }
-    val sf1WallJson = sf1Walls.map { case (k, v) => s"${js(k)}:${f3(v)}" }
+    val sf1WallJson = sf1Walls.map { case (k, (_, s)) => s"${js(k)}:${f3(s)}" }
+      .mkString("{", ",", "}")
+    val sf1BuildJson = sf1Walls.map { case (k, (b, _)) => s"${js(k)}:${f3(b)}" }
       .mkString("{", ",", "}")
     val sf1RatioJson = sf1Ratios.map { case (k, v) => s"${js(k)}:${f3(v)}" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_wall":$sf1WallJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    // MACHINE-READABLE WEATHER VERDICT (the round-14 lesson: the
+    // official artifact was steal-contaminated and only prose said
+    // so). A row is weather-contaminated when every one of its
+    // reported windows saw >= 0.5 hypervisor-steal cores — the retry
+    // loop above already spent its budget trying to find a cleaner
+    // window. Verdict: weather_rejected when contaminated rows exceed
+    // 5% of the catalog or the sentinel tripped — a reader (or the
+    // next round's differ) can gate on this field without
+    // cross-referencing sentinel prose.
+    val stealRows = names.filter(n =>
+      allOk(n) && chosen(n).map(_._3).min >= 0.5)
+    val weatherVerdict =
+      if (contended || stealRows.size > names.size / 20) "weather_rejected"
+      else "clean"
+    val weatherJson =
+      s"""{"verdict":${js(weatherVerdict)},"steal_contaminated_rows":${stealRows.size},"sample":${stealRows.take(8).map(js).mkString("[", ",", "]")}}"""
+    // SHARED-TOTAL vs the previous bench sidecar, read BEFORE this run
+    // overwrites it: the sum over queries present in BOTH rounds makes
+    // "flat despite new rows / exactness work" a number in the
+    // artifact instead of a claim in the notes.
+    val prevQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
+      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      m.map(_.group(1).split(",").flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    val sharedNames = names.filter(n =>
+      resMapAll.getOrElse(n, -1.0) >= 0 && prevQueries.get(n).exists(_ >= 0))
+    val sharedJson =
+      s"""{"n":${sharedNames.size},"total":${f3(sharedNames.map(resMapAll).sum)},"prev_total":${f3(sharedNames.map(prevQueries).sum)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_wall":$sf1WallJson,"sf1_build":$sf1BuildJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"weather":$weatherJson,"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
@@ -361,7 +439,7 @@ object Bench {
         val sf1J = sf1Ratios.sortBy(-_._2).take(3)
           .map { case (k, v) => s"${js(k)}:${f3(v)}" }
           .mkString("{", ",", "}")
-        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"steal_n":${stealCpu.count(_._2 >= 0.5)},"steal_max":${f3(stealCpu.map(_._2).foldLeft(0.0)(math.max))},"retried_n":${retried.size},"st_solo":$stJ,"st_solo_more":${math.max(stSolo.count(_._2 >= 0) - stN, 0)},"sf1_ratios":$sf1J,"sf1_n":${sf1Ratios.size},"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
+        s""","errors":$errJ,"more_errors":${math.max(errors.size - errN, 0)},"unstable":$unstJ,"unstable_more":${math.max(unstable.size - unstN, 0)},"ext_cpu_cores":$extJ,"ext_cpu_more":${math.max(extCpu.count(_._2 >= 0.5) - extN, 0)},"steal_n":${stealCpu.count(_._2 >= 0.5)},"steal_max":${f3(stealCpu.map(_._2).foldLeft(0.0)(math.max))},"retried_n":${retried.size},"st_solo":$stJ,"st_solo_more":${math.max(stSolo.count(_._2 >= 0) - stN, 0)},"sf1_ratios":$sf1J,"sf1_n":${sf1Ratios.size},"weather":${js(weatherVerdict)},"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"contended":$contended,"n_queries":${names.size},"full":"BENCH_LAST.json","sf":${js(sfDir)}}"""
       }
       val fixed = Seq((10, 80, 8, 10, 11), (5, 40, 4, 5, 11),
           (2, 30, 2, 2, 4), (0, 0, 0, 0, 0))

@@ -22,6 +22,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime-sized broadcast decisions get more headroom than the
+      // compile-time default: AQE replans joins with EXACT materialized
+      // sizes, so a 64 MB ceiling cannot misestimate — it just lets the
+      // 10-60 MB relations this engine keeps meeting (canonical edge
+      // sets, oriented adjacency, persisted dedup sides) broadcast
+      // instead of sort-merging a 40M-row stream against them (g2
+      // measured 9.5 s -> 6.5 s). The STATIC threshold stays at
+      // Spark's 10 MB default: estimate-based broadcasts are where the
+      // OOM/misestimate risk lives. 64 MB per executor is routine on
+      // warehouse clusters; single-JVM local mode shares one copy.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")

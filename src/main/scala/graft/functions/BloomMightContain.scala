@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,15 +38,15 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, StringType) if left.foldable =>
+      case (BinaryType, StringType | LongType) if left.foldable =>
         TypeCheckResult.TypeCheckSuccess
-      case (BinaryType, StringType) =>
+      case (BinaryType, StringType | LongType) =>
         TypeCheckResult.TypeCheckFailure(
           "bloom_might_contain requires the filter argument to be a " +
             "literal (foldable) — deserializing a bloom filter per row " +
             "is the anti-plan this expression replaces")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"bloom_might_contain requires (binary, string), got " +
+        s"bloom_might_contain requires (binary, string|bigint), got " +
           s"(${l.simpleString}, ${r.simpleString})")
     }
   override def dataType: DataType = BooleanType
@@ -64,7 +64,11 @@ case class BloomMightContain(left: Expression, right: Expression)
   }
 
   override protected def nullSafeEval(sk: Any, item: Any): Any =
-    filter.mightContainBinary(item.asInstanceOf[UTF8String].getBytes)
+    right.dataType match {
+      case LongType => filter.mightContainLong(item.asInstanceOf[Long])
+      case _ =>
+        filter.mightContainBinary(item.asInstanceOf[UTF8String].getBytes)
+    }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     if (filter == null) {
@@ -75,7 +79,14 @@ case class BloomMightContain(left: Expression, right: Expression)
         $javaType ${ev.value} = false;""")
     } else {
       val bloomRef = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
-      defineCodeGen(ctx, ev, (_, item) => s"$bloomRef.mightContainBinary($item.getBytes())")
+      right.dataType match {
+        case LongType =>
+          defineCodeGen(ctx, ev,
+            (_, item) => s"$bloomRef.mightContainLong($item)")
+        case _ =>
+          defineCodeGen(ctx, ev,
+            (_, item) => s"$bloomRef.mightContainBinary($item.getBytes())")
+      }
     }
   }
 

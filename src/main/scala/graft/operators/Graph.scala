@@ -16,6 +16,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Largest canonical edge set [[triangleCounts]] will build a
+    * close-join bloom prefilter over (~9.6 MB serialized at 1% fpp —
+    * the literal rides every task binary, so the ceiling is a
+    * broadcast-budget call, same regime as Spark's own
+    * autoBroadcastJoinThreshold). Conf override:
+    * `spark.graft.triangles.closeBloomMaxEdges` (0 disables).
+    */
+  private[graft] val DefaultCloseBloomMaxEdges = 8000000L
+
   /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
     *
     * Recurrence (all integer ops, values non-negative):
@@ -409,6 +418,22 @@ object Graph {
     * at table-build time instead of once per wave. shuffle_hash on
     * the bucketed build sides keeps the multi-billion-row wedge
     * stream out of sort-merge sorts.
+    *
+    * CLOSE-JOIN BLOOM PREFILTER: most wedges do not close (the sf0.1
+    * co-purchase graph closes ~1.9 M of 41 M wedges), yet every wedge
+    * used to ride the close join's exchange. When the canonical edge
+    * count fits [[DefaultCloseBloomMaxEdges]] (override with conf
+    * `spark.graft.triangles.closeBloomMaxEdges`; 0 disables), a bloom
+    * over `xxhash64(a, b)` of the edge set — built distributed, ~1.2 MB
+    * per million edges at 1% fpp — rides the wedge stage as a codegen'd
+    * literal probe, killing non-closing wedges BEFORE the exchange;
+    * xxhash64 collisions and bloom false positives only pass extra rows
+    * to the exact equi-join, never corrupt it. Above the ceiling the
+    * plan falls back to the honest shuffle: at 10⁹⁺-edge scale a
+    * driver-held bloom is the anti-plan (gigabytes in every task
+    * binary), and the wedge exchange is the correct cost. Sizing the
+    * bloom runs ONE eager job over the (persisted/bucketed) edge set at
+    * call time — this operator is eager, like [[triangleCountsAuto]].
     */
   def triangleCounts(edges: DataFrame, waves: Int = 1): DataFrame = {
     require(waves >= 1, s"waves must be >= 1, got $waves")
@@ -442,7 +467,26 @@ object Graph {
     // exactly one wave — the per-wave pipeline is the whole-graph
     // pipeline over 1/waves of the wedge volume, and the union of
     // waves is exactly the single-pass answer.
+    // serialized bloom over the canonical edge fingerprints, or None
+    // when the edge set out-sizes the broadcast-a-bloom regime (see
+    // scaladoc) — sized by an exact count of the already-materialized
+    // edge relation, built distributed by df.stat
+    def closeBloom(und: DataFrame): Option[Array[Byte]] = {
+      val ceiling = edges.sparkSession.conf
+        .getOption("spark.graft.triangles.closeBloomMaxEdges")
+        .map(_.toLong).getOrElse(DefaultCloseBloomMaxEdges)
+      val m = if (ceiling <= 0) Long.MaxValue else und.count()
+      if (m > ceiling) None
+      else {
+        val bloom = und.select(xxhash64(col("a"), col("b")).as("k"))
+          .stat.bloomFilter("k", math.max(m, 1L), 0.01)
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        Some(out.toByteArray)
+      }
+    }
     def corners(oriented: DataFrame, und: DataFrame,
+                bloom: Option[Array[Byte]],
                 wv: Int, hints: Boolean): DataFrame = {
       val o = if (waves == 1) oriented
               else oriented.filter(pmod(hash(col("u")), lit(waves)) === wv)
@@ -450,7 +494,10 @@ object Graph {
       val wedges = o.select(col("u"), col("v").as("x"))
         .join(if (hints) ySide.hint("shuffle_hash") else ySide, "u")
         .filter(col("x") < col("y"))
-      wedges
+      val prefiltered = bloom.fold(wedges)(bytes =>
+        wedges.filter(call_function("bloom_might_contain", lit(bytes),
+          xxhash64(col("x"), col("y")))))
+      prefiltered
         .join(if (hints) und.hint("shuffle_hash") else und,
           col("x") === col("a") && col("y") === col("b"))
         .select(col("u"), col("x"), col("y"))
@@ -464,7 +511,7 @@ object Graph {
       // when small), so no hints
       val und = undPlan.persist(StorageLevel.MEMORY_AND_DISK)
       corners(orient(und).persist(StorageLevel.MEMORY_AND_DISK), und,
-        0, hints = false)
+        closeBloom(und), 0, hints = false)
     } else {
       // WAVED execution — the in-box/bounded-scratch path for wedge
       // volumes whose materialized join would exhaust shuffle spill
@@ -494,12 +541,13 @@ object Graph {
           .option("path", tmp.resolve("or").toString)
           .saveAsTable(orTbl)
         val oriented = spark.table(orTbl)
+        val bloom = closeBloom(und) // one bloom serves every wave
         val partials = (0 until waves).map { wv =>
           // shuffle_hash hints: the build sides are bucketed scans the
           // wave reads exchange-free; unhinted, Catalyst would plan
           // sort-merge and SORT the wedge stream (the AQE-hint rule —
           // stats exist here, but the sort is the known loss)
-          val p = corners(oriented, und, wv, hints = true)
+          val p = corners(oriented, und, bloom, wv, hints = true)
             .localCheckpoint(true)
           // Shuffle files die with their dependency objects, which die
           // at the next collection — on one box (local mode) a nudge

@@ -564,7 +564,20 @@ object Multimodal {
     *     the bucket keys split into hash classes executed as SEQUENTIAL
     *     waves (each localCheckpoint'ed so a wave's shuffle scratch is
     *     released before the next starts), capped at `maxWaves`.
+    *     When ONE bucket's own pair count exceeds the ceiling —
+    *     bucket-granular classes cannot bound that (the hot bucket
+    *     hashes whole into one wave) — the waves partition the
+    *     right-side REP hash instead, so a count-c bucket costs
+    *     ≤ c·⌈c/waves⌉ probes per wave at any skew, at the price of
+    *     re-joining the (linear-sized) left relation each wave.
     *     `onWaves` observes the decision for specs.
+    *
+    * EAGER by contract: constructing the result runs Spark jobs (the
+    * 1-row word-count probe, the bucket-stats pre-count, and per-wave
+    * localCheckpoints when waved) — callers get a materialization-
+    * backed plan, not a lazy one. That is the same trade every
+    * budgeted/waved operator here makes (Fuzzy, triangleCountsAuto):
+    * the breaker needs measured volume before it can pick a shape.
     *
     * At production corpus sizes the remaining knob is thumbnail size L
     * (more bits → more blocks → finer buckets), a parameter, not a
@@ -629,13 +642,21 @@ object Multimodal {
 
     // exact pre-count of matched-pair volume from linear-cost bucket
     // stats (never the pairs themselves), in DECIMAL so a 100 TB
-    // misuse cannot overflow the prediction it exists to bound
-    val predicted = buckets.groupBy(col("__bpos"), col("__bval")).count()
+    // misuse cannot overflow the prediction it exists to bound; the
+    // same pass yields the HOTTEST bucket's count, which decides the
+    // wave-partitioning axis below
+    val statsRow = buckets.groupBy(col("__bpos"), col("__bval")).count()
       .agg(coalesce(
         sum((col("count").cast("decimal(38,0)") * (col("count") - 1))
           .cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("v"))
-      .head.getDecimal(0).toBigInteger
+        lit(0).cast("decimal(38,0)")).as("v"),
+        coalesce(max(col("count")), lit(0L)).as("mx"))
+      .head
+    val predicted = statsRow.getDecimal(0).toBigInteger
+      .divide(java.math.BigInteger.TWO)
+    val maxBucket = java.math.BigInteger.valueOf(statsRow.getLong(1))
+    val hottestPairs = maxBucket.multiply(
+      maxBucket.subtract(java.math.BigInteger.ONE))
       .divide(java.math.BigInteger.TWO)
     val ceilBig = java.math.BigInteger.valueOf(pairWorkCeiling)
     val waves =
@@ -663,12 +684,15 @@ object Multimodal {
         .filter(col("__h") <= maxDist)
         .select(col("__ra"), col("__rb"), col("__h"))
     val repPairs = (if (waves == 1) joinClass(xb, yb)
-    else {
+    else if (hottestPairs.compareTo(ceilBig) <= 0) {
       // waves partition the BUCKET KEY space, so each matched pair is
-      // probed in exactly the wave its (bpos, bval) hashes to; the
-      // cross-wave union still needs the survivor-grain distinct below
-      // because a pair agreeing on blocks in two waves verifies twice —
-      // same grain as the single-wave duplicate-per-agreeing-block
+      // probed in exactly the wave its (bpos, bval) hashes to AND both
+      // join sides shrink ~1/waves per wave; sound because no single
+      // bucket out-sizes the ceiling (checked above — a hot bucket
+      // hashes whole into one wave). The cross-wave union still needs
+      // the survivor-grain distinct below because a pair agreeing on
+      // blocks in two waves verifies twice — same grain as the
+      // single-wave duplicate-per-agreeing-block
       def cls(p: Column, v: Column) =
         pmod(xxhash64(p, v), lit(waves.toLong))
       (0 until waves).map { g =>
@@ -678,6 +702,21 @@ object Multimodal {
           // EAGER per-wave materialization: wave g's shuffle scratch is
           // released before wave g+1 probes (survivor-sized, never
           // candidate-sized)
+          .localCheckpoint(true)
+      }.reduce(_ unionAll _)
+    } else {
+      // HOT-BUCKET regime: one (bpos, bval) bucket alone exceeds the
+      // ceiling, so bucket-granular waves cannot bound per-wave work —
+      // the hot bucket would land whole in one wave. Partition on the
+      // RIGHT REP instead (salting): every pair is probed exactly in
+      // the wave its __rb hashes to, and a bucket of count c costs
+      // ≤ c·⌈c/waves⌉ probes per wave regardless of skew. Price: the
+      // probe side re-joins whole each wave (the left relation is
+      // linear in reps×blocks, never pair-shaped), which is why this
+      // is the fallback, not the default.
+      (0 until waves).map { g =>
+        joinClass(xb,
+          yb.filter(pmod(xxhash64(col("__rb")), lit(waves.toLong)) === g))
           .localCheckpoint(true)
       }.reduce(_ unionAll _)
     })

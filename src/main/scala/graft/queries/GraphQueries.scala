@@ -511,19 +511,31 @@ object GraphQueries extends QueryModule {
     * component loop shuffles O(nodes + edges) per round for O(log d)
     * rounds, lineage cut per round by localCheckpoint.
     */
+  /** g8's bounded co-purchase pair relation — the slice contract the
+    * scale argument depends on (partkey < 500 pushed into BOTH scans,
+    * support ≥ 2 distinct orders riding the aggregate), exposed so the
+    * SQL twin in [[graft.sql.GraftSql.fragmentTexts]] can lock it
+    * independently of the (non-SQL) component iteration.
+    */
+  private[graft] def g8PairRelation(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables(s, dir).lineitem
+      .filter(col("l_partkey") < 500)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("i"), col("y.l_partkey").as("j"))
+      .agg(countDistinct(col("x.l_orderkey")).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+      .select(col("i"), col("j"))
+  }
+
   private val componentsQ = CatalogQuery(
     "g8_connected_components",
     (s, dir) => {
-      val li = Tables(s, dir).lineitem
-        .filter(col("l_partkey") < 500)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("i"), col("y.l_partkey").as("j"))
-        .agg(countDistinct(col("x.l_orderkey")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
-        .select(col("i"), col("j"))
+      val pairs = g8PairRelation(s, dir)
       graft.operators.Dedup.connectedComponents(pairs)
         .select(col("doc").cast("long").as("id"),
           col("cluster").cast("long").as("component"))

@@ -51,8 +51,12 @@ object Relational extends QueryModule {
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
           dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-          (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
-          (dsum($"l_discount") / count(lit(1))).as("avg_disc"),
+          // exact-sum / count(col), NOT count(*): AVG ignores NULL rows,
+          // and while TPC-H lineitem is non-null, the denominator must
+          // not silently drift from SQL AVG semantics (both sides of
+          // the oracle compare use the same formula)
+          (dsum($"l_quantity") / count($"l_quantity")).as("avg_qty"),
+          (dsum($"l_discount") / count($"l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -60,8 +64,8 @@ object Relational extends QueryModule {
            | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
            | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
            | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
-           | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+           | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
            | count(*) AS count_order
            |FROM lineitem
            |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

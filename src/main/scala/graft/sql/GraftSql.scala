@@ -87,8 +87,8 @@ object GraftSql {
         | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty,
-        | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        | CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -1432,6 +1432,26 @@ object GraftSql {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 AND op != 'delete' ORDER BY user_id""".stripMargin
+  )
+
+  /** SQL twins of named SUB-RELATIONS of catalog queries whose full
+    * computation is defensibly non-SQL (iterative fixpoints). These
+    * are not catalog entries — SqlParitySpec compares each against the
+    * DataFrame form of the same fragment. g8: the bounded co-purchase
+    * pair relation is plain warehouse SQL and is precisely the
+    * contract g8's scale argument rests on (slice bound pushed into
+    * both scans, support threshold on the aggregate); only the
+    * component iteration on top of it is non-SQL.
+    */
+  val fragmentTexts: ListMap[String, String] = ListMap(
+    "g8_pair_relation" ->
+      """SELECT x.l_partkey AS i, y.l_partkey AS j
+        |FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey
+        | AND x.l_partkey < y.l_partkey
+        |WHERE x.l_partkey < 500 AND y.l_partkey < 500
+        |GROUP BY x.l_partkey, y.l_partkey
+        |HAVING count(DISTINCT x.l_orderkey) >= 2""".stripMargin
   )
 }
 

@@ -22,7 +22,8 @@ class AqeSkewSpec extends SparkSpecBase {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> conf.getOption(k)).toMap
     try {
       // scale the skew detection down to test size: a partition is
@@ -33,6 +34,10 @@ class AqeSkewSpec extends SparkSpecBase {
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
       conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ... the RUNTIME threshold too: GraftSession sets the adaptive
+      // one to 64MB, under which AQE would broadcast the tiny dim at
+      // replan time and this join would never shuffle at all
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // 50k rows of one hot key + a sprinkle of others, joined to a
       // small keyed dim — the hot key's partition dwarfs the median
       val fact = s.range(0, 50000).select(

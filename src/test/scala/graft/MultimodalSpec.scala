@@ -381,6 +381,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(whole == brute)
   }
 
+  test("waved breaker without a hot bucket (bucket-class regime) is " +
+    "exact too") {
+    // 8 groups of 5 images share a distinct block-0 value within the
+    // group (the other 56 bits random): total predicted pairs ~80 >
+    // ceiling 12, but the hottest bucket's C(5,2) = 10 <= 12 — this is
+    // the bucket-key wave partitioning (both sides shrink per wave),
+    // vs the trip test above whose single all-rows bucket forces the
+    // rep-salted fallback. Output must equal brute force either way.
+    val rnd = new scala.util.Random(23)
+    val imgs = (0 until 40).map { i =>
+      val head = (0 until 8).map(b => ((i % 8) >> (b % 3)) % 2 == 1)
+      val tail = Seq.fill(56)(rnd.nextBoolean())
+      (i.toLong, (head ++ tail).map(b => if (b) 255L else 0L))
+    }
+    val s = spark
+    import s.implicits._
+    val bits = imgs.map { case (id, px) => id -> refBits(px) }.toMap
+    val brute = (for {
+      a <- imgs.map(_._1); b <- imgs.map(_._1) if a < b
+      d = bits(a).zip(bits(b)).count(t => t._1 != t._2) if d <= 7
+    } yield (a, b, d.toLong)).sortBy(t => (t._1, t._2))
+    var wavesSeen = 0
+    val waved = Multimodal.ahashNearDupPairs(imgs.toDF("id", "px"),
+        "id", "px", maxDist = 7, pairWorkCeiling = 12L, maxWaves = 4,
+        onWaves = wavesSeen = _)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(wavesSeen > 1, s"expected waving, got $wavesSeen")
+    assert(waved == brute)
+  }
+
   test("aHash pair plan has no cartesian product") {
     val s = spark
     import s.implicits._

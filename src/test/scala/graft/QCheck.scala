@@ -21,12 +21,37 @@ object QCheck {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Per-query walls, split BUILD vs SERVE: the dump pass lands any
+    // one-time index/materialization build (IndexCache at a fresh data
+    // fingerprint) plus cold footers; the second, noop-write pass is
+    // the serving path. sf1_validate.py merges walls.json into the
+    // artifact so decade ratios can use the serve wall — the round-14
+    // sweep reported s9's cold PQ build as a 19.2x "serving" ratio.
+    val walls = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     for (name <- names) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      println(f"[qcheck] $name%-28s dumped in ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val dump = (System.nanoTime() - t0) / 1e9
+      // clear the SQL cache so the serve pass pays its own
+      // materialization (operators persist() shared subtrees; the
+      // CacheManager matches by logical plan and would serve the dump
+      // pass's cache) — but the at-rest INDEX (IndexCache) survives,
+      // which is the point
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val serve = (System.nanoTime() - t1) / 1e9
+      walls(name) = (dump, serve)
+      println(f"[qcheck] $name%-28s dumped in $dump%.2f s, served in $serve%.2f s")
     }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    Files.writeString(Paths.get(s"$outDir/walls.json"),
+      walls.map { case (n, (d, s)) =>
+        s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
+      }.mkString("{", ", ", "}"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       names.filter(SparkEntry.oracleSql.contains)
         .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")

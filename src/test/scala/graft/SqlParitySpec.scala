@@ -106,6 +106,22 @@ class SqlParitySpec extends SparkSpecBase {
     }
   }
 
+  test("g8_pair_relation: the bounded co-purchase slice contract is " +
+    "locked by a SQL fragment twin") {
+    // g8's CC iteration is non-SQL, but the pair relation its scale
+    // argument depends on (partkey < 500 into both scans, support >= 2
+    // on the aggregate) is plain SQL — parity here pins the contract
+    GraftSql.registerViews(spark, dir)
+    val (dfFields, dfRows) =
+      canon(graft.queries.GraphQueries.g8PairRelation(spark, dir))
+    val (sqlFields, sqlRows) =
+      canon(spark.sql(GraftSql.fragmentTexts("g8_pair_relation")))
+    assert(sqlFields == dfFields,
+      s"schema mismatch: sql=$sqlFields df=$dfFields")
+    assert(sqlRows == dfRows)
+    assert(dfRows.nonEmpty, "fixture slice must produce pairs")
+  }
+
   test("referencedTables matches whole identifiers, not substrings") {
     // 'part' must not fire on PARTITION BY or l_partkey; every FROM /
     // JOIN reference in the catalog texts must be found (missing one
