@@ -378,6 +378,13 @@ object Bench {
     val prevQueries: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
+      // the sidecar must be a run at THIS scale factor: a dev smoke at
+      // another sf overwrites BENCH_LAST.json too, and comparing totals
+      // across scale factors is exactly the phantom the field exists to
+      // prevent
+      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) throw new IllegalStateException(
+        s"prev sidecar sf=$prevSf != $sfDir")
       val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
       m.map(_.group(1).split(",").flatMap { kv =>
         kv.split(":") match {
