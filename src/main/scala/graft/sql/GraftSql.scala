@@ -1431,7 +1431,165 @@ object GraftSql {
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 AND op != 'delete' ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 AND op != 'delete' ORDER BY user_id""".stripMargin,
+
+    // staged PII scrub: each count taken on its stage's INPUT text so
+    // counts reconcile against inserted placeholders exactly (an email
+    // whose local part looks like a phone must not double-book)
+    "t7_pii_redaction" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM VALUES
+        |    (1000001L, 'contact bob@example.com or alice@web.co for details'),
+        |    (1000002L, 'call 555-123-4567 or 555.987.6543 now'),
+        |    (1000003L, 'server at 10.0.0.1 and 192.168.1.254 replied'),
+        |    (1000004L, 'mixed a@b.io 1.2.3.4 777-888-9999'),
+        |    (1000005L, 'call 555-123-4567@corp.example now')
+        |    AS v(doc_id, text)),
+        |staged AS (
+        |  SELECT doc_id AS doc, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+        |      '<EMAIL>') AS t1
+        |  FROM allrows),
+        |staged2 AS (
+        |  SELECT *, regexp_replace(t1,
+        |    '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>') AS t2
+        |  FROM staged)
+        |SELECT doc,
+        |  CAST(regexp_count(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+        |    AS BIGINT) AS n_emails,
+        |  CAST(regexp_count(t1,
+        |    '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b') AS BIGINT) AS n_phones,
+        |  CAST(regexp_count(t2,
+        |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')
+        |    AS BIGINT) AS n_ips,
+        |  regexp_replace(t2,
+        |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+        |    '<IP>') AS redacted
+        |FROM staged2 ORDER BY doc""".stripMargin,
+
+    // markup strip + single-pass entity decode (&amp; LAST so &amp;lt;
+    // yields the literal &lt;) + whitespace collapse — order matters
+    // and the text states it in the nesting
+    "t10_normalize_markup" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM VALUES
+        |    (1000001L, '<p>Hello <b>world</b></p>'),
+        |    (1000002L, 'a &amp;amp; b &lt;tag&gt; c &quot;q&quot; &#39;s&#39;'),
+        |    (1000003L, '  lots' || chr(9) || chr(9) || 'of' || chr(10) ||
+        |      chr(10) || 'space   here  '),
+        |    (1000004L, '&nbsp;pad&nbsp;'),
+        |    (1000005L, '<a href="x?a=1&amp;b=2">link</a> tail')
+        |    AS v(doc_id, text))
+        |SELECT doc_id AS doc,
+        |  CAST(regexp_count(text, '<[^>]*>') AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \\t\\r\\n]+', ' ')) AS clean,
+        |  CAST(length(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \\t\\r\\n]+', ' '))) AS BIGINT) AS n_chars_clean
+        |FROM allrows ORDER BY doc""".stripMargin,
+
+    // encoding sanity: pure per-row regex counts + one exact integer
+    // ppm division
+    "t11_encoding_stats" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM VALUES
+        |    (1000001L, 'café naïve 日本語 text'),
+        |    (1000002L, 'binary' || chr(1) || 'sniff' || chr(2) || 'here'),
+        |    (1000003L, 'bad decode �� mark'),
+        |    (1000004L, ''),
+        |    (1000005L, 'pure ascii stays clean')
+        |    AS v(doc_id, text))
+        |SELECT doc_id AS doc,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(regexp_count(text, '[^\\x00-\\x7F]') AS BIGINT) AS n_non_ascii,
+        |  CAST(regexp_count(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+        |    AS BIGINT) AS n_control,
+        |  CAST(regexp_count(text, '�') AS BIGINT) AS n_replacement,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |       ELSE floor(regexp_count(text, '[^\\x00-\\x7F]') * 1000000L
+        |                  / length(text)) END AS BIGINT) AS non_ascii_ppm
+        |FROM allrows ORDER BY doc""".stripMargin,
+
+    // Flesch micro-units with truncating div and the max(Se,1) floor;
+    // word count through the canonical whitespace-token definition
+    "t19_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(size(filter(split(text, '\\s+'), w -> w != ''))
+        |         AS BIGINT) AS w,
+        |    CAST(regexp_count(text, '[.!?]+') AS BIGINT) AS se,
+        |    CAST(regexp_count(text, '[aeiouy]+') AS BIGINT) AS sy
+        |  FROM documents)
+        |SELECT doc, w AS n_words, se AS n_sentences, sy AS n_syllables,
+        |  CASE WHEN w > 0
+        |       THEN 206835000L - 1015000L * w div greatest(se, 1L)
+        |                       - 84600000L * sy div w
+        |       ELSE 0L END AS flesch_micro
+        |FROM f ORDER BY doc""".stripMargin,
+
+    // overlapping context windows: row-local sequence explode + array
+    // slice — no shuffle before the presentation sort
+    "x7_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws, size(ws) AS n FROM toks
+        |         WHERE size(ws) >= 1),
+        |c AS (SELECT doc_id, ws, n,
+        |        CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) div 24 + 1 END
+        |          AS nchunks
+        |      FROM base),
+        |e AS (SELECT doc_id, ws, n, CAST(cid AS BIGINT) AS chunk_id
+        |      FROM c LATERAL VIEW explode(sequence(0, nchunks - 1)) t AS cid)
+        |SELECT doc_id AS doc, chunk_id,
+        |  CAST(chunk_id*24 + 1 AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - chunk_id*24) AS BIGINT) AS n_tokens,
+        |  array_join(slice(ws, CAST(chunk_id*24 + 1 AS INT),
+        |    CAST(least(32, n - chunk_id*24) AS INT)), ' ') AS chunk_text
+        |FROM e ORDER BY doc, chunk_id""".stripMargin,
+
+    // curriculum positions: the DECLARATIVE global ranking — the
+    // engine materializes the same order via the distributed prefix
+    // sum (no single-partition window); parity proves they agree
+    "x12_curriculum_order" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc,
+        |    CAST(size(filter(split(text, '\\s+'), w -> w != ''))
+        |         AS BIGINT) AS n,
+        |    CAST(length(text) AS BIGINT) AS l,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', ''))
+        |         AS BIGINT) AS p,
+        |    CAST(size(filter(split(text, '\\s+'),
+        |          w -> array_contains(array('the','a','of','to','and'), w)))
+        |         AS BIGINT) AS s
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc,
+        |    CAST(CASE WHEN n > 0 THEN
+        |      (10000L*least(n, 50L)*l*n + 250000L*(l-p)*n
+        |        + 250000L*least(n, 4L*s)*l) div (l*n)
+        |    ELSE 0L END AS BIGINT) AS q_micro
+        |  FROM f)
+        |SELECT doc, q_micro,
+        |  CAST(row_number() OVER (ORDER BY q_micro DESC, doc) - 1
+        |       AS BIGINT) AS cur_pos
+        |FROM q ORDER BY doc""".stripMargin
   )
 
   /** SQL twins of named SUB-RELATIONS of catalog queries whose full

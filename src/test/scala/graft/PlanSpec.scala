@@ -461,6 +461,16 @@ class PlanSpec extends SparkSpecBase {
       "a10 regressed to per-row ranking (single task sorts every row of a key)")
   }
 
+  test("g2: the wedge stream is bloom-prefiltered before the close " +
+    "join (non-closing wedges die pre-exchange)") {
+    // the gate-scale edge set sits far under DefaultCloseBloomMaxEdges,
+    // so the bloom must be present; losing it silently re-shuffles the
+    // full wedge volume (41M rows at sf0.1, measured +2s median)
+    val p = plan("g2_triangles")
+    assert(p.contains("bloom_might_contain"),
+      s"g2's close-join bloom prefilter is gone:\n${p.take(800)}")
+  }
+
   test("m9: hamming verify is scalar popcount riding the bucket join, " +
     "never a per-pair array lambda or a cartesian") {
     val p = plan("m9_image_ahash_neardup")
