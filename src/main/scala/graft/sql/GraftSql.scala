@@ -1589,7 +1589,87 @@ object GraftSql {
         |SELECT doc, q_micro,
         |  CAST(row_number() OVER (ORDER BY q_micro DESC, doc) - 1
         |       AS BIGINT) AS cur_pos
-        |FROM q ORDER BY doc""".stripMargin
+        |FROM q ORDER BY doc""".stripMargin,
+
+    // first-occurrence 8-gram novelty: gram min-owner aggregate + one
+    // gram-keyed join back — no pair enumeration, no window
+    "d14_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS s
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel
+        |  FROM sh JOIN own ON sh.s = own.s GROUP BY sh.doc_id)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(per.n_grams, 0L) AS n_grams,
+        |  coalesce(per.n_novel, 0L) AS n_novel,
+        |  CAST(CASE WHEN coalesce(per.n_grams, 0L) > 0
+        |       THEN per.n_novel * 1000000L div per.n_grams
+        |       ELSE 0L END AS BIGINT) AS novelty_ppm
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY doc""".stripMargin,
+
+    // Efraimidis-Spirakis weighted sampling: the exponential race on
+    // deterministic keyed-hash uniforms (md5 -> 52-bit integral u);
+    // float keys never leave the ranking, output stays integral
+    "x10_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(conv(substr(md5(concat('wsample1:',
+        |      CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT) AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CASE WHEN w > 0
+        |           THEN -ln((u + 1.0D) / 4503599627370496.0D) / w
+        |           ELSE 1e308D END,
+        |      doc_id) AS rk
+        |  FROM b)
+        |SELECT doc_id AS doc, source, CAST(rk AS BIGINT) AS sel_rank
+        |FROM r WHERE rk <= 5 ORDER BY doc""".stripMargin,
+
+    // sequence-level dedup signal (Lee et al.): per-OCCURRENCE 8-gram
+    // positions duplicated across docs + distinct-position coverage —
+    // gram group-by + two joins back, no pair enumeration
+    "d9_dup_ngram_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS gram
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING min(doc_id) <> max(doc_id)),
+        |pd AS (SELECT doc_id, count(*) AS n_dup_ngrams
+        |       FROM g JOIN dup USING (gram) GROUP BY doc_id),
+        |docc AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM g JOIN dup USING (gram)
+        |  LATERAL VIEW explode(sequence(i, i + 7)) u AS p),
+        |cov AS (SELECT doc_id, count(*) AS n_covered
+        |        FROM docc GROUP BY doc_id)
+        |SELECT t.doc_id AS doc, CAST(size(t.ws) AS BIGINT) AS n_tokens,
+        |  coalesce(pd.n_dup_ngrams, 0L) AS n_dup_ngrams,
+        |  coalesce(cov.n_covered, 0L) AS n_covered
+        |FROM toks t
+        |LEFT JOIN pd ON pd.doc_id = t.doc_id
+        |LEFT JOIN cov ON cov.doc_id = t.doc_id
+        |ORDER BY doc""".stripMargin
   )
 
   /** SQL twins of named SUB-RELATIONS of catalog queries whose full
