@@ -173,19 +173,25 @@ def main():
     # sf1_validate.py REFUSES to compare when the two disagree.
     # Content hash = order-independent sum of per-row hashes over every
     # column (cheap, catches any value change incl. text rotation).
-    # A FAILED generation gets no manifest: a fingerprint over known-bad
-    # data would pass sf1_validate.py's staleness guard and launder the
-    # bad dataset into a "clean" compare. Also remove any stale manifest
-    # from a previous good generation — the data under it just changed.
+    # A FAILED generation gets a checks_ok:false manifest carrying NO
+    # table fingerprints: sf1_validate.py refuses on the flag (its
+    # guard is reachable and load-bearing — ADVICE r15), and without
+    # fingerprints the file cannot match QCheck's copy even if the
+    # flag were stripped, so known-bad data can never launder into a
+    # "clean" compare. (Earlier rounds removed the manifest entirely,
+    # which left validate's checks_ok refusal dead code.)
     import json
     import time
     if bad:
-        try:
-            os.remove(f"{OUT}/MANIFEST.json")
-        except FileNotFoundError:
-            pass
-        print("invariant checks FAILED - no manifest written "
-              "(sf1_validate.py will refuse this dataset)")
+        failed = [n for n, sql, want in checks
+                  if con.execute(sql).fetchone()[0] != want]
+        with open(f"{OUT}/MANIFEST.json", "w") as f:
+            json.dump({"generator_version": 4, "checks_ok": False,
+                       "generated_unix": int(time.time()),
+                       "replicas": REPLICAS, "src": SRC,
+                       "failed_checks": failed}, f, indent=1)
+        print("invariant checks FAILED - checks_ok:false manifest "
+              "written (sf1_validate.py will refuse this dataset)")
         sys.exit(1)
     manifest = {"generator_version": 4,
                 "generated_unix": int(time.time()),

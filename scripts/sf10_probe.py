@@ -34,6 +34,8 @@ def main():
         sys.exit(f"REFUSING: {sf10_dir}/MANIFEST.json missing - the "
                  "sf10 generation must pass its invariant checks")
     rows = {}
+    modes = {f: w.pop("_mode", "dump_build")
+             for f, w in (("sf0.1", w01), ("sf1", w1), ("sf10", w10))}
     for name in sorted(w10):
         s01 = w01.get(name, {}).get("serve_sec")
         s1 = w1.get(name, {}).get("serve_sec")
@@ -48,8 +50,14 @@ def main():
         }
     with open(artifact, "w") as f:
         json.dump({"sf10_dir": sf10_dir, "manifest": man,
+                   "build_wall_modes": modes,
                    "note": "engine serve walls only; oracle infeasible "
-                           "at sf10 (see script docstring)",
+                           "at sf10 (see script docstring). "
+                           "sf10_build_sec semantics follow "
+                           "build_wall_modes: dump_build = build + "
+                           "coalesce(1) + single-file parquet encode; "
+                           "noop_build = cache-cleared noop pass "
+                           "(no write overhead).",
                    "queries": rows}, f, indent=1)
     print(f"-> {artifact}")
     for n, r in rows.items():

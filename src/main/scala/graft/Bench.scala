@@ -49,9 +49,13 @@ import graft.core.GraftSession
   *    growth;
   *  - the sf1 decade smoke times TWO passes per query: pass 1 absorbs
   *    one-time index builds (IndexCache at a fresh sf1 fingerprint)
-  *    and cold footers into "sf1_build"; pass 2 is "sf1_wall", the
+  *    and cold footers into "sf1_build"; pass 2 is "sf1_serve", the
   *    SERVING wall the ratios use — matching what the sf0.1 median
-  *    denominators measure (their builds happened in warm-up).
+  *    denominators measure (their builds happened in warm-up). Both
+  *    passes run after an explicit GC drain: the catalog grind's
+  *    leftover checkpoint blocks inflated r15's smoke up to 10×;
+  *  - every line carries "series" (driver vs session) and
+  *    "shared_vs_prev" only ever compares within one series.
   */
 object Bench {
 
@@ -80,6 +84,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // measurement series stamp: the round driver runs Bench with no
+    // extra env ("driver"); ad-hoc session runs export
+    // SPARK_GRAFT_BENCH_SERIES=session — cross-round comparisons only
+    // ever read a sidecar of their own series (see prevQueries)
+    val benchSeries = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIES", "driver")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
@@ -312,7 +321,22 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             } catch { case _: Throwable => -1.0 }
           }
+          // JVM-state hygiene (round-15 lesson): the catalog grind
+          // leaves hundreds of localCheckpoint'ed round RDDs whose
+          // blocks the ContextCleaner only retires after a GC — left
+          // in place they drove g4's sf1 serve pass to 66 s in a JVM
+          // where a fresh run takes 7 s (VERDICT r15). clearCache
+          // drops the cache manager's entries; the explicit GC (plus a
+          // short drain window for the cleaner's async queue) releases
+          // the checkpoint blocks. Untimed — runs before t0.
+          def hygiene(): Unit = {
+            spark.catalog.clearCache()
+            System.gc()
+            Thread.sleep(250)
+          }
+          hygiene()
           val build = once()
+          hygiene()
           val serve = if (build >= 0) once() else -1.0
           n -> (build, serve)
         }
@@ -375,31 +399,62 @@ object Bench {
     // overwrites it: the sum over queries present in BOTH rounds makes
     // "flat despite new rows / exactness work" a number in the
     // artifact instead of a claim in the notes.
+    // SAME-SERIES by construction (VERDICT r15 item 7): a driver bench
+    // and a clean-box session bench are different measurement series,
+    // and r15's shared_vs_prev compared one against the other. Each
+    // run is stamped with its series (SPARK_GRAFT_BENCH_SERIES;
+    // default "driver" — the round driver sets nothing, sessions set
+    // "session") and reads its previous total from the per-series
+    // sidecar BENCH_LAST_<series>.json, falling back to a generic
+    // BENCH_LAST.json only when that file's own stamp matches (or
+    // predates stamping, for the one migration round).
     val prevQueries: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
-      // the sidecar must be a run at THIS scale factor: a dev smoke at
-      // another sf overwrites BENCH_LAST.json too, and comparing totals
-      // across scale factors is exactly the phantom the field exists to
-      // prevent
-      val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) throw new IllegalStateException(
-        s"prev sidecar sf=$prevSf != $sfDir")
-      val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-      m.map(_.group(1).split(",").flatMap { kv =>
-        kv.split(":") match {
-          case Array(k, v) =>
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-            catch { case _: NumberFormatException => None }
-          case _ => None
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def load(path: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+        val f = new java.io.File(path)
+        if (f.exists()) Some(om.readTree(f)) else None
+      }
+      val node = load(s"BENCH_LAST_$benchSeries.json").orElse {
+        load("BENCH_LAST.json").filter { n =>
+          val s = n.path("series")
+          s.isMissingNode || s.asText() == benchSeries
         }
-      }.toMap).getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+      }
+      node match {
+        case None => Map.empty[String, Double]
+        case Some(n) =>
+          // the sidecar must be a run at THIS scale factor: a dev
+          // smoke at another sf overwrites the sidecar too, and
+          // comparing totals across scale factors is exactly the
+          // phantom this field exists to prevent
+          val prevSf = n.path("sf").asText("")
+          if (prevSf != sfDir) throw new IllegalStateException(
+            s"prev sidecar sf=$prevSf != $sfDir")
+          val q = n.path("queries")
+          if (!q.isObject) throw new IllegalStateException(
+            "prev sidecar has no queries object")
+          val out = scala.collection.mutable.Map.empty[String, Double]
+          q.fields().forEachRemaining(e => out(e.getKey) = e.getValue.asDouble())
+          if (out.isEmpty) System.err.println(
+            "[bench] prev sidecar exists but its queries map parsed " +
+              "empty - shared_vs_prev will be vacuous")
+          out.toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no usable prev sidecar for series " +
+        s"'$benchSeries' (${e.getMessage}) - shared_vs_prev empty")
+      Map.empty
+    }
     val sharedNames = names.filter(n =>
       resMapAll.getOrElse(n, -1.0) >= 0 && prevQueries.get(n).exists(_ >= 0))
     val sharedJson =
-      s"""{"n":${sharedNames.size},"total":${f3(sharedNames.map(resMapAll).sum)},"prev_total":${f3(sharedNames.map(prevQueries).sum)}}"""
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_wall":$sf1WallJson,"sf1_build":$sf1BuildJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"weather":$weatherJson,"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+      s"""{"n":${sharedNames.size},"series":${js(benchSeries)},"total":${f3(sharedNames.map(resMapAll).sum)},"prev_total":${f3(sharedNames.map(prevQueries).sum)}}"""
+    // artifact_version 3: "sf1_wall" (build-inclusive in <=r14, serve
+    // in r15) is retired — the serve wall now lives under its own
+    // "sf1_serve" key next to "sf1_build", so cross-round artifact
+    // diffs never compare different measurements under one name
+    // (ADVICE r15)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","artifact_version":3,"series":${js(benchSeries)},"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_serve":$sf1WallJson,"sf1_build":$sf1BuildJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"weather":$weatherJson,"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
@@ -475,13 +530,16 @@ object Bench {
     // messages. The file survives any tail size. Best-effort — an
     // unwritable cwd must not fail a bench whose results already
     // printed.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] sidecar write failed (results already " +
-        s"printed above): $e")
-    }
+    // generic sidecar for humans/scripts + the per-series sidecar the
+    // next same-series run's shared_vs_prev reads
+    for (p <- Seq("BENCH_LAST.json", s"BENCH_LAST_$benchSeries.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] sidecar write $p failed (results " +
+          s"already printed above): $e")
+      }
     spark.stop()
   }
 }

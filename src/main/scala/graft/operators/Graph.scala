@@ -333,17 +333,43 @@ object Graph {
     * aggregate, one full-outer merge against the estimate relation;
     * shuffle volume tracks the changed set, which collapses as
     * estimates converge, never hops × |E|.
+    *
+    * ADJACENCY BUILD IS ONE EXCHANGE. The normalization aggregate
+    * (parallel-edge min) runs AFTER the `src` repartition: hash
+    * distribution on `src` already clusters every `(src, dst)` group,
+    * so Catalyst plans the aggregate exchange-free on top of the one
+    * shuffle the round-joins need anyway — the naive
+    * groupBy-then-repartition order pays a second full-edge-set
+    * exchange for nothing (at 10⁹ edges that second shuffle IS the
+    * build cost). Callers whose edge relation is canonical by
+    * construction — no self-loops, `(src, dst)` unique (e.g. derived
+    * from a distinct-aggregate like g4's weighted co-purchase pairs) —
+    * pass `canonicalEdges = true` to skip the normalization aggregate
+    * entirely: adj is then repartition + persist, nothing else.
     */
-  def bellmanFord(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+  /** [[bellmanFord]]'s adjacency relation, pre-persist — factored out
+    * so the plan suite can assert the one-exchange shape directly
+    * (the round loop checkpoints eagerly, so the build plan is gone
+    * from the returned relation's lineage).
+    */
+  private[graft] def bellmanAdjacency(edges: DataFrame,
+                                      canonicalEdges: Boolean): DataFrame = {
+    val typed = edges
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .repartition(col("src"))
+    if (canonicalEdges) typed
+    else typed
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+  }
+
+  def bellmanFord(edges: DataFrame, source: Long, iters: Int,
+                  canonicalEdges: Boolean = false): DataFrame = {
     require(iters >= 0)
     val spark = edges.sparkSession
     val fin = Long.MaxValue
-    val adj = edges
-      .select(col("src").cast("long"), col("dst").cast("long"),
-        col("w").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .repartition(col("src"))
+    val adj = bellmanAdjacency(edges, canonicalEdges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     import spark.implicits._
     // eagerly localCheckpoint'ed per round — each round references the
@@ -472,9 +498,13 @@ object Graph {
     // scaladoc) — sized by an exact count of the already-materialized
     // edge relation, built distributed by df.stat
     def closeBloom(und: DataFrame): Option[Array[Byte]] = {
-      val ceiling = edges.sparkSession.conf
-        .getOption("spark.graft.triangles.closeBloomMaxEdges")
-        .map(_.toLong).getOrElse(DefaultCloseBloomMaxEdges)
+      val confKey = "spark.graft.triangles.closeBloomMaxEdges"
+      val ceiling = edges.sparkSession.conf.getOption(confKey)
+        .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"$confKey must be a plain long edge count (0 disables the " +
+            s"bloom prefilter); got '$v' — size suffixes ('8M') are " +
+            "not supported")))
+        .getOrElse(DefaultCloseBloomMaxEdges)
       val m = if (ceiling <= 0) Long.MaxValue else und.count()
       if (m > ceiling) None
       else {

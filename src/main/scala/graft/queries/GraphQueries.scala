@@ -314,7 +314,12 @@ object GraphQueries extends QueryModule {
           greatest(lit(1L), expr("1000L div c")).as("w"))
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      Graph.bellmanFord(edges, source = 1L, iters = 4)
+      // canonicalEdges: the pair aggregate emits each (a, b) once with
+      // a < b strictly, so the symmetrized union is self-loop-free and
+      // (src, dst)-unique by construction — bellmanFord's
+      // normalization aggregate would be a full-edge-set no-op shuffle
+      Graph.bellmanFord(edges, source = 1L, iters = 4,
+          canonicalEdges = true)
         .orderBy(col("id"))
     },
     Some(s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

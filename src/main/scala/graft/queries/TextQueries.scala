@@ -172,7 +172,11 @@ object TextQueries extends QueryModule {
         // consumed whole by the email pass: must NOT also count a phone
         (1000005L, "call 555-123-4567@corp.example now"))
         .toDF("doc_id", "text")
-      val all = docs(s, dir).select(col("doc_id"), col("text"))
+      // 1-row-group parquet at small SF scans as one task; fan the
+      // regex-bound projection out before the per-row passes (no-op on
+      // well-split inputs — see core.Parallelism)
+      val all = graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text")))
         .unionByName(planted)
       TextAnalysis.redactPii(all, "doc_id", "text").orderBy(col("doc"))
     },
@@ -302,7 +306,8 @@ object TextQueries extends QueryModule {
         (1000004L, "&nbsp;pad&nbsp;"),
         (1000005L, "<a href=\"x?a=1&amp;b=2\">link</a> tail"))
         .toDF("doc_id", "text")
-      val all = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text")))
         .unionByName(planted)
       TextAnalysis.normalizeMarkup(all, "doc_id", "text")
         .orderBy(col("doc"))
@@ -352,7 +357,8 @@ object TextQueries extends QueryModule {
         (1000004L, ""),
         (1000005L, "pure ascii stays clean"))
         .toDF("doc_id", "text")
-      val all = docs(s, dir).select(col("doc_id"), col("text"))
+      val all = graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text")))
         .unionByName(planted)
       TextAnalysis.encodingStats(all, "doc_id", "text").orderBy(col("doc"))
     },

@@ -351,6 +351,25 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("bellmanFord: canonicalEdges fast path equals the normalizing " +
+    "path on an already-canonical relation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(16)
+    // canonical by construction: unique (src, dst), no self-loops
+    val canon = (1 to 120).map(_ => (rnd.nextInt(20).toLong,
+        rnd.nextInt(20).toLong)).distinct
+      .collect { case (a, b) if a != b => (a, b, 1L + rnd.nextInt(9)) }
+    val df = canon.toDF("src", "dst", "w")
+    for (iters <- Seq(1, 4)) {
+      val fast = Graph.bellmanFord(df, 0L, iters, canonicalEdges = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Graph.bellmanFord(df, 0L, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"iters=$iters")
+    }
+  }
+
   private def kcore(edges: Seq[(Long, Long)], k: Int,
                     rounds: Int): Map[Long, Long] = {
     val s = spark

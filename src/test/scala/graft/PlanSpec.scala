@@ -471,6 +471,27 @@ class PlanSpec extends SparkSpecBase {
       s"g2's close-join bloom prefilter is gone:\n${p.take(800)}")
   }
 
+  test("g4: bellmanFord's adjacency build is ONE exchange in both " +
+    "modes, and the canonical path carries no normalization aggregate") {
+    val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 4L)).toDF("src", "dst", "w")
+    for (canon <- Seq(false, true)) {
+      val p = graft.operators.Graph.bellmanAdjacency(e, canon)
+        .queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(p).size
+      assert(nEx == 1,
+        s"adjacency build (canonical=$canon) has $nEx exchanges — the " +
+          s"parallel-edge min must ride the src repartition:\n$p")
+      if (canon)
+        assert(!p.contains("HashAggregate"),
+          s"canonical adjacency must skip the normalization aggregate:\n$p")
+      else
+        assert(p.contains("HashAggregate"),
+          s"non-canonical adjacency lost its parallel-edge min:\n$p")
+    }
+  }
+
   test("m9: hamming verify is scalar popcount riding the bucket join, " +
     "never a per-pair array lambda or a cartesian") {
     val p = plan("m9_image_ahash_neardup")

@@ -27,31 +27,54 @@ object QCheck {
     // the serving path. sf1_validate.py merges walls.json into the
     // artifact so decade ratios can use the serve wall — the round-14
     // sweep reported s9's cold PQ build as a 19.2x "serving" ratio.
+    // GRAFT_QCHECK_MODE=walls: the build pass is a cache-cleared noop
+    // write instead of a coalesce(1) parquet dump — for walls-only
+    // sweeps (sf10: oracle infeasible, outputs unwanted, and the
+    // single-file encode would both eat disk and overstate the build
+    // wall by the parquet-write cost — ADVICE r15). Default mode keeps
+    // the dump: the oracle compare needs the outputs, and dump_sec is
+    // then build + coalesce(1) + single-file parquet encode (recorded
+    // in walls.json's "_mode" so downstream artifacts can say which
+    // measurement they carry).
+    val wallsOnly = sys.env.get("GRAFT_QCHECK_MODE").contains("walls")
     val walls = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     for (name <- names) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      if (wallsOnly)
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      else
+        SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       val dump = (System.nanoTime() - t0) / 1e9
       // clear the SQL cache so the serve pass pays its own
       // materialization (operators persist() shared subtrees; the
       // CacheManager matches by logical plan and would serve the dump
       // pass's cache) — but the at-rest INDEX (IndexCache) survives,
-      // which is the point
+      // which is the point. The explicit GC releases the previous
+      // query's localCheckpoint blocks (iterative operators) so a
+      // long sweep's walls stay comparable to a fresh JVM's — the
+      // round-15 bench smoke measured g4 at 10x its fresh-JVM wall in
+      // a JVM polluted by the preceding catalog grind.
       spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(150)
       val t1 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val serve = (System.nanoTime() - t1) / 1e9
       walls(name) = (dump, serve)
       println(f"[qcheck] $name%-28s dumped in $dump%.2f s, served in $serve%.2f s")
+      spark.catalog.clearCache()
+      System.gc()
     }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     Files.writeString(Paths.get(s"$outDir/walls.json"),
-      walls.map { case (n, (d, s)) =>
-        s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
-      }.mkString("{", ", ", "}"))
+      (Seq(s"${q("_mode")}: ${q(if (wallsOnly) "noop_build" else "dump_build")}") ++
+        walls.map { case (n, (d, s)) =>
+          s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
+        }).mkString("{", ", ", "}"))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       names.filter(SparkEntry.oracleSql.contains)
         .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
