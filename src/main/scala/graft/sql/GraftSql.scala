@@ -350,14 +350,49 @@ object GraftSql {
         |ORDER BY custkey""".stripMargin
   )
 
+  /** The exact word-3-gram Jaccard pair relation (d2's twin), shared
+    * verbatim by d3: MinHash+LSH candidates are exact-verified with
+    * d2's semantics, so the two catalog rows are equal by construction
+    * (the same sharing the DuckDB oracles use), and d6 derives from it
+    * by one split predicate.
+    */
+  private val exactJaccardSql =
+    """WITH f AS (
+      |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+      |  FROM f
+      |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+      |                          CAST(array() AS ARRAY<INT>))) t AS i),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT i, j,
+      |    round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = i
+      |  JOIN sizes sb ON sb.doc_id = j)
+      |SELECT i, j, jaccard FROM scored
+      |WHERE jaccard >= 0.8 ORDER BY i, j""".stripMargin
+
   /** SQL twins for a representative slice of the pipeline families —
     * including two that call the engine's NATIVE expressions by SQL
     * name (`rolling_hash`, `token_count`), proving the
     * SparkSessionExtensions registration makes the whole extension
     * family available to SQL-text users, not just the DataFrame API.
     * Parity-asserted like the relational map; kept a sample rather
-    * than total because most pipeline operators (iterative components,
-    * typed aggregators, streaming) are not single-statement SQL.
+    * than total because the genuinely non-SQL operators (iterative
+    * fixpoints past Spark's recursion surface, typed aggregators,
+    * streaming executions, binary decode, pipes) have no
+    * single-statement form — SqlParitySpec enforces per-family which
+    * queries MUST be here.
     */
   val pipelineTexts: ListMap[String, String] = ListMap(
     "d1_exact_dedup" ->
@@ -733,31 +768,19 @@ object GraftSql {
 
     // exact word-3-gram Jaccard pairs over the shingle inverted index
     // (the x11 core, d2's stop-shingle guard and ROUNDED threshold)
-    "d2_ngram_jaccard_dedup" ->
-      """WITH f AS (
-        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
-        |  FROM f
-        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
-        |                          CAST(array() AS ARRAY<INT>))) t AS i),
-        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT i, j,
-        |    round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
-        |  FROM common
-        |  JOIN sizes sa ON sa.doc_id = i
-        |  JOIN sizes sb ON sb.doc_id = j)
-        |SELECT i, j, jaccard FROM scored
-        |WHERE jaccard >= 0.8 ORDER BY i, j""".stripMargin,
+    "d2_ngram_jaccard_dedup" -> exactJaccardSql,
+
+    // d3's MinHash+LSH candidates are exact-verified with d2's
+    // semantics, so its SQL form IS d2's pair relation (the same
+    // by-construction equality the DuckDB oracles encode)
+    "d3_minhash_lsh_dedup" -> exactJaccardSql,
+
+    // d6 = near-dup pairs with at least one side in the id >= 250
+    // batch; under canonical i < j and the id-ordered corpus/batch
+    // split that is exactly j >= 250 (see DedupQueries.incremental)
+    "d6_incremental_dedup" -> exactJaccardSql.replace(
+      "WHERE jaccard >= 0.8 ORDER BY i, j",
+      "WHERE jaccard >= 0.8 AND j >= 250 ORDER BY i, j"),
 
     // same inverted-index core, asymmetric containment metric
     "d13_containment_dedup" ->
@@ -1669,7 +1692,603 @@ object GraftSql {
         |FROM toks t
         |LEFT JOIN pd ON pd.doc_id = t.doc_id
         |LEFT JOIN cov ON cov.doc_id = t.doc_id
-        |ORDER BY doc""".stripMargin
+        |ORDER BY doc""".stripMargin,
+
+    // portable SimHash-64 near-dup pairs: fingerprints recomputed from
+    // scratch (md5-derived token hash, per-bit votes, sign fold — the
+    // signed-long bit-63 term is exact in two's complement), pairs by
+    // all-pairs popcount at SQL-surface scale (the ENGINE finds them
+    // via the 16-bit block join)
+    "d4_simhash_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    explode(filter(split(text, '\\s+'), w -> w != '')) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    (shiftleft(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), 32)
+        |      | CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th LATERAL VIEW explode(sequence(0, 63)) t AS i
+        |  GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END) AS fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(a.fp ^ b.fp) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(a.fp ^ b.fp) <= 3
+        |ORDER BY i, j""".stripMargin,
+
+    // d14's novelty probe restricted to the id >= 250 batch against
+    // the full-corpus gram owners (the at-rest index contract)
+    "d15_incremental_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS s
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_novel
+        |  FROM sh JOIN own ON sh.s = own.s GROUP BY sh.doc_id)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(per.n_grams, 0L) AS n_grams,
+        |  coalesce(per.n_novel, 0L) AS n_novel,
+        |  CAST(CASE WHEN coalesce(per.n_grams, 0L) > 0
+        |       THEN per.n_novel * 1000000L div per.n_grams
+        |       ELSE 0L END AS BIGINT) AS novelty_ppm
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |WHERE d.doc_id >= 250
+        |ORDER BY doc""".stripMargin,
+
+    // BPE merge learning: the same 5 iterations the engine's driver
+    // argmax loop runs, unrolled — pair counts over the shrinking
+    // vocabulary, 1-row argmax (ORDER BY f DESC, pair LIMIT 1),
+    // literal left-to-right non-overlapping replace
+    "t14_bpe_merges" -> {
+      def it(i: Int, prev: String): String =
+        s"""p$i AS (
+           |  SELECT concat_ws(' ', l[k], l[k+1]) AS pair, sum(freq) AS f
+           |  FROM (SELECT split(trim(repr), ' ') AS l, freq FROM $prev) s$i
+           |  LATERAL VIEW explode(if(size(l) >= 2, sequence(0, size(l) - 2),
+           |                          CAST(array() AS ARRAY<INT>))) t AS k
+           |  GROUP BY 1),
+           |b$i AS (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
+           |w$i AS (SELECT replace(repr, concat(' ', (SELECT pair FROM b$i), ' '),
+           |          concat(' ', replace((SELECT pair FROM b$i), ' ', ''), ' '))
+           |          AS repr, freq FROM $prev)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT concat(' ', regexp_replace(wd, '(.)', '${"$"}1 ')) AS repr,
+         |         count(1) AS freq
+         |  FROM (SELECT explode(split(text, '\\\\s+')) AS wd FROM documents) t0
+         |  WHERE wd != '' GROUP BY 1),
+         |${it(1, "w0")},
+         |${it(2, "w1")},
+         |${it(3, "w2")},
+         |${it(4, "w3")},
+         |${it(5, "w4")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS iter, pair, f AS freq FROM b1
+         |  UNION ALL SELECT CAST(2 AS BIGINT), pair, f FROM b2
+         |  UNION ALL SELECT CAST(3 AS BIGINT), pair, f FROM b3
+         |  UNION ALL SELECT CAST(4 AS BIGINT), pair, f FROM b4
+         |  UNION ALL SELECT CAST(5 AS BIGINT), pair, f FROM b5) u
+         |ORDER BY iter""".stripMargin
+    },
+
+    // t14's other half: re-learn the 5 merges, then tokenize every
+    // document from the final vocabulary relation (per distinct word,
+    // never per occurrence)
+    "t17_bpe_encode" -> {
+      def it(i: Int, prev: String): String =
+        s"""p$i AS (
+           |  SELECT concat_ws(' ', l[k], l[k+1]) AS pair, sum(freq) AS f
+           |  FROM (SELECT split(trim(repr), ' ') AS l, freq FROM $prev) s$i
+           |  LATERAL VIEW explode(if(size(l) >= 2, sequence(0, size(l) - 2),
+           |                          CAST(array() AS ARRAY<INT>))) t AS k
+           |  GROUP BY 1),
+           |b$i AS (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
+           |w$i AS (SELECT replace(repr, concat(' ', (SELECT pair FROM b$i), ' '),
+           |          concat(' ', replace((SELECT pair FROM b$i), ' ', ''), ' '))
+           |          AS repr, freq FROM $prev)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT concat(' ', regexp_replace(wd, '(.)', '${"$"}1 ')) AS repr,
+         |         count(1) AS freq
+         |  FROM (SELECT explode(split(text, '\\\\s+')) AS wd FROM documents) t0
+         |  WHERE wd != '' GROUP BY 1),
+         |${it(1, "w0")},
+         |${it(2, "w1")},
+         |${it(3, "w2")},
+         |${it(4, "w3")},
+         |${it(5, "w4")},
+         |vocab AS (
+         |  SELECT replace(trim(repr), ' ', '') AS w,
+         |         CAST(size(split(trim(repr), ' ')) AS BIGINT) AS nt
+         |  FROM w5),
+         |dw AS (
+         |  SELECT doc_id, wd
+         |  FROM (SELECT doc_id, explode(split(text, '\\\\s+')) AS wd
+         |        FROM documents) t1
+         |  WHERE wd != ''),
+         |agg AS (
+         |  SELECT doc_id, count(1) AS nw, sum(nt) AS ntok
+         |  FROM dw JOIN vocab v ON dw.wd = v.w
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.nw, 0L) AS n_words,
+         |  CAST(coalesce(a.ntok, 0L) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // embedding near-dup pairs: corpus + seed-pinned perturbed copies,
+    // all-pairs cosine at SQL-surface scale via the native array_dot
+    // (the ENGINE finds the same pairs through LSH bucket collisions)
+    "s3_cosine_neardup" ->
+      """WITH pert AS (
+        |  SELECT vec_id,
+        |    transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |      (x, i) -> x + 0.04d * sin(vec_id * 7 + i)) AS v
+        |  FROM (SELECT vec_id + 1000000L AS vec_id, embedding
+        |        FROM embeddings) o),
+        |allv AS (
+        |  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id, v FROM pert),
+        |scored AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    round(array_dot(a.v, b.v)
+        |      / (sqrt(array_dot(a.v, a.v)) * sqrt(array_dot(b.v, b.v))), 4)
+        |      AS cosine
+        |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+        |SELECT i, j, cosine FROM scored
+        |WHERE cosine >= 0.9 ORDER BY i, j""".stripMargin,
+
+    // corpus-trained add-1 bigram LM, per-doc NLL in integral
+    // micronats (floor on DOUBLE yields BIGINT, so the sums are long)
+    "t8_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, lang,
+        |    filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc, lang, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 2, sequence(0, size(ws) - 2),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |docbg AS (
+        |  SELECT doc, lang, w1, w2, count(1) AS m
+        |  FROM occ GROUP BY doc, lang, w1, w2),
+        |model AS (SELECT lang, w1, w2, sum(m) AS c12
+        |          FROM docbg GROUP BY lang, w1, w2),
+        |heads AS (SELECT lang, w1, sum(c12) AS c1 FROM model GROUP BY lang, w1),
+        |vocab AS (
+        |  SELECT lang, count(DISTINCT w) AS v
+        |  FROM (SELECT lang, explode(ws) AS w FROM toks) u GROUP BY lang),
+        |scored AS (
+        |  SELECT d.doc, d.lang,
+        |    sum(d.m) AS n_bigrams,
+        |    sum(d.m * (-floor(ln((mo.c12 + 1.0d) / (h.c1 + vo.v)) * 1e6)))
+        |      AS nll_micro
+        |  FROM docbg d
+        |  JOIN model mo ON d.lang = mo.lang AND d.w1 = mo.w1 AND d.w2 = mo.w2
+        |  JOIN heads h ON d.lang = h.lang AND d.w1 = h.w1
+        |  JOIN vocab vo ON d.lang = vo.lang
+        |  GROUP BY d.doc, d.lang)
+        |SELECT doc, lang, n_bigrams, nll_micro,
+        |  nll_micro div n_bigrams AS avg_nll_micro
+        |FROM scored ORDER BY doc""".stripMargin,
+
+    // top-3 TF-IDF keywords (integral micro-idf, term-asc tie-break)
+    "t9_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS doc, w AS term, count(1) AS tf
+        |  FROM (SELECT doc_id,
+        |          explode(filter(split(text, '\\s+'), w -> w != '')) AS w
+        |        FROM documents) u
+        |  GROUP BY doc_id, w),
+        |dfx AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(1) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc, tf.term, tf.tf, dfx.df,
+        |    tf.tf * floor(ln(n.n * 1.0d / dfx.df) * 1e6) AS score_micro
+        |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc
+        |      ORDER BY score_micro DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc, rank, term, tf, df, score_micro
+        |FROM ranked WHERE rank <= 3 ORDER BY doc, rank""".stripMargin,
+
+    // top-20 tokens with exact cumulative coverage share
+    "t12_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT explode(filter(split(text, '\\s+'), w -> w != '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(1) AS cnt FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT)
+        |    AS rank,
+        |  w, cnt,
+        |  (sum(cnt) OVER (ORDER BY cnt DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    * 1000000L) div (SELECT total FROM tot) AS cum_share_ppm
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // CMS heavy hitters: the mergeable sketch aggregate + the native
+    // cms_estimate probe, by SQL name — the whole sketch surface is
+    // reachable from the SQL CLI
+    "t13_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT explode(filter(split(text, '\\s+'), w -> w != '')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(1) AS cnt FROM tok GROUP BY w),
+        |top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 10),
+        |sk AS (SELECT count_min_sketch(w, 0.0001d, 0.999d, 42) AS sk FROM tok),
+        |tot AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT w, cnt,
+        |  (cms_estimate(sk, w) >= cnt AND
+        |   cms_estimate(sk, w) <= cnt + CAST(ceil(0.0001d * total) AS BIGINT))
+        |    AS ok_est
+        |FROM top CROSS JOIN sk CROSS JOIN tot
+        |ORDER BY cnt DESC, w""".stripMargin,
+
+    // top-100 collocations by exact integer PMI lift
+    "t15_collocations" ->
+      """WITH toks AS (
+        |  SELECT lang, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |occ AS (
+        |  SELECT lang, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM toks
+        |  LATERAL VIEW explode(if(size(ws) >= 2, sequence(0, size(ws) - 2),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |big AS (SELECT lang, w1, w2, count(1) AS c12
+        |        FROM occ GROUP BY lang, w1, w2),
+        |heads AS (SELECT lang, w1, sum(c12) AS c1h FROM big GROUP BY lang, w1),
+        |tails AS (SELECT lang, w2, sum(c12) AS c2t FROM big GROUP BY lang, w2),
+        |tot AS (SELECT lang, sum(c12) AS nb FROM big GROUP BY lang)
+        |SELECT b.lang, b.w1, b.w2, b.c12,
+        |  (b.c12 * t.nb * 1000000L) div (h.c1h * tl.c2t) AS lift_micro
+        |FROM big b JOIN heads h ON b.lang = h.lang AND b.w1 = h.w1
+        |JOIN tails tl ON b.lang = tl.lang AND b.w2 = tl.w2
+        |JOIN tot t ON b.lang = t.lang
+        |WHERE b.c12 >= 5
+        |ORDER BY lift_micro DESC, b.lang, b.w1, b.w2
+        |LIMIT 100""".stripMargin,
+
+    // end-to-end corpus cleaning: exact dedup -> near-dup prune ->
+    // survivor stats by lang
+    "d5_dedup_pipeline" ->
+      """WITH keep_exact AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+        |f0 AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        |  FROM f0
+        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near_dup_j AS (
+        |  SELECT DISTINCT j FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.8)
+        |SELECT lang, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id IN (SELECT keep_id FROM keep_exact)
+        |  AND doc_id NOT IN (SELECT j FROM near_dup_j)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d7 after the t10 normalization + case-fold on both sides, with
+    // the planted case-flipped markup-wrapped eval copy of train doc 7
+    "d16_normalized_decontamination" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |         concat('<p>', upper(text), '</p>') AS text
+        |  FROM documents WHERE doc_id = 7),
+        |norm AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' '),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \\t\\r\\n]+', ' '))) AS text
+        |  FROM allrows),
+        |split AS (SELECT max(doc_id) - 49 AS b FROM documents),
+        |f AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM norm),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |              ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS s
+        |  FROM f
+        |  LATERAL VIEW explode(if(size(ws) >= 8, sequence(0, size(ws) - 8),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |tr AS (SELECT * FROM sh WHERE doc_id < (SELECT b FROM split)),
+        |ev AS (SELECT * FROM sh WHERE doc_id >= (SELECT b FROM split))
+        |SELECT /*+ BROADCAST(ev) */ tr.doc_id AS doc,
+        |  count(*) AS n_shared_shingles,
+        |  count(DISTINCT ev.doc_id) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY tr.doc_id ORDER BY doc""".stripMargin,
+
+    // MinHash-vs-exact calibration: the K=16 fixed-seed (a·x+b) mod p
+    // signature family with the constants as literals (generated from
+    // the SAME minhashParams seed the engine uses, so the twin cannot
+    // drift from the operator)
+    "d17_minhash_calibration" -> {
+      val p = 2147483647L
+      val params = graft.operators.Dedup.minhashParams(16)
+      val sigCols = params.zipWithIndex.map { case ((a, b), k) =>
+        s"min((x * ${a}L + ${b}L) % ${p}L) AS m$k"
+      }.mkString(",\n  ")
+      val matches = params.indices.map(k =>
+        s"(CASE WHEN a.m$k = b.m$k THEN 1L ELSE 0L END)").mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT doc_id, filter(split(text, '\\\\s+'), w -> w != '') AS ws
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+         |  FROM f
+         |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+         |                          CAST(array() AS ARRAY<INT>))) t AS i),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+         |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i, j, (c * 1000000L) div (sa.sz + sb.sz - c) AS jaccard_ppm
+         |  FROM common JOIN sizes sa ON sa.doc_id = i
+         |              JOIN sizes sb ON sb.doc_id = j
+         |  WHERE (c * 1000000L) div (sa.sz + sb.sz - c) >= 800000),
+         |hx AS (
+         |  SELECT doc_id,
+         |    CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % ${p}L AS x
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM hx GROUP BY doc_id)
+         |SELECT p.i, p.j, p.jaccard_ppm,
+         |  CAST($matches AS BIGINT) AS est_matches,
+         |  ($matches) * 1000000L div 16 AS est_ppm,
+         |  abs(p.jaccard_ppm - ($matches) * 1000000L div 16) AS err_ppm
+         |FROM pairs p JOIN sig a ON a.doc_id = p.i JOIN sig b ON b.doc_id = p.j
+         |ORDER BY i, j""".stripMargin
+    },
+
+    // The global running-total window is the SQL-surface form; the
+    // engine side materializes the same order via the distributed
+    // prefix sum (SequencePack), which is what the parity proves.
+    "x2_sequence_packing" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(size(filter(split(text, '\\s+'), w -> w != '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |      AS BIGINT) AS start_tok
+        |  FROM tk)
+        |SELECT doc_id AS doc, n_tokens, start_tok,
+        |  CAST(start_tok div 2048 AS BIGINT) AS pack_id,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0L
+        |       ELSE (start_tok + n_tokens - 1) div 2048 - start_tok div 2048
+        |       END AS BIGINT) AS n_boundary_crossings
+        |FROM c ORDER BY doc""".stripMargin,
+
+    // the salted two-stage aggregate's contract IS the plain groupBy
+    "x3_salted_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // end-to-end training-set assembly: d1 + d2-prune + t2-quality +
+    // x1-split composed in one statement (each stage's spelling is its
+    // own twin's, so a drift in the COMPOSITION is what this catches)
+    "x6_training_set" ->
+      """WITH keep_exact AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+        |f0 AS (
+        |  SELECT doc_id, filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        |  FROM f0
+        |  LATERAL VIEW explode(if(size(ws) >= 3, sequence(0, size(ws) - 3),
+        |                          CAST(array() AS ARRAY<INT>))) t AS i),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near_dup_j AS (
+        |  SELECT DISTINCT j FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.8),
+        |clean AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id IN (SELECT keep_id FROM keep_exact)
+        |    AND doc_id NOT IN (SELECT j FROM near_dup_j)),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(ws) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(t) > 0
+        |      THEN CAST(length(regexp_replace(t, '[^.,!?;:]', '')) AS DOUBLE)
+        |           / length(t) ELSE 0.0d END AS punct_ratio,
+        |    CASE WHEN size(ws) > 0
+        |      THEN CAST(size(filter(ws, w ->
+        |             array_contains(array('the','a','of','to','and'), w)))
+        |             AS DOUBLE) / size(ws) ELSE 0.0d END AS stop_ratio
+        |  FROM (SELECT doc_id, lang, text AS t,
+        |          filter(split(text, '\\s+'), w -> w != '') AS ws
+        |        FROM clean)),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens FROM g
+        |  WHERE round(CASE WHEN n_tokens > 0
+        |    THEN 0.5d * least(1.0d, n_tokens / 50.0d)
+        |       + 0.25d * (1.0d - punct_ratio)
+        |       + 0.25d * least(1.0d, 4.0d * stop_ratio)
+        |    ELSE 0.0d END, 6) >= 0.75),
+        |sp AS (
+        |  SELECT lang, n_tokens,
+        |    CASE WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8)
+        |              < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM q)
+        |SELECT lang, split, count(1) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "x8_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(filter(split(text, '\\s+'), w -> w != '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY
+        |      substring(md5(concat('tok1:', CAST(doc_id AS STRING))), 1, 8),
+        |      doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id AS doc, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum <= 2000 ORDER BY doc""".stripMargin,
+
+    // per-(source, lang) dataset card with the planted PII and
+    // cross-stratum syndication rows (x12's integral q_micro, t7's
+    // staged PII regexes, d1's fingerprint dup marker)
+    "x13_dataset_card" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT * FROM VALUES
+        |    (2000001L, 'contact bob@example.com or call 555-123-4567', 'en', 'srcA'),
+        |    (2000002L, 'the shared syndicated body', 'en', 'srcA'),
+        |    (2000003L, 'the shared syndicated body', 'en', 'srcB')
+        |    AS v(doc_id, text, lang, source)),
+        |g AS (
+        |  SELECT source, lang,
+        |    CAST(size(filter(split(text, '\\s+'), w -> w != '')) AS BIGINT) AS n,
+        |    CAST(length(text) AS BIGINT) AS l,
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '')) AS BIGINT) AS p,
+        |    CAST(size(filter(split(text, '\\s+'),
+        |          w -> array_contains(array('the','a','of','to','and'), w)))
+        |         AS BIGINT) AS s,
+        |    CAST(regexp_count(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS BIGINT) AS ne,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>') AS t1,
+        |    md5(text) AS fp
+        |  FROM allrows),
+        |h AS (
+        |  SELECT source, lang, fp, n,
+        |    CAST(CASE WHEN n > 0 THEN
+        |      (10000L*least(n, 50L)*l*n + 250000L*(l-p)*n
+        |        + 250000L*least(n, 4L*s)*l) div (l*n)
+        |    ELSE 0L END AS BIGINT) AS q_micro,
+        |    ne + CAST(regexp_count(t1,
+        |           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b') AS BIGINT)
+        |       + CAST(regexp_count(regexp_replace(t1,
+        |             '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>'),
+        |           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')
+        |           AS BIGINT) AS pii
+        |  FROM g),
+        |d AS (SELECT fp FROM h GROUP BY fp HAVING count(*) > 1),
+        |j AS (SELECT h.*, CASE WHEN d.fp IS NULL THEN 0L ELSE 1L END AS isdup
+        |      FROM h LEFT JOIN d ON h.fp = d.fp)
+        |SELECT source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n) div count(*) AS BIGINT) AS mean_tokens,
+        |  CAST(sum(q_micro) div count(*) AS BIGINT) AS mean_q_micro,
+        |  CAST(sum(CASE WHEN pii > 0 THEN 1L ELSE 0L END) AS BIGINT)
+        |    AS n_pii_docs,
+        |  CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(isdup) * 1000000L div count(*) AS BIGINT) AS dup_ppm
+        |FROM j GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // x14's Morton pipeline over pmod coordinates (the contrast row)
+    "x14b_zorder_pmod" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    (l_orderkey * 8 + l_linenumber) * 1000000000L
+        |      + l_partkey * 10000 + l_suppkey AS uid
+        |  FROM lineitem),
+        |sp AS (
+        |  SELECT l_partkey, l_suppkey, uid,
+        |    pmod(CAST(l_partkey AS BIGINT), 65536L) AS xa,
+        |    pmod(CAST(l_suppkey AS BIGINT), 65536L) AS xb
+        |  FROM li),
+        |s1 AS (SELECT *, ((xa | shiftleft(xa, 8)) & 16711935L) AS a1,
+        |                 ((xb | shiftleft(xb, 8)) & 16711935L) AS b1 FROM sp),
+        |s2 AS (SELECT *, ((a1 | shiftleft(a1, 4)) & 252645135L) AS a2,
+        |                 ((b1 | shiftleft(b1, 4)) & 252645135L) AS b2 FROM s1),
+        |s3 AS (SELECT *, ((a2 | shiftleft(a2, 2)) & 858993459L) AS a3,
+        |                 ((b2 | shiftleft(b2, 2)) & 858993459L) AS b3 FROM s2),
+        |s4 AS (SELECT *, ((a3 | shiftleft(a3, 1)) & 1431655765L) AS a4,
+        |                 ((b3 | shiftleft(b3, 1)) & 1431655765L) AS b4 FROM s3),
+        |zz AS (SELECT *, (a4 | shiftleft(b4, 1)) AS z FROM s4),
+        |rk AS (
+        |  SELECT *, CAST((row_number() OVER (ORDER BY z, uid) - 1) DIV 4096
+        |    AS BIGINT) AS file_id
+        |  FROM zz)
+        |SELECT file_id, count(*) AS n_rows,
+        |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+        |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+        |FROM rk GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    // x15 scoped to the source pruning boundary
+    "x15b_compaction_scoped" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, CAST(octet_length(text) AS BIGINT) AS bytes
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, coalesce(sum(bytes) OVER (PARTITION BY source
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS start_b
+        |  FROM f)
+        |SELECT source, CAST(start_b div 8192 AS BIGINT) AS group_id,
+        |  count(1) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY source, group_id ORDER BY source, group_id""".stripMargin
   )
 
   /** SQL twins of named SUB-RELATIONS of catalog queries whose full
@@ -1689,7 +2308,41 @@ object GraftSql {
         | AND x.l_partkey < y.l_partkey
         |WHERE x.l_partkey < 500 AND y.l_partkey < 500
         |GROUP BY x.l_partkey, y.l_partkey
-        |HAVING count(DISTINCT x.l_orderkey) >= 2""".stripMargin
+        |HAVING count(DISTINCT x.l_orderkey) >= 2""".stripMargin,
+
+    // d8's component loop consumes EXACTLY d2's thresholded pair
+    // relation (same n=3 / maxDf=100 / threshold 0.8 constants) — the
+    // fragment locks that contract; only the min-label iteration on
+    // top is non-SQL (Spark 4.1 recursive CTEs reject the
+    // UNION-distinct fixpoint, and UNION ALL diverges on cycles)
+    "d8_pair_relation" -> exactJaccardSql.replace(
+      "SELECT i, j, jaccard FROM scored",
+      "SELECT i, j FROM scored"),
+
+    // d10's exemplar argmax key: the per-doc quality relation (t2's
+    // composite, rounded at 6) — locks the score input contract the
+    // best-exemplar rule ranks on
+    "d10_quality_scores" ->
+      """WITH f AS (
+        |  SELECT doc_id AS doc, text AS t,
+        |    filter(split(text, '\\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc, CAST(size(ws) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(t) > 0
+        |      THEN CAST(length(regexp_replace(t, '[^.,!?;:]', '')) AS DOUBLE)
+        |           / length(t) ELSE 0.0d END AS punct_ratio,
+        |    CASE WHEN size(ws) > 0
+        |      THEN CAST(size(filter(ws, w ->
+        |             array_contains(array('the','a','of','to','and'), w)))
+        |             AS DOUBLE) / size(ws) ELSE 0.0d END AS stop_ratio
+        |  FROM f)
+        |SELECT doc, round(CASE WHEN n_tokens > 0
+        |    THEN 0.5d * least(1.0d, n_tokens / 50.0d)
+        |       + 0.25d * (1.0d - punct_ratio)
+        |       + 0.25d * least(1.0d, 4.0d * stop_ratio)
+        |    ELSE 0.0d END, 6) AS score
+        |FROM g ORDER BY doc""".stripMargin
   )
 }
 

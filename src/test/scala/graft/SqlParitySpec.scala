@@ -65,6 +65,51 @@ class SqlParitySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"set-shaped dedup rows without SQL twins: $missing")
   }
 
+  /** Round-16 family enforcement: a NEW d/t/s/x catalog query cannot
+    * ship twin-less — every member must either carry a SQL twin or
+    * appear in the explicit exemption list below with a structural
+    * reason. The exemptions are closed-world: adding a query to a
+    * family forces a decision here.
+    */
+  private val twinExempt: Map[String, String] = Map(
+    // iterative min-label fixpoints: Spark 4.1 recursive CTEs reject
+    // UNION-distinct recursion and UNION ALL diverges on cyclic pair
+    // graphs — each carries a fragment twin locking its SQL-shaped
+    // input contract instead (d8_pair_relation, d10_quality_scores)
+    "d8_dedup_clusters" -> "iterative components (fragment twin)",
+    "d10_cluster_canonical" -> "iterative components (fragment twin)",
+    // the edit-distance join family is defined by its PHYSICAL forms
+    // (q-gram prefix filter, blocked waves, candidate-budget breaker);
+    // the only single-statement SQL form is the quadratic cartesian
+    // levenshtein join, which is not a surface this engine ships
+    "d12_edit_distance_join" -> "qgram/wave physical operator",
+    "d12b_edit_distance_join_blocked" -> "qgram/wave physical operator",
+    "d12c_edit_distance_join_stratified" -> "qgram/wave physical operator",
+    "d12d_edit_distance_join_autowaved" -> "qgram/wave physical operator",
+    // JVM-seeded hyperplane RNG (scala.util.Random) is not
+    // reproducible from SQL; s3 covers the LSH family's SQL surface
+    "s2_ann_lsh_topk" -> "seeded hyperplane RNG",
+    "s8_ann_recall_calibration" -> "seeded hyperplane RNG",
+    // index-at-rest builds (k-means training, cell/codebook layouts
+    // written to disk) are multi-job programs, not statements
+    "s4_ann_ivf_topk" -> "IVF index-at-rest build",
+    "s7_semantic_dedup" -> "IVF index-at-rest build",
+    "s9_pq_adc_topk" -> "PQ index-at-rest build")
+
+  test("every d/t/s/x catalog query is twinned or structurally exempt") {
+    val twinned = GraftSql.texts.keySet ++ GraftSql.pipelineTexts.keySet
+    val family = SparkEntry.queries.keys.filter(n =>
+      n.matches("^[dtsx][0-9].*")).toSet
+    val missing = family -- twinned -- twinExempt.keySet
+    assert(missing.isEmpty,
+      s"d/t/s/x catalog queries with neither a SQL twin nor an " +
+        s"exemption reason: $missing")
+    val stale = twinExempt.keySet -- family
+    assert(stale.isEmpty, s"exemptions naming no catalog query: $stale")
+    val both = twinExempt.keySet.intersect(twinned)
+    assert(both.isEmpty, s"exempt queries that actually have twins: $both")
+  }
+
   /** Canonical form mirroring the driver's compare: columns sorted by
     * name (types kept), rows value-stringified and sorted.
     */
@@ -120,6 +165,43 @@ class SqlParitySpec extends SparkSpecBase {
       s"schema mismatch: sql=$sqlFields df=$dfFields")
     assert(sqlRows == dfRows)
     assert(dfRows.nonEmpty, "fixture slice must produce pairs")
+  }
+
+  test("d8_pair_relation: the component loop's input contract is " +
+    "locked by a SQL fragment twin") {
+    // d8's min-label iteration is non-SQL (no UNION-distinct
+    // recursion); the pair relation it consumes — d2's thresholded
+    // Jaccard pairs with the exact n/maxDf/threshold constants — is
+    // plain SQL, and parity here pins that contract
+    GraftSql.registerViews(spark, dir)
+    val d = graft.core.Tables(spark, dir).documents
+    val (dfFields, dfRows) = canon(
+      graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 100)
+        .select(org.apache.spark.sql.functions.col("i"),
+          org.apache.spark.sql.functions.col("j")))
+    val (sqlFields, sqlRows) =
+      canon(spark.sql(GraftSql.fragmentTexts("d8_pair_relation")))
+    assert(sqlFields == dfFields,
+      s"schema mismatch: sql=$sqlFields df=$dfFields")
+    assert(sqlRows == dfRows)
+    assert(dfRows.nonEmpty, "fixture corpus must produce near-dup pairs")
+  }
+
+  test("d10_quality_scores: the exemplar argmax key is locked by a " +
+    "SQL fragment twin") {
+    GraftSql.registerViews(spark, dir)
+    val d = graft.core.Tables(spark, dir).documents
+    val (dfFields, dfRows) = canon(
+      graft.operators.TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("doc"),
+          org.apache.spark.sql.functions.col("quality").as("score")))
+    val (sqlFields, sqlRows) =
+      canon(spark.sql(GraftSql.fragmentTexts("d10_quality_scores")))
+    assert(sqlFields == dfFields,
+      s"schema mismatch: sql=$sqlFields df=$dfFields")
+    assert(sqlRows == dfRows)
+    assert(dfRows.nonEmpty)
   }
 
   test("referencedTables matches whole identifiers, not substrings") {
