@@ -521,6 +521,21 @@ object Multimodal {
         expr("transform(sequence(0, int(ceil(size(bits) / 8.0)) - 1), " +
           "b -> aggregate(slice(bits, b * 8 + 1, 8), 0, (a, v) -> a * 2 + v))"))
 
+  /** The (id, rep) fingerprint-group map the rep-grain form of
+    * [[ahashNearDupPairs]] (`expand = false`) defers member expansion
+    * against: rep = min id over the exact aHash fingerprint.
+    * Recomputed from pixels (one scan + one shuffle); the deferred
+    * expansion is `repPairs ⋈ map ON doc_a = rep ⋈ map ON doc_b = rep`
+    * — a join the consumer runs only if it needs member-grain pairs
+    * at all (counting, cluster sizing, and rep-level dedup don't).
+    */
+  def ahashMemberMap(df: DataFrame, idCol: String,
+                     pixelCol: String): DataFrame =
+    aHash(df, idCol, pixelCol)
+      .withColumn("rep",
+        min(col(idCol)).over(Window.partitionBy(col("bits"))))
+      .select(col(idCol), col("rep"))
+
   /** Default per-wave matched-pair work ceiling for
     * [[ahashNearDupPairs]]. Unlike Fuzzy's scratch-byte budget, the
     * single-join design below never MATERIALIZES candidates — pairs
@@ -587,7 +602,8 @@ object Multimodal {
                         maxDist: Int = 7,
                         pairWorkCeiling: Long = DefaultPairWorkCeiling,
                         maxWaves: Int = 64,
-                        onWaves: Int => Unit = _ => ()): DataFrame = {
+                        onWaves: Int => Unit = _ => (),
+                        expand: Boolean = true): DataFrame = {
     require(pairWorkCeiling > 0 && maxWaves >= 1)
     // Losslessness needs maxDist < #blocks, i.e. at least 8·(maxDist+1)
     // pixels; thumbnail length is data, so the precondition is enforced
@@ -623,9 +639,14 @@ object Multimodal {
       .select(col(idCol), col("blocks"), col("words"), col("__rep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val empty = keyed.limit(0)
-      .select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
-        lit(0L).as("hamming"))
+    val empty = {
+      val base = keyed.limit(0)
+        .select(col(idCol).as("doc_a"), col(idCol).as("doc_b"),
+          lit(0L).as("hamming"))
+      if (expand) base
+      else base.select(col("doc_a"), col("doc_b"), col("hamming"),
+        lit(0L).as("n_a"), lit(0L).as("n_b"))
+    }
     // plan-time word count (bounded 1-row metadata collect — the
     // IvfIndex convention): lets the verify carry scalar long columns
     // instead of arrays, keeping the hot loop in whole-stage codegen
@@ -724,6 +745,28 @@ object Multimodal {
       .distinct()
 
     val members = keyed.select(col("__rep"), col(idCol))
+    if (!expand) {
+      // REP GRAIN (expand = false): survivor-sized output — one row
+      // per fingerprint-group pair carrying both group sizes, plus one
+      // (rep, rep, 0) row per ≥2-member group for the intra-group
+      // distance-0 mass. Lossless: member expansion is a join against
+      // the (id, rep) map (see [[ahashMemberMap]]) the consumer can
+      // defer or skip — at sf10 the expanded form spends its wall
+      // materializing 476 M pairs the consumer may only ever count.
+      val sizes = members.groupBy(col("__rep"))
+        .agg(count(lit(1)).as("__n"))
+      val crossRep = repPairs
+        .join(sizes.select(col("__rep").as("__ra"), col("__n").as("n_a")),
+          "__ra")
+        .join(sizes.select(col("__rep").as("__rb"), col("__n").as("n_b")),
+          "__rb")
+        .select(col("__ra").as("doc_a"), col("__rb").as("doc_b"),
+          col("__h").as("hamming"), col("n_a"), col("n_b"))
+      val intraRep = sizes.filter(col("__n") >= 2)
+        .select(col("__rep").as("doc_a"), col("__rep").as("doc_b"),
+          lit(0L).as("hamming"), col("__n").as("n_a"), col("__n").as("n_b"))
+      return crossRep.unionAll(intraRep)
+    }
     // cross-group pairs: every member pair inherits its reps' exact
     // hamming (members share their rep's fingerprint verbatim)
     val cross = repPairs

@@ -575,7 +575,77 @@ object MultimodalQueries extends QueryModule {
       "per-pair hamming is bit_count(xor) — same answer, and the " +
       "all-pairs replay stays feasible at the 10x validation scale")
 
+  /** m9 at REP GRAIN (`expand = false`): one row per fingerprint-group
+    * pair carrying both group sizes, plus a (rep, rep, 0) row per
+    * ≥2-member group — the survivor-sized form for corpora where the
+    * expanded member-pair set IS the cost (sf10 measured m9 spending
+    * its 139.9 s wall materializing 476 M expanded pairs; this form's
+    * output is bounded by surviving GROUP pairs, and expansion is a
+    * deferred join against [[graft.operators.Multimodal.ahashMemberMap]]).
+    * The oracle re-derives groups, sizes and rep pairs from the same
+    * quadratic ground truth as m9, so the grain change is hash-gated:
+    * a wrong size, a lost intra group, or a rep that is not the min id
+    * all flip the row red. MultimodalSpec proves the deferred
+    * expansion reproduces m9's member-grain output exactly.
+    */
+  private val ahashPairsRepGrain = CatalogQuery(
+    "m9b_ahash_neardup_repgrain",
+    (s: SparkSession, dir: String) => {
+      val base = "((doc_id div 3 + 13) * (j * j + 71) * " +
+        "(j + doc_id div 3 + 7)) % 251"
+      val thumbs = Tables(s, dir).documents.select(col("doc_id"),
+        expr(s"""transform(sequence(0, 63), j ->
+                |  CASE WHEN doc_id % 3 = 2 AND j < 5 THEN ($base + 128) % 251
+                |       ELSE $base + IF(doc_id % 3 = 1, 17, 0)
+                |  END)""".stripMargin).as("px"))
+      Multimodal.ahashNearDupPairs(thumbs, "doc_id", "px", maxDist = 7,
+          expand = false)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH px AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0,64), j ->
+           |      CASE
+           |        WHEN doc_id % 3 = 2 AND j < 5
+           |          THEN (((doc_id//3 + 13)*(j*j + 71)*(j + doc_id//3 + 7)) % 251
+           |                + 128) % 251
+           |        ELSE ((doc_id//3 + 13)*(j*j + 71)*(j + doc_id//3 + 7)) % 251
+           |             + CASE WHEN doc_id % 3 = 1 THEN 17 ELSE 0 END
+           |      END) AS p
+           |  FROM documents),
+           |fp AS (
+           |  SELECT doc_id,
+           |    list_sum(list_transform(range(0,64), i ->
+           |      CASE WHEN i < 63 AND p[i+1]*64 > list_sum(p)
+           |           THEN CAST(1 AS BIGINT) << i ELSE 0 END)) AS flo,
+           |    CASE WHEN p[64]*64 > list_sum(p) THEN 1 ELSE 0 END AS fhi
+           |  FROM px),
+           |grp AS (
+           |  SELECT doc_id, flo, fhi,
+           |    min(doc_id) OVER (PARTITION BY flo, fhi) AS rep
+           |  FROM fp),
+           |sizes AS (SELECT rep, CAST(count(*) AS BIGINT) AS n
+           |          FROM grp GROUP BY rep),
+           |reps AS (SELECT rep AS doc_id, flo, fhi FROM grp
+           |         WHERE doc_id = rep)
+           |SELECT doc_a, doc_b, hamming, n_a, n_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.flo, b.flo)) + abs(a.fhi - b.fhi)
+           |         AS BIGINT) AS hamming,
+           |    sa.n AS n_a, sb.n AS n_b
+           |  FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+           |  JOIN sizes sa ON sa.rep = a.doc_id
+           |  JOIN sizes sb ON sb.rep = b.doc_id
+           |  WHERE bit_count(xor(a.flo, b.flo)) + abs(a.fhi - b.fhi) <= 7
+           |  UNION ALL
+           |  SELECT rep, rep, CAST(0 AS BIGINT), n, n FROM sizes
+           |  WHERE n >= 2)
+           |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "m9's rep-grain twin (expand=false): fingerprint-group pairs " +
+      "+ sizes instead of expanded member pairs — survivor-sized " +
+      "output; expansion is a deferred join against the member map")
+
   override def queries: Seq[CatalogQuery] =
     Seq(features, frameSample, resize, routing, imageDims, audioHeaders,
-      videoHeaders, gifBmpHeaders, ahashPairs)
+      videoHeaders, gifBmpHeaders, ahashPairs, ahashPairsRepGrain)
 }

@@ -412,6 +412,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(waved == brute)
   }
 
+  test("rep grain (expand=false) + deferred member-map expansion " +
+    "equals the expanded form exactly") {
+    // groups with identical fingerprints (sizes 1, 2, 3) plus a
+    // near-dup across groups: exercises cross rows with n_a*n_b > 1,
+    // the (rep, rep, 0) intra rows, and singletons
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(64)(rnd.nextInt(256).toLong)
+    val tot = base.sum
+    val edited = base.zipWithIndex.map { case (p, j) =>
+      if (j < 3) { if (p * 64 > tot) 0L else 255L } else p
+    }
+    val far = Seq.fill(64)(rnd.nextInt(256).toLong)
+    val imgs = Seq(
+      1L -> base, 2L -> base.map(_ + 10L), 3L -> base.map(_ * 2L),  // group A x3
+      4L -> edited, 5L -> edited.map(_ + 5L),                       // group B x2
+      9L -> far)                                                    // singleton
+    val s = spark
+    import s.implicits._
+    val df = imgs.toDF("id", "px")
+    val expanded = Multimodal.ahashNearDupPairs(df, "id", "px", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val rep = Multimodal.ahashNearDupPairs(df, "id", "px", maxDist = 7,
+      expand = false)
+    assert(rep.columns.toSeq ==
+      Seq("doc_a", "doc_b", "hamming", "n_a", "n_b"))
+    val repRows = rep.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // group sizes must be carried exactly
+    assert(repRows.collect {
+      case (a, b, h, na, nb) if a == b => (a, h, na, nb)
+    }.sorted == Seq((1L, 0L, 3L, 3L), (4L, 0L, 2L, 2L)))
+    // deferred expansion: rep pairs ⋈ member map on both sides (intra
+    // rows expand to within-group member pairs), normalized to a < b
+    val members = Multimodal.ahashMemberMap(df, "id", "px")
+      .collect().map(r => r.getLong(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val reExpanded = repRows.flatMap { case (ra, rb, h, _, _) =>
+      if (ra == rb)
+        for (x <- members(ra); y <- members(ra) if x < y) yield (x, y, 0L)
+      else
+        for (x <- members(ra); y <- members(rb))
+          yield (math.min(x, y), math.max(x, y), h)
+    }.sorted
+    assert(reExpanded == expanded,
+      s"deferred expansion diverged: ${reExpanded.size} vs ${expanded.size}")
+  }
+
   test("aHash pair plan has no cartesian product") {
     val s = spark
     import s.implicits._
