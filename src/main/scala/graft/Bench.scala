@@ -340,6 +340,51 @@ object Bench {
           val serve = if (build >= 0) once() else -1.0
           n -> (build, serve)
         }
+    // P3 AT THE REFERENCE'S PUBLISHED SCALE (round-16): BASELINE.md's
+    // flagship Condorcet number is 765 s for BOTH phases over a 136 MB
+    // 10-candidate ballot file (mp3/Report.pdf p.2). The p3 catalog row
+    // runs the same election over the sf0.1 orders table — a different
+    // (smaller) workload — so the headline comparison was indirect.
+    // This block times the LITERAL workload: 6.8M seeded 20-byte
+    // ballot lines = 136,000,000 bytes generated ONCE (untimed) under
+    // target/bench/, then the full two-phase Maple/Juice chain
+    // (reference-compat phase-2 output strings) timed median-of-3 from
+    // text scan to election output. Phases chain through the shuffle
+    // rather than an intermediate file — the Spark-first shape; the
+    // reference's 765 s includes its SDFS intermediate round-trip,
+    // which is part of what a lazily-pipelined engine saves. Runs only
+    // against the official sf0.1 bench dir (dev smokes skip it); a
+    // failure yields an absent field, never a broken bench.
+    val p3Big: Option[(Double, Double)] =
+      if (!sfDir.endsWith("sf0.1")) None
+      else try {
+        val bdir = "target/bench/ballots_136mb"
+        if (!new java.io.File(s"$bdir/_SUCCESS").exists()) {
+          graft.sources.Generators.ballots(spark, 6800000L,
+            (0 to 9).map(_.toString), seed = 425)
+            .write.mode("overwrite").text(bdir)
+        }
+        def once(): Double = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val ballots = spark.read.textFile(bdir)
+          val p1 = graft.mapreduce.MapleJuiceJob.run(ballots,
+            graft.mapreduce.Workloads.CondorcetMaple1,
+            graft.mapreduce.Workloads.CondorcetJuice1, cpus)
+          import spark.implicits._
+          graft.mapreduce.MapleJuiceJob.run(p1.map(_._1),
+            graft.mapreduce.Workloads.CondorcetMaple2,
+            new graft.mapreduce.Workloads.CondorcetJuice2Compat(10), 1)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up: cold text footers + flatMap JIT, untimed
+        val w = Seq(once(), once(), once()).sorted
+        Some((w(1), w(0)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] p3_136mb skipped: ${e.getMessage}")
+        None
+      }
     def js(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -454,7 +499,13 @@ object Bench {
     // "sf1_serve" key next to "sf1_build", so cross-round artifact
     // diffs never compare different measurements under one name
     // (ADVICE r15)
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","artifact_version":3,"series":${js(benchSeries)},"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_serve":$sf1WallJson,"sf1_build":$sf1BuildJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"weather":$weatherJson,"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
+    // the literal 136 MB / 765 s flagship comparison, as a dedicated
+    // field (NOT a queries entry: it is not a catalog row and must not
+    // move the cross-round totals)
+    val p3BigJson = p3Big.fold("null") { case (med, min) =>
+      s"""{"sec":${f3(med)},"min_sec":${f3(min)},"bytes":136000000,"baseline_sec":765.0,"ratio":${f3(med / 765.0)}}"""
+    }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","method":"median-of-3","artifact_version":3,"series":${js(benchSeries)},"p3_136mb":$p3BigJson,"queries":$qs,"queries_min":$qsMin,"errors":$errJson,"unstable":$unstableJson,"ext_cpu_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"st_solo":$stSoloJson,"sf1_serve":$sf1WallJson,"sf1_build":$sf1BuildJson,"sf1_ratios":$sf1RatioJson,"sf1_dir":${js(sf1Dir)},"weather":$weatherJson,"shared_vs_prev":$sharedJson,"sentinel_sec":$sentinelJson,"sentinel_baseline_sec":$SentinelBaselineSec,"contended":$contended,"sf":${js(sfDir)}}"""
     println(line)
     // COMPACT line, printed LAST: the driver keeps only a ~2000-char
     // stdout tail, so the full per-query line above loses its head for
