@@ -463,13 +463,21 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, waves: Int = 1): DataFrame = {
     require(waves >= 1, s"waves must be >= 1, got $waves")
-    // canonical undirected edge set: (a < b), self-loops dropped,
-    // duplicates collapsed
-    val undPlan = edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    triangleCountsOver(canonicalUnd(edges), Some(waves))
+  }
+
+  /** Shared body of [[triangleCounts]] and [[triangleCountsAuto]] over
+    * an already-canonical edge relation. `fixedWaves = None` is the
+    * auto path: the wave count derives from the exact wedge volume,
+    * counted with one O(nodes) aggregate over the SAME persisted
+    * orientation the single-pass join consumes — the earlier
+    * compose-from-public-parts auto (wedgeVolume(edges) then
+    * triangleCounts(edges)) re-derived the caller's whole edge
+    * pipeline and re-ran the orientation joins, measured +35% on g2's
+    * bench wall (G2AutoProbe, round 16).
+    */
+  private def triangleCountsOver(undPlan: DataFrame,
+                                 fixedWaves: Option[Int]): DataFrame = {
     // orient each edge toward the (degree, id)-larger endpoint
     def orient(und: DataFrame): DataFrame = {
       val deg = und.select(col("a").as("n"))
@@ -499,7 +507,7 @@ object Graph {
     // edge relation, built distributed by df.stat
     def closeBloom(und: DataFrame): Option[Array[Byte]] = {
       val confKey = "spark.graft.triangles.closeBloomMaxEdges"
-      val ceiling = edges.sparkSession.conf.getOption(confKey)
+      val ceiling = undPlan.sparkSession.conf.getOption(confKey)
         .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
           s"$confKey must be a plain long edge count (0 disables the " +
             s"bloom prefilter); got '$v' — size suffixes ('8M') are " +
@@ -517,9 +525,9 @@ object Graph {
     }
     def corners(oriented: DataFrame, und: DataFrame,
                 bloom: Option[Array[Byte]],
-                wv: Int, hints: Boolean): DataFrame = {
-      val o = if (waves == 1) oriented
-              else oriented.filter(pmod(hash(col("u")), lit(waves)) === wv)
+                nWaves: Int, wv: Int, hints: Boolean): DataFrame = {
+      val o = if (nWaves == 1) oriented
+              else oriented.filter(pmod(hash(col("u")), lit(nWaves)) === wv)
       val ySide = o.select(col("u"), col("v").as("y"))
       val wedges = o.select(col("u"), col("v").as("x"))
         .join(if (hints) ySide.hint("shuffle_hash") else ySide, "u")
@@ -535,13 +543,28 @@ object Graph {
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_triangles"))
     }
+    val und = undPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    // orientation shared by the auto wedge pre-count and the
+    // single-pass join; never materialized on the fixed-waves path
+    // (which orients straight into the bucketed table write)
+    lazy val orientedCached = orient(und).persist(StorageLevel.MEMORY_AND_DISK)
+    val waves = fixedWaves.getOrElse {
+      val budget = undPlan.sparkSession.conf
+        .getOption("spark.graft.waves.scratchBytes")
+        .map(_.toLong).getOrElse(20L * 1000 * 1000 * 1000)
+      // exact oriented wedge volume Σ C(outdeg, 2) — one aggregate
+      // over the cached orientation the join reuses
+      val wedges = orientedCached
+        .groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .agg(coalesce(sum(expr("od * (od - 1) div 2")), lit(0L)).as("w"))
+        .head().getLong(0)
+      wavesFor(wedges, budget)
+    }
     if (waves == 1) {
       // single-pass: persisted in-memory relations feed both join
       // sides within the one job; AQE sizes them at runtime (broadcast
       // when small), so no hints
-      val und = undPlan.persist(StorageLevel.MEMORY_AND_DISK)
-      corners(orient(und).persist(StorageLevel.MEMORY_AND_DISK), und,
-        closeBloom(und), 0, hints = false)
+      corners(orientedCached, und, closeBloom(und), 1, 0, hints = false)
     } else {
       // WAVED execution — the in-box/bounded-scratch path for wedge
       // volumes whose materialized join would exhaust shuffle spill
@@ -554,30 +577,38 @@ object Graph {
       // ContextCleaner retire its shuffle files before the next wave
       // writes, bounding peak scratch at ~1/waves of the whole-join
       // footprint.
-      val spark = edges.sparkSession
+      val spark = undPlan.sparkSession
       val runId = java.util.UUID.randomUUID().toString.replace("-", "")
       val undTbl = s"graft_g2_und_$runId"
       val orTbl = s"graft_g2_or_$runId"
       val tmp = java.nio.file.Files.createTempDirectory("graft_g2_waves")
       val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
       try {
-        undPlan.write.format("parquet")
+        und.write.format("parquet")
           .bucketBy(buckets, "a", "b")
           .option("path", tmp.resolve("und").toString)
           .saveAsTable(undTbl)
-        val und = spark.table(undTbl)
-        orient(und).write.format("parquet")
+        val undT = spark.table(undTbl)
+        // auto reached here having already materialized the cached
+        // orientation for its pre-count — write THAT, not a recompute;
+        // fixed-waves orients straight off the bucketed scan as before
+        (if (fixedWaves.isDefined) orient(undT) else orientedCached)
+          .write.format("parquet")
           .bucketBy(buckets, "u")
           .option("path", tmp.resolve("or").toString)
           .saveAsTable(orTbl)
-        val oriented = spark.table(orTbl)
-        val bloom = closeBloom(und) // one bloom serves every wave
+        val orientedT = spark.table(orTbl)
+        // the waved pipeline reads only the bucketed tables from here —
+        // release the cached copies before the wedge waves need scratch
+        if (fixedWaves.isEmpty) orientedCached.unpersist(blocking = false)
+        und.unpersist(blocking = false)
+        val bloom = closeBloom(undT) // one bloom serves every wave
         val partials = (0 until waves).map { wv =>
           // shuffle_hash hints: the build sides are bucketed scans the
           // wave reads exchange-free; unhinted, Catalyst would plan
           // sort-merge and SORT the wedge stream (the AQE-hint rule —
           // stats exist here, but the sort is the known loss)
-          val p = corners(oriented, und, bloom, wv, hints = true)
+          val p = corners(orientedT, undT, bloom, waves, wv, hints = true)
             .localCheckpoint(true)
           // Shuffle files die with their dependency objects, which die
           // at the next collection — on one box (local mode) a nudge
@@ -614,12 +645,22 @@ object Graph {
     * pre-pass for sizing waved execution before committing to the
     * join.
     */
-  def wedgeVolume(edges: DataFrame): Long = {
-    val und = edges
+  def wedgeVolume(edges: DataFrame): Long =
+    wedgeVolumeOf(canonicalUnd(edges))
+
+  /** The canonical undirected edge set (a < b, loopless, distinct) —
+    * the shared first stage of [[triangleCounts]], [[wedgeVolume]] and
+    * [[triangleCountsAuto]] (which persists it so the pre-count and
+    * the join pay the upstream derivation once).
+    */
+  private def canonicalUnd(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  private def wedgeVolumeOf(und: DataFrame): Long = {
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -657,12 +698,8 @@ object Graph {
     * out-of-disk abort — auto-sizing errs on the waved side via
     * ceil.
     */
-  def triangleCountsAuto(edges: DataFrame): DataFrame = {
-    val budget = edges.sparkSession.conf
-      .getOption("spark.graft.waves.scratchBytes")
-      .map(_.toLong).getOrElse(20L * 1000 * 1000 * 1000)
-    triangleCounts(edges, wavesFor(wedgeVolume(edges), budget))
-  }
+  def triangleCountsAuto(edges: DataFrame): DataFrame =
+    triangleCountsOver(canonicalUnd(edges), None)
 
   /** ceil(wedges × 32 B / budget), floored at one wave. */
   private[graft] def wavesFor(wedges: Long, budgetBytes: Long): Int = {

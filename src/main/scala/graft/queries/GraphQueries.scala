@@ -157,7 +157,15 @@ object GraphQueries extends QueryModule {
           col("x.l_orderkey") === col("y.l_orderkey") &&
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      Graph.triangleCounts(e)
+      // AUTO-WAVED since round 16: at sf0.1 the predicted wedge volume
+      // (41 M × 32 B ≈ 1.3 GB) stays far under the 20 GB scratch
+      // budget, so this is the same single-pass plan as before (plus
+      // one O(edges) wedge pre-count); on a 100× corpus, where the
+      // densified co-purchase graph's honest wedge exchange measured
+      // >80 GB of spill (SCALING_r09 — an out-of-disk abort, not a
+      // slow query), the same call waves itself. The 100-TB default
+      // must not ship with a scale-killer behind a constructor arg.
+      Graph.triangleCountsAuto(e)
         .select(col("node").cast("long").as("node"), col("n_triangles"))
         .orderBy(col("node"))
     },

@@ -65,16 +65,21 @@ object QCheck {
       val serve = (System.nanoTime() - t1) / 1e9
       walls(name) = (dump, serve)
       println(f"[qcheck] $name%-28s dumped in $dump%.2f s, served in $serve%.2f s")
+      writeWalls()
       spark.catalog.clearCache()
       System.gc()
     }
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    Files.writeString(Paths.get(s"$outDir/walls.json"),
-      (Seq(s"${q("_mode")}: ${q(if (wallsOnly) "noop_build" else "dump_build")}") ++
-        walls.map { case (n, (d, s)) =>
-          s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
-        }).mkString("{", ", ", "}"))
+    // rewritten after EVERY query: a multi-hour sweep killed mid-run
+    // (disk, OOM, operator timeout) keeps the walls it already paid for
+    def writeWalls(): Unit =
+      Files.writeString(Paths.get(s"$outDir/walls.json"),
+        (Seq(s"${q("_mode")}: ${q(if (wallsOnly) "noop_build" else "dump_build")}") ++
+          walls.map { case (n, (d, s)) =>
+            s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
+          }).mkString("{", ", ", "}"))
+    writeWalls()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       names.filter(SparkEntry.oracleSql.contains)
         .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
