@@ -48,6 +48,12 @@ def main():
             "decade1_ratio": round(s1 / s01, 2) if s01 and s1 else None,
             "decade2_ratio": round(s10 / s1, 2) if s1 and s10 else None,
         }
+        # weather evidence (round 16): per-pass hypervisor-steal cores
+        # from QCheck — a ratio whose numerator or denominator was
+        # measured under a steal burst names itself
+        steal = {f"{sf}_serve_steal_cores": w.get(name, {}).get("serve_steal_cores")
+                 for sf, w in (("sf0.1", w01), ("sf1", w1), ("sf10", w10))}
+        rows[name].update({k: v for k, v in steal.items() if v is not None})
     with open(artifact, "w") as f:
         json.dump({"sf10_dir": sf10_dir, "manifest": man,
                    "build_wall_modes": modes,

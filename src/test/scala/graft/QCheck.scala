@@ -37,8 +37,27 @@ object QCheck {
     // in walls.json's "_mode" so downstream artifacts can say which
     // measurement they carry).
     val wallsOnly = sys.env.get("GRAFT_QCHECK_MODE").contains("walls")
-    val walls = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // hypervisor-steal jiffies bracketing each pass (the Bench
+    // evidence pattern, round 16): this box takes multi-core steal
+    // BURSTS (a d12c serve pass measured 19x its clean wall under one,
+    // with nothing in the artifact to say so). Steal is never
+    // self-caused, so per-pass steal cores are recorded in walls.json
+    // and a serve pass whose window averaged >= 0.5 stolen cores gets
+    // ONE bounded re-measure (the lower-steal window wins; ties to the
+    // faster wall) — under persistent weather the artifact then
+    // carries the evidence instead of silently shipping storm walls.
+    def stealJiffies(): Long = try {
+      val s = scala.io.Source.fromFile("/proc/stat")
+      try s.getLines().next().split("\\s+").drop(1).take(8)
+        .map(_.toLong).apply(7)
+      finally s.close()
+    } catch { case _: Throwable => 0L }
+    def stealCores(j0: Long, j1: Long, wall: Double): Double =
+      if (wall > 0) math.max(j1 - j0, 0L) / 100.0 / wall else 0.0
+    val walls = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double, Double)]
     for (name <- names) {
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       if (wallsOnly)
         SparkEntry.queries(name)(spark, sfDir)
@@ -47,6 +66,7 @@ object QCheck {
         SparkEntry.queries(name)(spark, sfDir)
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       val dump = (System.nanoTime() - t0) / 1e9
+      val dumpSteal = stealCores(s0, stealJiffies(), dump)
       // clear the SQL cache so the serve pass pays its own
       // materialization (operators persist() shared subtrees; the
       // CacheManager matches by logical plan and would serve the dump
@@ -56,15 +76,30 @@ object QCheck {
       // long sweep's walls stay comparable to a fresh JVM's — the
       // round-15 bench smoke measured g4 at 10x its fresh-JVM wall in
       // a JVM polluted by the preceding catalog grind.
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(150)
-      val t1 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val serve = (System.nanoTime() - t1) / 1e9
-      walls(name) = (dump, serve)
-      println(f"[qcheck] $name%-28s dumped in $dump%.2f s, served in $serve%.2f s")
+      def servePass(): (Double, Double) = {
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(150)
+        val j0 = stealJiffies()
+        val t1 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t1) / 1e9
+        (w, stealCores(j0, stealJiffies(), w))
+      }
+      val first = servePass()
+      val (serve, serveSteal) =
+        if (first._2 < 0.5) first
+        else {
+          val retry = servePass()
+          if (retry._2 < first._2 ||
+              (retry._2 == first._2 && retry._1 < first._1)) retry
+          else first
+        }
+      walls(name) = (dump, serve, dumpSteal, serveSteal)
+      println(f"[qcheck] $name%-28s dumped in $dump%.2f s, served in " +
+        f"$serve%.2f s" + (if (serveSteal >= 0.5 || dumpSteal >= 0.5)
+          f" [steal d=$dumpSteal%.1f s=$serveSteal%.1f]" else ""))
       writeWalls()
       spark.catalog.clearCache()
       System.gc()
@@ -76,8 +111,9 @@ object QCheck {
     def writeWalls(): Unit =
       Files.writeString(Paths.get(s"$outDir/walls.json"),
         (Seq(s"${q("_mode")}: ${q(if (wallsOnly) "noop_build" else "dump_build")}") ++
-          walls.map { case (n, (d, s)) =>
-            s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}}"
+          walls.map { case (n, (d, s, ds, ss)) =>
+            s"${q(n)}: {${q("dump_sec")}: ${f3(d)}, ${q("serve_sec")}: ${f3(s)}, " +
+              s"${q("dump_steal_cores")}: ${f3(ds)}, ${q("serve_steal_cores")}: ${f3(ss)}}"
           }).mkString("{", ", ", "}"))
     writeWalls()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
