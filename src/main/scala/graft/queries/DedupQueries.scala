@@ -398,7 +398,11 @@ object DedupQueries extends QueryModule {
   private def evalSplit(s: SparkSession, dir: String) = {
     val d = docs(s, dir)
     val split = d.agg(max(col("doc_id"))).head.getLong(0) - 49L
-    (d.filter(col("doc_id") < split), d.filter(col("doc_id") >= split))
+    // train carries the whole corpus through a shingle explode that
+    // otherwise rides the scan task (single-row-group floor at small
+    // SF — core.Parallelism); eval is a ~50-doc slice, left alone
+    (graft.core.Parallelism.fanOutSmallScan(d.filter(col("doc_id") < split)),
+      d.filter(col("doc_id") >= split))
   }
 
   private val decontamination = CatalogQuery(
@@ -545,7 +549,9 @@ object DedupQueries extends QueryModule {
     */
   private val dupCoverage = CatalogQuery(
     "d9_dup_ngram_coverage",
-    (s, dir) => Dedup.dupNgramCoverage(docs(s, dir), n = 8)
+    (s, dir) => Dedup.dupNgramCoverage(
+        graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text"))), n = 8)
       .orderBy(col("doc")),
     Some("""WITH toks AS (
            |  SELECT doc_id,

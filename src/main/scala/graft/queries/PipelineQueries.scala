@@ -474,8 +474,9 @@ object PipelineQueries extends QueryModule {
         (2000002L, "the shared syndicated body", "en", "srcA"),
         (2000003L, "the shared syndicated body", "en", "srcB"))
         .toDF("doc_id", "text", "lang", "source")
-      val all = Tables(s, dir).documents
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val all = graft.core.Parallelism.fanOutSmallScan(
+          Tables(s, dir).documents
+            .select(col("doc_id"), col("text"), col("lang"), col("source")))
         .unionByName(planted)
       CorpusMix.datasetCard(all, "doc_id", "text", Seq("source", "lang"))
         .orderBy(col("source"), col("lang"))

@@ -31,7 +31,10 @@ object TextQueries extends QueryModule {
 
   private val quality = CatalogQuery(
     "t2_quality_score",
-    (s, dir) => TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+    (s, dir) => TextAnalysis.qualityScore(
+        graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text"))),
+        "doc_id", "text")
       .orderBy(col("doc")),
     Some("""WITH f AS (
            |  SELECT doc_id AS doc,
@@ -57,7 +60,10 @@ object TextQueries extends QueryModule {
 
   private val langid = CatalogQuery(
     "t3_language_id",
-    (s, dir) => TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+    (s, dir) => TextAnalysis.languageId(
+        graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text"))),
+        "doc_id", "text")
       .orderBy(col("doc")),
     Some("""WITH toks AS (
            |  SELECT doc_id AS doc,
@@ -125,7 +131,10 @@ object TextQueries extends QueryModule {
 
   private val repetition = CatalogQuery(
     "t6_repetition",
-    (s, dir) => TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+    (s, dir) => TextAnalysis.repetitionStats(
+        graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("text"))),
+        "doc_id", "text")
       .orderBy(col("doc")),
     Some("""WITH toks AS (
            |  SELECT doc_id,
@@ -223,7 +232,9 @@ object TextQueries extends QueryModule {
     */
   private val lmScore = CatalogQuery(
     "t8_lm_score",
-    (s, dir) => LanguageModel.bigramNll(docs(s, dir))
+    (s, dir) => LanguageModel.bigramNll(
+        graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("text"))))
       .orderBy(col("doc")),
     Some("""WITH toks AS (
            |  SELECT doc_id, lang,
@@ -443,7 +454,8 @@ object TextQueries extends QueryModule {
     (s, dir) => {
       import s.implicits._
       val eps = 1e-4
-      val tok = docs(s, dir)
+      val tok = graft.core.Parallelism.fanOutSmallScan(
+          docs(s, dir).select(col("text")))
         .select(explode(TextAnalysis.words(col("text"))).as("w"))
       val counts = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
